@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: Cornell Box progressive path trace on real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+Baseline target (BASELINE.md): >= 100 Mrays/s per chip on Cornell Box.
+`vs_baseline` is value / 100.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from hala_tpu.models.integrator import (
+        Film,
+        RenderSettings,
+        Uniforms,
+        render_frame,
+    )
+    from hala_tpu.scene.loader.uploader import SceneUploader
+    from hala_tpu.scene.procedural import cornell_box
+
+    width = height = 512
+    spp_timed = 8
+
+    scene = SceneUploader.upload(cornell_box(), use_ray_tracing=True)
+    settings = RenderSettings(
+        width=width,
+        height=height,
+        max_depth=4,
+        rr_depth=2,
+        tile_size=65536,
+        use_bvh=True,
+    )
+    uniforms = Uniforms.default()
+    film = Film.create(width, height)
+
+    # Warmup / compile.
+    film, rays = render_frame(scene, None, uniforms, film, 0, settings)
+    jax.block_until_ready(rays)
+
+    total_rays = 0.0
+    t0 = time.perf_counter()
+    for f in range(1, 1 + spp_timed):
+        film, rays = render_frame(scene, None, uniforms, film, f, settings)
+        total_rays += float(rays)
+    jax.block_until_ready(film.accum)
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_512_pathtrace_throughput",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 100.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

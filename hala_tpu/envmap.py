@@ -1,0 +1,166 @@
+"""HDR environment map with 2-D CDF importance-sampling tables.
+
+Parity: reference src/envmap.rs:
+
+* decodes float RGB(A) images only and validates every texel against
+  NaN/Inf (envmap.rs:57-71);
+* builds per-row PDF/CDF + 1-D column CDF with BT.709 luminance weights
+  (envmap.rs:249-308), then INVERTS both CDFs into lookup tables so
+  sampling is two fetches instead of a binary search (envmap.rs:311-331):
+  `marginal[v] = lower_bound(cdf_1d, (v+1)/H) / H` and
+  `conditional[v][u] = lower_bound(cdf_2d[v], (u+1)/W) / W`;
+* disk-caches the tables at ./out/{name}.dist_cache as a raw f32 LE
+  stream [total_sum, marginal[H], conditional[H*W]] (envmap.rs:90-142) —
+  the same binary layout, so caches interoperate.
+
+The sampling-side code (2-fetch sample, pdf for MIS) lives in
+hala_tpu.ops.env.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .error import HalaRendererError
+from .scene.cpu.image_data import ImageData, ImageFormat
+
+logger = logging.getLogger("hala_tpu.envmap")
+
+# BT.709 luminance weights (envmap.rs:249-251).
+_LUMA = np.array([0.212671, 0.715160, 0.072169], np.float32)
+
+
+def _register(cls, meta_fields=()):
+    data_fields = tuple(
+        f.name for f in dataclasses.fields(cls) if f.name not in meta_fields
+    )
+    jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=tuple(meta_fields)
+    )
+    return cls
+
+
+@partial(_register, meta_fields=("width", "height", "name"))
+@dataclasses.dataclass
+class EnvMap:
+    """Equirectangular HDR environment + inverted-CDF tables (pytree)."""
+
+    image: jax.Array            # (H, W, 3) f32 radiance
+    marginal: jax.Array         # (H,) f32 — inverted 1-D CDF lookup
+    conditional: jax.Array      # (H, W) f32 — inverted per-row CDF lookup
+    luminance: jax.Array        # (H, W) f32 — texel luminance (pdf eval)
+    total_luminance: jax.Array  # () f32
+    width: int = 0
+    height: int = 0
+    name: str = "envmap"
+
+    @staticmethod
+    def load(path: str, cache_dir: str = "./out") -> "EnvMap":
+        img = ImageData.load(path)
+        if img.format != ImageFormat.R32G32B32A32_SFLOAT:
+            raise HalaRendererError(
+                "Environment map must be a float image (envmap.rs:57-60)."
+            )
+        rgb = img.pixels[..., :3].astype(np.float32)
+        if not np.isfinite(rgb).all():
+            raise HalaRendererError(
+                "Environment map contains NaN/Inf texels (envmap.rs:63-71)."
+            )
+        name = os.path.splitext(os.path.basename(path))[0]
+        h, w = rgb.shape[:2]
+
+        cache_path = os.path.join(cache_dir, f"{name}.dist_cache")
+        total = marginal = conditional = None
+        if os.path.exists(cache_path):
+            try:
+                raw = np.fromfile(cache_path, "<f4")
+                if raw.size == 1 + h + h * w:
+                    total = float(raw[0])
+                    marginal = raw[1 : 1 + h].copy()
+                    conditional = raw[1 + h :].reshape(h, w).copy()
+                    logger.info("Loaded envmap distribution cache %s", cache_path)
+            except OSError:
+                pass
+        if marginal is None:
+            total, marginal, conditional = build_distribution_maps(rgb)
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                stream = np.concatenate(
+                    [[np.float32(total)], marginal.ravel(), conditional.ravel()]
+                ).astype("<f4")
+                stream.tofile(cache_path)
+            except OSError:  # cache write failure is non-fatal
+                logger.warning("Could not write envmap cache %s", cache_path)
+
+        lum = (rgb * _LUMA).sum(-1)
+        return EnvMap(
+            image=jnp.asarray(rgb),
+            marginal=jnp.asarray(marginal),
+            conditional=jnp.asarray(conditional),
+            luminance=jnp.asarray(lum),
+            total_luminance=jnp.float32(total),
+            width=w,
+            height=h,
+            name=name,
+        )
+
+    @staticmethod
+    def from_array(rgb: np.ndarray, name: str = "envmap") -> "EnvMap":
+        """Build directly from an (H, W, 3) float array (tests/procedural)."""
+        rgb = np.asarray(rgb, np.float32)
+        total, marginal, conditional = build_distribution_maps(rgb)
+        lum = (rgb * _LUMA).sum(-1)
+        return EnvMap(
+            image=jnp.asarray(rgb),
+            marginal=jnp.asarray(marginal),
+            conditional=jnp.asarray(conditional),
+            luminance=jnp.asarray(lum),
+            total_luminance=jnp.float32(total),
+            width=rgb.shape[1],
+            height=rgb.shape[0],
+            name=name,
+        )
+
+
+def build_distribution_maps(rgb: np.ndarray):
+    """(total_sum, marginal (H,), conditional (H, W)) per envmap.rs:239-388.
+
+    Vectorized re-expression of the reference's rayon row loop: identical
+    outputs (same lower_bound-on-CDF inversion), no per-texel Python.
+    """
+    h, w = rgb.shape[:2]
+    weight = (rgb[..., :3] * _LUMA).sum(-1).astype(np.float32)  # (H, W)
+    total_sum = float(np.cumsum(weight.ravel(), dtype=np.float32)[-1])
+
+    # Sequential cumsum; the row normalizer must be the cumsum's own last
+    # element (not a pairwise .sum()) to reproduce the reference's
+    # accumulate-then-divide float semantics exactly.
+    cdf_2d_raw = np.cumsum(weight, axis=1, dtype=np.float32)
+    row_sum = cdf_2d_raw[:, -1]
+    safe_row = np.where(row_sum > 0, row_sum, 1.0)
+    cdf_2d = cdf_2d_raw / safe_row[:, None]
+
+    col_cdf = np.cumsum(row_sum, dtype=np.float32)
+    col_total = col_cdf[-1] if col_cdf[-1] > 0 else 1.0
+    cdf_1d = (col_cdf / col_total).astype(np.float32)
+
+    # Invert: marginal[v] = lower_bound(cdf_1d, (v+1)/H) / H.
+    targets_v = (np.arange(1, h + 1, dtype=np.float32)) / np.float32(h)
+    rows = np.searchsorted(cdf_1d, targets_v, side="left")
+    marginal = rows.astype(np.float32) / np.float32(h)
+
+    # conditional[v][u] = lower_bound(cdf_2d[v], (u+1)/W) / W.
+    targets_u = (np.arange(1, w + 1, dtype=np.float32)) / np.float32(w)
+    cols = np.empty((h, w), np.int64)
+    for v in range(h):
+        cols[v] = np.searchsorted(cdf_2d[v], targets_u, side="left")
+    conditional = cols.astype(np.float32) / np.float32(w)
+
+    return total_sum, marginal, conditional

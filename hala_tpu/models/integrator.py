@@ -1,0 +1,484 @@
+"""Path-tracing integrator core: the TPU replacement for the reference's
+raygen/closest-hit/miss/callable SPIR-V shader set.
+
+The algorithm parameters surfaced by the reference renderer are all
+honored (SURVEY.md section 2.2): max bounce depth + Russian-roulette
+start depth (rt_renderer.rs:572-573), frame-index-seeded progressive
+accumulation (rt_renderer.rs:408-427), NEE over the analytic light list
+with MIS, envmap CDF importance sampling, DOF camera, two-sided shading
+with Oren-Nayar/Disney BSDF dispatch, and albedo/normal AOVs on first
+hit.
+
+Shape discipline: rays are flat (N,) SoA batches; the film is updated in
+static-size tiles via lax.scan, keeping peak memory at
+O(tile x triangle-chunk) while staying a single jitted computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rng
+from ..ops.bsdf import bsdf_eval, bsdf_sample, gather_materials
+from ..ops.bvh import intersect_bvh, occluded_bvh
+from ..ops.camera import generate_rays
+from ..ops.env import env_pdf, env_radiance, env_sample, sky_radiance
+from ..ops.intersect import (
+    T_MAX,
+    intersect_bruteforce,
+    occluded_bruteforce,
+)
+from ..ops.lights import intersect_lights, sample_one_light
+from ..ops.sampling import (
+    build_basis,
+    dot,
+    normalize,
+    power_heuristic,
+    to_local,
+    to_world,
+)
+from ..ops.texture import sample_texture
+
+ENV_SKY = 0  # rt_renderer.rs:23-41 HalaEnvType
+ENV_MAP = 1
+
+_RAY_EPS = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (compile-time) integrator configuration."""
+
+    width: int
+    height: int
+    max_depth: int = 4
+    rr_depth: int = 2
+    env_type: int = ENV_SKY
+    tile_size: int = 65536
+    use_bvh: bool = True
+    chunk: int = 2048  # brute-force triangle chunk
+
+
+def _register(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(
+        cls, data_fields=tuple(fields), meta_fields=()
+    )
+    return cls
+
+
+@_register
+@dataclasses.dataclass
+class Uniforms:
+    """Dynamic per-frame values (HalaGlobalUniform parity,
+    rt_renderer.rs:44-65). env_rotation is pre-normalized by /360
+    (rt_renderer.rs:420)."""
+
+    ground_color: jax.Array   # (3,)
+    sky_color: jax.Array      # (3,)
+    env_intensity: jax.Array  # ()
+    env_rotation: jax.Array   # ()
+    exposure_value: jax.Array  # ()
+    camera_index: jax.Array   # () i32
+
+    @staticmethod
+    def default() -> "Uniforms":
+        return Uniforms(
+            ground_color=jnp.asarray([0.5, 0.5, 0.5]),
+            sky_color=jnp.asarray([0.5, 0.7, 0.9]),
+            env_intensity=jnp.float32(1.0),
+            env_rotation=jnp.float32(0.0),
+            exposure_value=jnp.float32(1.0),
+            camera_index=jnp.int32(0),
+        )
+
+
+@_register
+@dataclasses.dataclass
+class Film:
+    """Accumulation + AOV images (the 4 storage images of
+    rt_renderer.rs:818-917; `final` is derived on demand)."""
+
+    accum: jax.Array   # (H, W, 4) running mean radiance
+    albedo: jax.Array  # (H, W, 4)
+    normal: jax.Array  # (H, W, 4)
+
+    @staticmethod
+    def create(width: int, height: int) -> "Film":
+        # Three distinct buffers: the frame function donates the film, and
+        # XLA rejects donating one buffer through multiple arguments.
+        z = lambda: jnp.zeros((height, width, 4), jnp.float32)
+        return Film(accum=z(), albedo=z(), normal=z())
+
+
+def _intersect(scene, o, d, settings: RenderSettings):
+    g = scene.geometry
+    if settings.use_bvh and scene.bvh is not None:
+        return intersect_bvh(scene.bvh, g, o, d)
+    return intersect_bruteforce(
+        o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=settings.chunk
+    )
+
+
+def _occluded(scene, o, d, t_far, settings: RenderSettings):
+    g = scene.geometry
+    if settings.use_bvh and scene.bvh is not None:
+        return occluded_bvh(scene.bvh, g, o, d, t_far)
+    return occluded_bruteforce(
+        o, d, t_far, g.tri_v0, g.tri_e1, g.tri_e2, chunk=settings.chunk
+    )
+
+
+def _env_miss_radiance(env, uniforms: Uniforms, d, settings: RenderSettings):
+    if settings.env_type == ENV_MAP and env is not None:
+        return env_radiance(env, d, uniforms.env_rotation, uniforms.env_intensity)
+    return (
+        sky_radiance(d, uniforms.ground_color[None, :], uniforms.sky_color[None, :])
+        * uniforms.env_intensity
+    )
+
+
+def trace_paths(
+    scene,
+    env,
+    uniforms: Uniforms,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    pixel_idx: jnp.ndarray,
+    frame_index,
+    settings: RenderSettings,
+):
+    """Trace full paths for a flat ray batch.
+
+    Returns (radiance (N,3), albedo_aov (N,3), normal_aov (N,3),
+    rays_traced (N,) f32 — counting extension + shadow rays for the
+    Mrays/s statistic).
+    """
+    from ..ops.intersect import varying_like
+
+    n = o.shape[0]
+    geom = scene.geometry
+    has_env_map = settings.env_type == ENV_MAP and env is not None
+
+    # Carries derived from `o` so their varying-axes type survives
+    # shard_map (see ops/intersect.varying_like).
+    zeros3 = varying_like(o, 0.0)
+    zeros = zeros3[:, 0]
+    state = dict(
+        o=o,
+        d=d,
+        throughput=zeros3 + 1.0,
+        radiance=zeros3,
+        active=zeros < 1.0,
+        prev_pdf=zeros,  # 0 => previous bounce was camera/delta
+        albedo=zeros3,
+        normal=zeros3,
+        rays=zeros,
+    )
+
+    def bounce_body(bounce, st):
+        o, d = st["o"], st["d"]
+        active = st["active"]
+        throughput = st["throughput"]
+        radiance = st["radiance"]
+        prev_pdf = st["prev_pdf"]
+        rays = st["rays"] + active.astype(jnp.float32)
+
+        hit = _intersect(scene, o, d, settings)
+        lhit = intersect_lights(scene.lights, o, d)
+
+        light_first = lhit.t < hit.t
+        # --- emissive light hit (MIS vs the NEE strategy) ---------------
+        w_light = jnp.where(
+            prev_pdf > 0.0, power_heuristic(prev_pdf, lhit.pdf), 1.0
+        )
+        radiance = radiance + jnp.where(
+            (active & light_first)[:, None],
+            throughput * lhit.radiance * w_light[:, None],
+            0.0,
+        )
+
+        # --- miss: environment ------------------------------------------
+        miss = hit.tri < 0
+        env_rad = _env_miss_radiance(env, uniforms, d, settings)
+        if has_env_map:
+            pdf_e = env_pdf(env, d, uniforms.env_rotation)
+            w_env = jnp.where(
+                prev_pdf > 0.0, power_heuristic(prev_pdf, pdf_e), 1.0
+            )
+        else:
+            w_env = jnp.ones((n,))
+        radiance = radiance + jnp.where(
+            (active & miss & ~light_first)[:, None],
+            throughput * env_rad * w_env[:, None],
+            0.0,
+        )
+
+        active = active & ~miss & ~light_first
+
+        # --- shading point ----------------------------------------------
+        tid = jnp.maximum(hit.tri, 0)
+        u, v = hit.u, hit.v
+        w0 = 1.0 - u - v
+        n_tri = jnp.take(geom.normals, tid, axis=0)  # (N, 3, 3)
+        ns = normalize(
+            w0[:, None] * n_tri[:, 0]
+            + u[:, None] * n_tri[:, 1]
+            + v[:, None] * n_tri[:, 2]
+        )
+        uv_tri = jnp.take(geom.uvs, tid, axis=0)  # (N, 3, 2)
+        uv = (
+            w0[:, None] * uv_tri[:, 0]
+            + u[:, None] * uv_tri[:, 1]
+            + v[:, None] * uv_tri[:, 2]
+        )
+        e1 = jnp.take(geom.tri_e1, tid, axis=0)
+        e2 = jnp.take(geom.tri_e2, tid, axis=0)
+        ng = normalize(jnp.cross(e1, e2))
+        # orient geometric normal along shading normal
+        ng = jnp.where(dot(ng, ns)[:, None] < 0, -ng, ng)
+        hit_p = o + hit.t[:, None] * d
+
+        entering = dot(ns, -d) >= 0.0
+        ns_f = jnp.where(entering[:, None], ns, -ns)  # two-sided frame
+        ng_f = jnp.where(entering[:, None], ng, -ng)
+        t_b, b_b = build_basis(ns_f)
+        wo_l = to_local(-d, t_b, b_b, ns_f)
+        wo_l = wo_l.at[:, 2].set(jnp.maximum(wo_l[:, 2], 1e-5))
+
+        mat_idx = jnp.take(geom.tri_mat, tid)
+        mp = gather_materials(scene.materials, mat_idx)
+        if scene.textures is not None:
+            base_map = jnp.take(scene.materials.base_color_map, jnp.maximum(mat_idx, 0))
+            mr_map = jnp.take(
+                scene.materials.metallic_roughness_map, jnp.maximum(mat_idx, 0)
+            )
+            em_map = jnp.take(scene.materials.emission_map, jnp.maximum(mat_idx, 0))
+            base_t = sample_texture(scene.textures, base_map, uv)
+            mr_t = sample_texture(scene.textures, mr_map, uv)
+            em_t = sample_texture(scene.textures, em_map, uv)
+            new_rough_raw = mr_t[:, 1]  # glTF: G=roughness, B=metallic
+            new_metal = mp.metallic * mr_t[:, 2]
+            # re-apply the Disney alpha precompute for textured roughness
+            has_mr = mr_map >= 0
+            alpha = jnp.clip((new_rough_raw) ** 2, 1e-4, 1.0)
+            mp = mp._replace(
+                base_color=mp.base_color * base_t[:, :3],
+                emission=mp.emission * em_t[:, :3],
+                metallic=jnp.where(has_mr, new_metal, mp.metallic),
+                roughness=jnp.where(has_mr, alpha, mp.roughness),
+                ax=jnp.where(has_mr, jnp.maximum(alpha, 1e-3), mp.ax),
+                ay=jnp.where(has_mr, jnp.maximum(alpha, 1e-3), mp.ay),
+            )
+        # refraction relative ior: entering -> ior, exiting -> 1/ior
+        mp = mp._replace(
+            ior=jnp.where(entering, mp.ior, 1.0 / jnp.maximum(mp.ior, 1e-3))
+        )
+
+        # --- AOVs on first hit ------------------------------------------
+        first = bounce == 0
+        st_albedo = jnp.where(
+            (first & active)[:, None], mp.base_color, st["albedo"]
+        )
+        st_normal = jnp.where((first & active)[:, None], ns, st["normal"])
+
+        # --- surface emission (no NEE over emissive triangles) ----------
+        radiance = radiance + jnp.where(
+            active[:, None], throughput * mp.emission, 0.0
+        )
+
+        # --- opacity stochastic pass-through ----------------------------
+        r_alpha = rng.sample4(pixel_idx, frame_index, bounce, seed=11)
+        pass_through = active & (r_alpha[:, 0] > mp.opacity)
+
+        # --- NEE: analytic lights ---------------------------------------
+        r_nee = rng.sample4(pixel_idx, frame_index, bounce, seed=13)
+        shadow_rays = jnp.zeros((n,))
+        if scene.lights.num_lights > 0:
+            ls = sample_one_light(scene.lights, hit_p, r_nee[:, :3])
+            wi_l = to_local(ls.wi, t_b, b_b, ns_f)
+            f_l, pdf_b = bsdf_eval(mp, wo_l, wi_l)
+            cos_l = jnp.abs(wi_l[:, 2])
+            candidate = active & ~pass_through & (ls.pdf > 0) & (cos_l > 1e-6)
+            shadow_o = hit_p + ng_f * _RAY_EPS
+            blocked = _occluded(scene, shadow_o, ls.wi, ls.dist, settings)
+            shadow_rays = shadow_rays + candidate.astype(jnp.float32)
+            w_mis = jnp.where(
+                ls.is_delta, 1.0, power_heuristic(ls.pdf, pdf_b)
+            )
+            contrib = (
+                throughput
+                * f_l
+                * (cos_l / jnp.maximum(ls.pdf, 1e-12) * w_mis)[:, None]
+                * ls.radiance
+            )
+            radiance = radiance + jnp.where(
+                (candidate & ~blocked)[:, None], contrib, 0.0
+            )
+
+        # --- NEE: environment map ---------------------------------------
+        if has_env_map:
+            r_env = rng.sample4(pixel_idx, frame_index, bounce, seed=17)
+            wi_e, rad_e, pdf_e = env_sample(
+                env, r_env[:, :2], uniforms.env_rotation, uniforms.env_intensity
+            )
+            wi_el = to_local(wi_e, t_b, b_b, ns_f)
+            f_e, pdf_be = bsdf_eval(mp, wo_l, wi_el)
+            cos_e = jnp.abs(wi_el[:, 2])
+            cand_e = active & ~pass_through & (pdf_e > 0) & (cos_e > 1e-6)
+            shadow_o = hit_p + ng_f * _RAY_EPS
+            blocked_e = _occluded(
+                scene, shadow_o, wi_e, jnp.full((n,), 1.0e7), settings
+            )
+            shadow_rays = shadow_rays + cand_e.astype(jnp.float32)
+            w_mis_e = power_heuristic(pdf_e, pdf_be)
+            contrib_e = (
+                throughput
+                * f_e
+                * (cos_e / jnp.maximum(pdf_e, 1e-12) * w_mis_e)[:, None]
+                * rad_e
+            )
+            radiance = radiance + jnp.where(
+                (cand_e & ~blocked_e)[:, None], contrib_e, 0.0
+            )
+
+        # --- BSDF sampling / continuation -------------------------------
+        r_bsdf = rng.sample4(pixel_idx, frame_index, bounce, seed=19)
+        wi_s, f_s, pdf_s = bsdf_sample(mp, wo_l, r_bsdf)
+        wi_w = to_world(wi_s, t_b, b_b, ns_f)
+        cos_s = jnp.abs(wi_s[:, 2])
+        valid_s = pdf_s > 1e-9
+        new_tp = throughput * f_s * (cos_s / jnp.maximum(pdf_s, 1e-9))[:, None]
+
+        # pass-through overrides the BSDF continuation
+        next_d = jnp.where(pass_through[:, None], d, wi_w)
+        offset_n = jnp.where(
+            dot(next_d, ng_f)[:, None] >= 0, ng_f, -ng_f
+        )
+        next_o = hit_p + offset_n * _RAY_EPS + next_d * _RAY_EPS
+        next_tp = jnp.where(pass_through[:, None], throughput, new_tp)
+        next_pdf = jnp.where(pass_through, jnp.zeros_like(pdf_s), pdf_s)
+        active = active & (pass_through | valid_s)
+
+        # --- Russian roulette (from rr_depth, rt_renderer.rs:572-573) ---
+        r_rr = rng.sample4(pixel_idx, frame_index, bounce, seed=23)
+        q = jnp.clip(jnp.max(next_tp, axis=-1), 0.05, 0.95)
+        do_rr = bounce >= settings.rr_depth
+        survive = jnp.where(do_rr, r_rr[:, 0] < q, True)
+        next_tp = jnp.where(do_rr, next_tp / q[:, None], next_tp)
+        active = active & survive
+
+        return dict(
+            o=next_o,
+            d=next_d,
+            throughput=next_tp,
+            radiance=radiance,
+            active=active,
+            prev_pdf=next_pdf,
+            albedo=st_albedo,
+            normal=st_normal,
+            rays=rays + shadow_rays,
+        )
+
+    state = jax.lax.fori_loop(0, settings.max_depth, bounce_body, state)
+
+    # Terminal environment lookup for rays still active after the last
+    # bounce is intentionally skipped (depth cap, rt_renderer parity).
+    return state["radiance"], state["albedo"], state["normal"], state["rays"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings", "full_height"),
+    donate_argnums=(3,),
+)
+def render_frame(
+    scene,
+    env,
+    uniforms: Uniforms,
+    film: Film,
+    frame_index,
+    settings: RenderSettings,
+    row_offset=0,
+    full_height: int | None = None,
+):
+    """One progressive frame (1 spp): rt_renderer.rs update() parity.
+
+    Returns (film, rays_traced_scalar). The film accumulates a running
+    mean like the reference's accum image + frame_index uniform.
+
+    Multi-chip film tiling (SURVEY.md sections 2.11/5.8): when the film is
+    sharded by rows across a device mesh, each shard passes its global
+    `row_offset` and the `full_height` of the whole film so camera NDC
+    and RNG streams stay globally consistent; results then need no
+    cross-device exchange at all until readback (fixed per-tile
+    ownership also keeps accumulation deterministic).
+    """
+    h, w = settings.height, settings.width
+    cam_h = full_height if full_height is not None else h
+    row_offset = jnp.asarray(row_offset, jnp.int32)
+    n_pix = h * w
+    tile = min(settings.tile_size, n_pix)
+    n_tiles = -(-n_pix // tile)
+    n_pad = n_tiles * tile
+
+    accum = film.accum.reshape(-1, 4)
+    albedo = film.albedo.reshape(-1, 4)
+    normal = film.normal.reshape(-1, 4)
+    if n_pad != n_pix:
+        pad = ((0, n_pad - n_pix), (0, 0))
+        accum = jnp.pad(accum, pad)
+        albedo = jnp.pad(albedo, pad)
+        normal = jnp.pad(normal, pad)
+
+    fidx = jnp.asarray(frame_index, jnp.uint32)
+    inv_n1 = 1.0 / (jnp.asarray(frame_index, jnp.float32) + 1.0)
+
+    def tile_body(carry, t):
+        accum, albedo, normal, rays_total = carry
+        start = t * tile
+        pix = start + jnp.arange(tile, dtype=jnp.int32)
+        gpix = pix + row_offset * w  # globally unique pixel id
+        px = (gpix % w).astype(jnp.float32)
+        py = (gpix // w).astype(jnp.float32)
+        r_jit = rng.sample4(gpix, fidx, 0, seed=1)
+        o, d = generate_rays(
+            scene.cameras, uniforms.camera_index, px, py, w, cam_h,
+            r_jit[:, :2], r_jit[:, 2:],
+        )
+        L, alb, nrm, rays = trace_paths(
+            scene, env, uniforms, o, d, gpix, fidx, settings
+        )
+        L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
+        old = jax.lax.dynamic_slice_in_dim(accum, start, tile)
+        new = old + (jnp.concatenate([L, jnp.ones((tile, 1))], -1) - old) * inv_n1
+        accum = jax.lax.dynamic_update_slice_in_dim(accum, new, start, 0)
+        alb4 = jnp.concatenate([alb, jnp.ones((tile, 1))], -1)
+        nrm4 = jnp.concatenate([nrm, jnp.ones((tile, 1))], -1)
+        old_a = jax.lax.dynamic_slice_in_dim(albedo, start, tile)
+        old_n = jax.lax.dynamic_slice_in_dim(normal, start, tile)
+        albedo = jax.lax.dynamic_update_slice_in_dim(
+            albedo, old_a + (alb4 - old_a) * inv_n1, start, 0
+        )
+        normal = jax.lax.dynamic_update_slice_in_dim(
+            normal, old_n + (nrm4 - old_n) * inv_n1, start, 0
+        )
+        return (accum, albedo, normal, rays_total + jnp.sum(rays)), None
+
+    (accum, albedo, normal, rays_total), _ = jax.lax.scan(
+        tile_body,
+        (accum, albedo, normal, accum[0, 0] * 0.0),  # varying-typed zero
+        jnp.arange(n_tiles, dtype=jnp.int32),
+    )
+
+    new_film = Film(
+        accum=accum[:n_pix].reshape(h, w, 4),
+        albedo=albedo[:n_pix].reshape(h, w, 4),
+        normal=normal[:n_pix].reshape(h, w, 4),
+    )
+    return new_film, rays_total

@@ -1,0 +1,249 @@
+"""Progressive path-tracing renderer (the flagship).
+
+Parity: reference src/rt_renderer.rs (HalaRenderer, exported as
+HalaRayTracingRenderer):
+
+* constructor parameters (rt_renderer.rs:650-660): name, resolution,
+  max_depth, rr_depth, enable_tonemap, enable_aces, use_simple_aces,
+  max_frames (0 = unlimited, rt_renderer.rs:774);
+* `set_scene` uploads with (mesh_shader=False, global_meshlets=False,
+  ray_tracing=True) (rt_renderer.rs:1161-1178);
+* lighting-environment knobs set_envmap / set_ground_color /
+  set_sky_color / set_env_intensity / set_exposure_value
+  (rt_renderer.rs:1184-1219);
+* `load_blue_noise_texture` (rt_renderer.rs:1117-1156) — stored and
+  surfaced; the integrator's PCG4D stream fills the low-discrepancy
+  seeding role (see ops/rng.py);
+* `update` skips once total_frames exceeds the max_frames progressive
+  budget (rt_renderer.rs:393-396) and seeds sampling with the frame
+  index (rt_renderer.rs:414);
+* `save_images` writes {name}_color/albedo/normal .pfm with the selected
+  tonemap operator applied to color only (rt_renderer.rs:1224-1352).
+
+The commit() of the reference (descriptor writes + RT pipeline + SBT,
+rt_renderer.rs:136-379) maps to: freeze RenderSettings and jit-compile
+the frame function; the XLA compilation cache replaces
+./out/pipeline_cache.bin.
+"""
+
+from __future__ import annotations
+
+import enum
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..error import HalaRendererError
+from ..envmap import EnvMap
+from ..ops.tonemap import apply_tonemap
+from ..scene.cpu.scene import Scene
+from ..scene.cpu.image_data import ImageData
+from ..scene.loader.uploader import SceneUploader
+from ..utils.pfm import write_pfm
+from .integrator import (
+    ENV_MAP,
+    ENV_SKY,
+    Film,
+    RenderSettings,
+    Uniforms,
+    render_frame,
+)
+from .renderer import BaseRenderer
+
+logger = logging.getLogger("hala_tpu.rt")
+
+
+class EnvType(enum.IntEnum):
+    """rt_renderer.rs:23-41."""
+
+    SKY = ENV_SKY
+    MAP = ENV_MAP
+
+
+class RayTracingRenderer(BaseRenderer):
+    def __init__(
+        self,
+        name: str,
+        width: int,
+        height: int,
+        max_depth: int = 4,
+        rr_depth: int = 2,
+        enable_tonemap: bool = True,
+        enable_aces: bool = False,
+        use_simple_aces: bool = False,
+        max_frames: int = 0,
+        tile_size: int = 65536,
+        use_bvh: bool = True,
+    ):
+        super().__init__(name, width, height)
+        self.max_depth = max_depth
+        self.rr_depth = rr_depth
+        self.enable_tonemap = enable_tonemap
+        self.enable_aces = enable_aces
+        self.use_simple_aces = use_simple_aces
+        self.max_frames = max_frames if max_frames > 0 else (1 << 62)
+        self._tile_size = tile_size
+        self._use_bvh = use_bvh
+
+        self.scene = None          # DeviceScene
+        self._host_scene: Scene | None = None
+        self.env: EnvMap | None = None
+        self.env_type = EnvType.SKY
+        self.uniforms = Uniforms.default()
+        self.film = Film.create(width, height)
+        self.blue_noise: ImageData | None = None
+        self.settings: RenderSettings | None = None
+        self._frame_index = 0
+        self.total_rays = 0.0
+        self._last_rays = 0.0
+
+    # -- scene / environment API ----------------------------------------
+
+    def set_scene(self, scene: Scene) -> None:
+        """rt_renderer.rs:1161-1178."""
+        self._host_scene = scene
+        self.scene = SceneUploader.upload(
+            scene,
+            use_mesh_shader=False,
+            use_global_meshlets=False,
+            use_ray_tracing=self._use_bvh,
+        )
+
+    def set_envmap(self, env: "EnvMap | str", rotation: float = 0.0) -> None:
+        """rt_renderer.rs:1184-1192; rotation in degrees, normalized by
+        /360 into the uniform (rt_renderer.rs:420)."""
+        if isinstance(env, str):
+            env = EnvMap.load(env)
+        self.env = env
+        self.env_type = EnvType.MAP
+        self.uniforms.env_rotation = jnp.float32(rotation / 360.0)
+        self.settings = None  # env type is compile-time
+
+    def set_ground_color(self, color) -> None:
+        self.uniforms.ground_color = jnp.asarray(color, jnp.float32)
+
+    def set_sky_color(self, color) -> None:
+        self.uniforms.sky_color = jnp.asarray(color, jnp.float32)
+
+    def set_env_intensity(self, intensity: float) -> None:
+        self.uniforms.env_intensity = jnp.float32(intensity)
+
+    def set_exposure_value(self, ev: float) -> None:
+        self.uniforms.exposure_value = jnp.float32(ev)
+
+    def set_camera_index(self, index: int) -> None:
+        self.uniforms.camera_index = jnp.int32(index)
+
+    def load_blue_noise_texture(self, path: str) -> None:
+        """rt_renderer.rs:1117-1156."""
+        self.blue_noise = ImageData.load(path)
+
+    # -- frame loop ------------------------------------------------------
+
+    def commit(self) -> None:
+        """Freeze settings + compile (rt_renderer.rs:136-379 role)."""
+        if self.scene is None:
+            raise HalaRendererError("commit() before set_scene().")
+        self.settings = RenderSettings(
+            width=self.info.width,
+            height=self.info.height,
+            max_depth=self.max_depth,
+            rr_depth=self.rr_depth,
+            env_type=int(self.env_type),
+            tile_size=self._tile_size,
+            use_bvh=self._use_bvh and self.scene.bvh is not None,
+        )
+
+    def update(self, delta_time: float = 0.0) -> None:
+        """Dispatch one progressive frame (rt_renderer.rs:387-471)."""
+        if self.settings is None:
+            self.commit()
+        self.check_and_restore_device()
+        if self._frame_index >= self.max_frames:
+            return  # progressive budget reached (rt_renderer.rs:393-396)
+        t0 = time.monotonic()
+        self.film, rays = render_frame(
+            self.scene,
+            self.env,
+            self.uniforms,
+            self.film,
+            self._frame_index,
+            self.settings,
+        )
+        self._pending = (self.film, rays)
+        self._last_rays = rays
+        self._frame_index += 1
+        self._last_cpu_time = time.monotonic() - t0
+
+    def render(self) -> None:
+        super().render()
+        if self._last_rays is not None and not self.is_device_lost:
+            try:
+                self.total_rays += float(self._last_rays)
+            except (TypeError, ValueError):  # pragma: no cover
+                pass
+            self._last_rays = 0.0
+
+    def render_loop(self, frames: int) -> None:
+        """Convenience progressive loop (the external app's winit loop)."""
+        for _ in range(frames):
+            self.update()
+            self.render()
+
+    # -- output ----------------------------------------------------------
+
+    def get_final_image(self) -> np.ndarray:
+        """Display path: exposure * accum through the tonemap chain."""
+        self.wait_idle()
+        color = np.asarray(self.film.accum[..., :3]) * float(
+            self.uniforms.exposure_value
+        )
+        return np.asarray(
+            apply_tonemap(
+                jnp.asarray(color),
+                self.enable_tonemap,
+                self.enable_aces,
+                self.use_simple_aces,
+            )
+        )
+
+    def save_images(self, path: str) -> None:
+        """PFM export (rt_renderer.rs:1224-1352): color gets the tonemap
+        operator chain, albedo/normal are raw."""
+        if self.is_device_lost:
+            logger.warning(
+                "The device is lost! Please wait to reset the device and "
+                "try again."
+            )
+            return
+        self.wait_idle()
+        stem, _ = os.path.splitext(path)
+        color = np.asarray(self.film.accum)
+        tonemapped = np.array(color)
+        tonemapped[..., :3] = np.asarray(
+            apply_tonemap(
+                jnp.asarray(color[..., :3]),
+                self.enable_tonemap,
+                self.enable_aces,
+                self.use_simple_aces,
+            )
+        )
+        write_pfm(f"{stem}_color.pfm", tonemapped)
+        logger.info("Save the color image to file: %s_color.pfm", stem)
+        write_pfm(f"{stem}_albedo.pfm", np.asarray(self.film.albedo))
+        logger.info("Save the albedo image to file: %s_albedo.pfm", stem)
+        write_pfm(f"{stem}_normal.pfm", np.asarray(self.film.normal))
+        logger.info("Save the normal image to file: %s_normal.pfm", stem)
+
+    # -- device restore ---------------------------------------------------
+
+    def _restore_device_state(self) -> None:
+        """rt_renderer.rs:508-563: recreate storage images + re-upload."""
+        self.film = Film.create(self.info.width, self.info.height)
+        self._frame_index = 0
+        if self._host_scene is not None:
+            self.set_scene(self._host_scene)

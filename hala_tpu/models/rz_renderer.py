@@ -1,0 +1,255 @@
+"""Rasterization renderer: forward and deferred paths.
+
+Parity: reference src/rz_renderer.rs (HalaRenderer, exported as
+HalaRasterizationRenderer):
+
+* global uniform V/P/VP/inv-VP matrices (rz_renderer.rs:25-36) and
+  per-object M / MV / MVP uniforms (rz_renderer.rs:38-53) — here the
+  view-projection is taken from the camera table and geometry is already
+  world-space, so only VP is applied per frame;
+* reverse-Z depth (CompareOp::GREATER, rz_renderer.rs:494) with clear
+  color {25, 118, 210}/255 (rz_renderer.rs:1053);
+* forward path: rasterize + shade in one pass
+  (record_forward_command_buffer, rz_renderer.rs:978-1103);
+* deferred path: G-buffer albedo/normal/depth then a fullscreen lighting
+  pass (record_deferred_command_buffer + create_gbuffer_images,
+  rz_renderer.rs:1110-1446, 1455-1570);
+* `set_scene` uploads with (use_mesh_shader, global_meshlets=False,
+  ray_tracing=False) (rz_renderer.rs:1936-1954).
+
+The per-material-type pipeline arrays and shader push API map to the
+jitted shading dispatch (materials are data, not pipelines, on TPU);
+MSAA maps to supersampled rasterization with an average resolve
+(enable_multisample, rz_renderer.rs:1586-1622).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..error import HalaRendererError
+from ..ops.bsdf import gather_materials
+from ..ops.raster import clip_to_screen, rasterize, transform_vertices
+from ..ops.sampling import dot, normalize
+from ..ops.texture import sample_texture
+from ..ops.tonemap import apply_tonemap
+from ..scene.cpu.scene import Scene
+from ..scene.loader.uploader import SceneUploader
+from ..utils.pfm import write_pfm
+from .renderer import BaseRenderer
+
+logger = logging.getLogger("hala_tpu.rz")
+
+# rz_renderer.rs:1053 clear color.
+CLEAR_COLOR = (25.0 / 255.0, 118.0 / 255.0, 210.0 / 255.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterSettings:
+    width: int
+    height: int
+    deferred: bool = False
+    msaa: int = 1  # supersampling factor per axis (1 = off)
+    chunk: int = 512
+
+
+def _shade(scene, frag, view_pos):
+    """Blinn-Phong-free PBR-lite direct lighting shared by forward shading
+    and the deferred lighting pass (role of the lighting fullscreen
+    shader, rz_renderer.rs:597-665)."""
+    geom = scene.geometry
+    tid = jnp.maximum(frag.tri, 0)
+    u, v = frag.u, frag.v
+    w0 = 1.0 - u - v
+    n_tri = jnp.take(geom.normals, tid, axis=0)
+    ns = normalize(
+        w0[:, None] * n_tri[:, 0]
+        + u[:, None] * n_tri[:, 1]
+        + v[:, None] * n_tri[:, 2]
+    )
+    v0 = jnp.take(geom.tri_v0, tid, axis=0)
+    e1 = jnp.take(geom.tri_e1, tid, axis=0)
+    e2 = jnp.take(geom.tri_e2, tid, axis=0)
+    pos = v0 + u[:, None] * e1 + v[:, None] * e2
+    # Two-sided shading: orient the normal toward the viewer (the raster
+    # pipeline draws both windings, rasterize() accepts either).
+    to_view = view_pos[None, :] - pos
+    ns = jnp.where(dot(ns, to_view)[:, None] < 0, -ns, ns)
+    uv_tri = jnp.take(geom.uvs, tid, axis=0)
+    uv = (
+        w0[:, None] * uv_tri[:, 0]
+        + u[:, None] * uv_tri[:, 1]
+        + v[:, None] * uv_tri[:, 2]
+    )
+    mat_idx = jnp.take(geom.tri_mat, tid)
+    mp = gather_materials(scene.materials, mat_idx)
+    albedo = mp.base_color
+    if scene.textures is not None:
+        base_map = jnp.take(
+            scene.materials.base_color_map, jnp.maximum(mat_idx, 0)
+        )
+        albedo = albedo * sample_texture(scene.textures, base_map, uv)[:, :3]
+
+    # Direct lighting from the analytic light table (no shadows in the
+    # raster path, matching a typical forward shader).
+    lights = scene.lights
+    color = mp.emission
+    nl = lights.num_lights
+    if nl > 0:
+        lt = lights.ltype[:nl]
+        lpos = lights.position[:nl]
+        li = lights.intensity[:nl]
+        lu = lights.u[:nl]
+        to_l = lpos[None, :, :] - pos[:, None, :]  # (N, L, 3)
+        d2 = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-6)
+        wi = to_l / jnp.sqrt(d2)[..., None]
+        # directional lights: wi = -direction, no falloff
+        is_dir = (lt == 1)[None, :]
+        wi = jnp.where(is_dir[..., None], -lu[None, :, :], wi)
+        atten = jnp.where(is_dir, 1.0, 1.0 / d2)
+        ndotl = jnp.maximum(jnp.sum(ns[:, None, :] * wi, -1), 0.0)
+        diffuse = jnp.sum(
+            li[None] * (ndotl * atten)[..., None], axis=1
+        ) / jnp.pi
+        color = color + albedo * diffuse
+    else:
+        # headlight fallback so untextured scenes are visible
+        ndv = jnp.abs(dot(ns, normalize(view_pos[None, :] - pos)))
+        color = color + albedo * ndv[:, None]
+
+    background = frag.tri < 0
+    clear = jnp.asarray(CLEAR_COLOR)
+    color = jnp.where(background[:, None], clear[None, :], color)
+    return color, albedo, ns, pos
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def raster_frame(scene, camera_index, settings: RasterSettings):
+    """Rasterize + shade one frame. Returns (color (H,W,3),
+    gbuffer dict with albedo/normal/depth)."""
+    h, w = settings.height, settings.width
+    ss = settings.msaa
+    rw, rh = w * ss, h * ss
+    geom = scene.geometry
+
+    view = scene.cameras.view_matrix[camera_index]
+    proj = scene.cameras.proj_matrix[camera_index]
+    vp = proj @ view
+
+    # Triangle corners in world space -> clip.
+    v0 = geom.tri_v0
+    v1 = geom.tri_v0 + geom.tri_e1
+    v2 = geom.tri_v0 + geom.tri_e2
+    corners = jnp.stack([v0, v1, v2], axis=1)  # (T, 3, 3)
+    clip = transform_vertices(corners.reshape(-1, 3), vp).reshape(-1, 3, 4)
+    screen, depth, inv_w = clip_to_screen(clip, rw, rh)
+    valid = (geom.tri_mat >= 0) & jnp.all(clip[..., 3] > 1e-6, axis=-1)
+
+    pix = jnp.arange(rw * rh, dtype=jnp.int32)
+    px = (pix % rw).astype(jnp.float32) + 0.5
+    py = (pix // rw).astype(jnp.float32) + 0.5
+    frag = rasterize(
+        screen, depth, inv_w, valid, px, py, chunk=settings.chunk
+    )
+    cam_pos = scene.cameras.position[camera_index]
+    color, albedo, normal, _ = _shade(scene, frag, cam_pos)
+
+    def resolve(img_flat, ch):
+        img = img_flat.reshape(rh, rw, ch)
+        if ss == 1:
+            return img
+        return img.reshape(h, ss, w, ss, ch).mean(axis=(1, 3))
+
+    color = resolve(color, 3)
+    gbuffer = {
+        "albedo": resolve(albedo, 3),
+        "normal": resolve(normal, 3),
+        "depth": resolve(frag.depth[:, None], 1)[..., 0],
+    }
+    return color, gbuffer
+
+
+class RasterizationRenderer(BaseRenderer):
+    def __init__(
+        self,
+        name: str,
+        width: int,
+        height: int,
+        use_mesh_shader: bool = False,
+        use_deferred: bool = False,
+        msaa: int = 1,
+        enable_tonemap: bool = False,
+        chunk: int = 512,
+    ):
+        super().__init__(name, width, height)
+        if use_deferred and msaa > 1:
+            # rz_renderer.rs:1590: MSAA and deferred are mutually exclusive
+            raise HalaRendererError(
+                "Multisampling is not supported in deferred rendering."
+            )
+        self.use_mesh_shader = use_mesh_shader
+        self.use_deferred = use_deferred
+        self.msaa = msaa
+        self.enable_tonemap = enable_tonemap
+        self.scene = None
+        self._host_scene: Scene | None = None
+        self.settings: RasterSettings | None = None
+        self._chunk = chunk
+        self.color: np.ndarray | None = None
+        self.gbuffer: dict | None = None
+        self.camera_index = 0
+
+    def set_scene(self, scene: Scene) -> None:
+        """rz_renderer.rs:1936-1954."""
+        self._host_scene = scene
+        self.scene = SceneUploader.upload(
+            scene,
+            use_mesh_shader=self.use_mesh_shader,
+            use_global_meshlets=False,
+            use_ray_tracing=False,
+        )
+
+    def commit(self) -> None:
+        if self.scene is None:
+            raise HalaRendererError("commit() before set_scene().")
+        self.settings = RasterSettings(
+            width=self.info.width,
+            height=self.info.height,
+            deferred=self.use_deferred,
+            msaa=self.msaa,
+            chunk=self._chunk,
+        )
+
+    def update(self, delta_time: float = 0.0) -> None:
+        if self.settings is None:
+            self.commit()
+        self.check_and_restore_device()
+        t0 = time.monotonic()
+        color, gbuffer = raster_frame(
+            self.scene, jnp.int32(self.camera_index), self.settings
+        )
+        self._pending = (color, gbuffer)
+        self.color = color
+        self.gbuffer = gbuffer
+        self._last_cpu_time = time.monotonic() - t0
+
+    def get_final_image(self) -> np.ndarray:
+        self.wait_idle()
+        img = jnp.asarray(self.color)
+        if self.enable_tonemap:
+            img = apply_tonemap(img, True, True, True)
+        return np.asarray(img)
+
+    def save_image(self, path: str) -> None:
+        write_pfm(path, self.get_final_image())
+
+    def _restore_device_state(self) -> None:
+        if self._host_scene is not None:
+            self.set_scene(self._host_scene)

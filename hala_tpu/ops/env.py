@@ -1,0 +1,116 @@
+"""Environment lighting: procedural sky gradient + HDR envmap sampling.
+
+Role parity: the reference's miss shader consuming the global uniform's
+env fields (rt_renderer.rs:44-65): env_type SKY(0) blends ground/sky
+colors, MAP(1) samples the equirect HDR with the precomputed
+inverted-CDF tables (envmap.rs) and applies `env_rotation` (already
+normalized by /360 at rt_renderer.rs:420) and `env_intensity`.
+
+Direction <-> equirect convention (self-consistent across eval/sample/
+pdf): u = (atan2(d.z, d.x)/(2 pi) + 0.5 + rotation) mod 1,
+v = acos(d.y)/pi (v=0 at +Y).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .sampling import dot  # noqa: F401  (re-exported convenience)
+
+_EPS = 1e-6
+TWO_PI = jnp.float32(2.0 * jnp.pi)
+
+
+def sky_radiance(d: jnp.ndarray, ground_color, sky_color) -> jnp.ndarray:
+    """SKY env type: vertical gradient between ground and sky colors."""
+    t = jnp.clip(0.5 * (d[..., 2:3] * 0.0 + d[..., 1:2] + 1.0), 0.0, 1.0)
+    return ground_color * (1.0 - t) + sky_color * t
+
+
+def dir_to_uv(d: jnp.ndarray, rotation) -> tuple[jnp.ndarray, jnp.ndarray]:
+    u = jnp.arctan2(d[..., 2], d[..., 0]) / TWO_PI + 0.5 + rotation
+    u = u - jnp.floor(u)
+    v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
+    return u, v
+
+
+def uv_to_dir(u: jnp.ndarray, v: jnp.ndarray, rotation) -> jnp.ndarray:
+    phi = (u - 0.5 - rotation) * TWO_PI
+    theta = v * jnp.pi
+    sin_t = jnp.sin(theta)
+    return jnp.stack(
+        [sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], axis=-1
+    )
+
+
+def _bilinear(img: jnp.ndarray, u, v):
+    """Bilinear fetch from (H, W, C) with wrap in u, clamp in v."""
+    h, w = img.shape[0], img.shape[1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    c00 = img[y0i, x0i]
+    c01 = img[y0i, x1i]
+    c10 = img[y1i, x0i]
+    c11 = img[y1i, x1i]
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c01 * fx * (1 - fy)
+        + c10 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+
+
+def env_radiance(env, d: jnp.ndarray, rotation, intensity) -> jnp.ndarray:
+    """Bilinear equirect lookup of emitted radiance along d."""
+    u, v = dir_to_uv(d, rotation)
+    return _bilinear(env.image, u, v) * intensity
+
+
+def env_pdf(env, d: jnp.ndarray, rotation) -> jnp.ndarray:
+    """Solid-angle pdf of env_sample for direction d (MIS weighting).
+
+    p(texel) = lum(texel) / total_lum (the per-row normalization cancels,
+    see envmap.rs:277-308); pdf_sw = p * W*H / (2 pi^2 sin(theta)).
+    """
+    h, w = env.height, env.width
+    u, v = dir_to_uv(d, rotation)
+    xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    lum = env.luminance[yi, xi]
+    p_texel = lum / jnp.maximum(env.total_luminance, _EPS)
+    sin_t = jnp.maximum(jnp.sin(v * jnp.pi), _EPS)
+    return p_texel * (w * h) / (2.0 * jnp.pi * jnp.pi * sin_t)
+
+
+def env_sample(env, rnd: jnp.ndarray, rotation, intensity):
+    """Importance-sample the envmap with the 2-fetch inverted CDF tables.
+
+    rnd: (N, 2) uniforms. Returns (wi (N,3), radiance (N,3), pdf (N,)).
+    Mirrors the shader-side lookup the reference precomputes for
+    (envmap.rs:311-331): v' = marginal[floor(u1*H)],
+    u' = conditional[v'][floor(u2*W)].
+    """
+    h, w = env.height, env.width
+    vi = jnp.clip((rnd[:, 0] * h).astype(jnp.int32), 0, h - 1)
+    v = env.marginal[vi]  # quantized to texel grid
+    vrow = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    ui = jnp.clip((rnd[:, 1] * w).astype(jnp.int32), 0, w - 1)
+    u = env.conditional[vrow, ui]
+
+    wi = uv_to_dir(u, v, rotation)
+    xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    radiance = env.image[yi, xi] * intensity
+    lum = env.luminance[yi, xi]
+    p_texel = lum / jnp.maximum(env.total_luminance, _EPS)
+    sin_t = jnp.maximum(jnp.sin(v * jnp.pi), _EPS)
+    pdf = p_texel * (w * h) / (2.0 * jnp.pi * jnp.pi * sin_t)
+    return wi, radiance, pdf

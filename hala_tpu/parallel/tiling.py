@@ -1,0 +1,122 @@
+"""Film tiling across a device mesh (image-space data parallelism).
+
+Design (SURVEY.md sections 2.11 / 5.8, BASELINE.json north star): the
+film is sharded by row blocks over a 1-D mesh axis "tiles"; the scene is
+replicated (Sponza fits one chip's HBM); each chip renders only its
+block, so the hot loop needs NO communication at all — collectives
+appear only for the rays/s statistic (`psum`) and when the host gathers
+the film for export. Fixed per-tile ownership keeps accumulation order
+deterministic, so multi-chip output is bit-identical to single-chip
+(hard-part #6 in SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models.integrator import Film, RenderSettings, Uniforms, render_frame
+
+AXIS = "tiles"
+
+
+def make_mesh(devices=None) -> Mesh:
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+@dataclasses.dataclass
+class TiledFilm:
+    """Film sharded by rows over the mesh axis."""
+
+    film: Film
+    mesh: Mesh
+    full_height: int
+    width: int
+
+    @staticmethod
+    def create(mesh: Mesh, width: int, height: int) -> "TiledFilm":
+        nd = mesh.devices.size
+        assert height % nd == 0, "film height must divide the mesh size"
+        sharding = NamedSharding(mesh, P(AXIS, None, None))
+        z = lambda: jax.device_put(
+            jnp.zeros((height, width, 4), jnp.float32), sharding
+        )
+        return TiledFilm(
+            film=Film(accum=z(), albedo=z(), normal=z()),
+            mesh=mesh,
+            full_height=height,
+            width=width,
+        )
+
+    def gather(self) -> Film:
+        """Readback: the all-gather of accumulation tiles (here realized
+        by the host fetching the sharded arrays)."""
+        return jax.tree.map(lambda x: jnp.asarray(jax.device_get(x)), self.film)
+
+
+def render_frame_multichip(
+    scene,
+    env,
+    uniforms: Uniforms,
+    tiled: TiledFilm,
+    frame_index,
+    settings: RenderSettings,
+):
+    """One progressive frame over the mesh. Returns (TiledFilm, total rays).
+
+    `settings.height` must be the full film height; each shard renders
+    full_height / n_devices rows with the correct global row offset.
+    """
+    mesh = tiled.mesh
+    nd = mesh.devices.size
+    full_h = settings.height
+    shard_h = full_h // nd
+    shard_settings = dataclasses.replace(settings, height=shard_h)
+
+    spec_film = Film(
+        accum=P(AXIS, None, None),
+        albedo=P(AXIS, None, None),
+        normal=P(AXIS, None, None),
+    )
+    replicated = jax.tree.map(lambda _: P(), scene)
+    rep_env = jax.tree.map(lambda _: P(), env) if env is not None else None
+    rep_uni = jax.tree.map(lambda _: P(), uniforms)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(replicated, rep_env, rep_uni, spec_film, P()),
+        out_specs=(spec_film, P()),
+    )
+    def step(scene_r, env_r, uniforms_r, film_shard, fidx):
+        row0 = jax.lax.axis_index(AXIS) * shard_h
+        new_film, rays = render_frame(
+            scene_r,
+            env_r,
+            uniforms_r,
+            film_shard,
+            fidx,
+            shard_settings,
+            row_offset=row0,
+            full_height=full_h,
+        )
+        total = jax.lax.psum(rays, AXIS)
+        return new_film, total
+
+    new_film, rays = step(
+        scene, env, uniforms, tiled.film, jnp.asarray(frame_index, jnp.uint32)
+    )
+    return (
+        TiledFilm(
+            film=new_film, mesh=mesh, full_height=full_h, width=tiled.width
+        ),
+        rays,
+    )

@@ -1,0 +1,186 @@
+"""Device scene: SoA jnp buffers, registered as pytrees.
+
+Parity: reference src/scene/gpu/scene.rs:11-37 (gpu::HalaScene) and the
+#[repr(C, align(16))] record layouts in gpu/{camera,light,material,mesh}.rs.
+Those layouts are the parity contract; here each record field becomes a
+column of a structure-of-arrays buffer (lane-major is the natural TPU
+layout), and the TLAS/BLAS handles become an LBVH node table built by
+`hala_tpu.ops.bvh`.
+
+Geometry is pre-transformed to world space at upload (the reference keeps
+object space + a 3x4 instance transform in the TLAS,
+gpu_uploader.rs:843-874; on TPU a flat world-space SoA removes a gather
+and an indirection from the traversal hot loop). `tri_prim` keeps the
+flattened (node, primitive) instance id — the TLAS `custom_index` parity —
+so per-primitive lookups (material, mesh data) still work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Caps match gpu_uploader.rs:39-40.
+MAX_CAMERA_COUNT = 8
+MAX_LIGHT_COUNT = 32
+
+# Triangle-count padding granularity: one f32 VPU tile lane row.
+TRI_PAD = 128
+
+
+def _register(cls, meta_fields=()):
+    data_fields = tuple(
+        f.name for f in dataclasses.fields(cls) if f.name not in meta_fields
+    )
+    jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=tuple(meta_fields)
+    )
+    return cls
+
+
+@partial(_register, meta_fields=("num_triangles", "num_primitives"))
+@dataclasses.dataclass
+class DeviceGeometry:
+    """World-space triangle soup, SoA, padded to a multiple of TRI_PAD.
+
+    Padding triangles carry material -1 and degenerate edges so they can
+    never be hit. Replaces per-primitive vertex/index device buffers +
+    BLAS geometry (gpu_uploader.rs:406-498, 782-815).
+    """
+
+    tri_v0: jax.Array      # (T, 3) f32 — first vertex
+    tri_e1: jax.Array      # (T, 3) f32 — v1 - v0
+    tri_e2: jax.Array      # (T, 3) f32 — v2 - v0
+    normals: jax.Array     # (T, 3, 3) f32 — per-corner shading normals
+    tangents: jax.Array    # (T, 3, 3) f32
+    uvs: jax.Array         # (T, 3, 2) f32
+    tri_mat: jax.Array     # (T,) i32 — material index, -1 for padding
+    tri_prim: jax.Array    # (T,) i32 — flattened instance id (custom_index parity)
+    num_triangles: int = 0   # un-padded count (static)
+    num_primitives: int = 0  # instance count (static)
+
+
+@_register
+@dataclasses.dataclass
+class DeviceMaterials:
+    """Material table (gpu/material.rs:16-48 layout, SoA).
+
+    `ax`/`ay` hold the precomputed BSDF terms from gpu/material.rs:53-69:
+    DIFFUSE -> Oren-Nayar A/B from sigma = roughness * pi/4;
+    DISNEY -> anisotropic GGX alphas from alpha = roughness^2.
+    `roughness` is the post-precompute value the shaders read (raw for
+    DIFFUSE, squared for DISNEY).
+    """
+
+    base_color: jax.Array            # (M, 3)
+    opacity: jax.Array               # (M,)
+    emission: jax.Array              # (M, 3)
+    anisotropic: jax.Array           # (M,)
+    metallic: jax.Array              # (M,)
+    roughness: jax.Array             # (M,)
+    subsurface: jax.Array            # (M,)
+    specular_tint: jax.Array         # (M,)
+    sheen: jax.Array                 # (M,)
+    sheen_tint: jax.Array            # (M,)
+    clearcoat: jax.Array             # (M,)
+    clearcoat_roughness: jax.Array   # (M,)
+    clearcoat_tint: jax.Array        # (M, 3)
+    specular_transmission: jax.Array  # (M,)
+    ior: jax.Array                   # (M,)
+    ax: jax.Array                    # (M,)
+    ay: jax.Array                    # (M,)
+    medium_color: jax.Array          # (M, 3)
+    medium_density: jax.Array        # (M,)
+    medium_anisotropy: jax.Array     # (M,)
+    medium_type: jax.Array           # (M,) i32
+    mat_type: jax.Array              # (M,) i32 — 0 DIFFUSE, 1 DISNEY
+    base_color_map: jax.Array        # (M,) i32, -1 = none
+    normal_map: jax.Array            # (M,) i32
+    metallic_roughness_map: jax.Array  # (M,) i32
+    emission_map: jax.Array          # (M,) i32
+
+
+@partial(_register, meta_fields=("num_lights",))
+@dataclasses.dataclass
+class DeviceLights:
+    """Light table (gpu/light.rs:8-32 layout, SoA), padded to
+    MAX_LIGHT_COUNT. Field semantics per type follow gpu/light.rs comments
+    and gpu_uploader.rs:157-274 construction."""
+
+    intensity: jax.Array   # (L, 3) — color * intensity
+    position: jax.Array    # (L, 3)
+    u: jax.Array           # (L, 3)
+    v: jax.Array           # (L, 3)
+    radius: jax.Array      # (L,)
+    area: jax.Array        # (L,)
+    ltype: jax.Array       # (L,) i32; -1 for padding
+    aabb_min: jax.Array    # (L, 3) — light AABBs (gpu_uploader light BLAS role)
+    aabb_max: jax.Array    # (L, 3)
+    num_lights: int = 0
+
+
+@partial(_register, meta_fields=("num_cameras",))
+@dataclasses.dataclass
+class DeviceCameras:
+    """Camera table (gpu/camera.rs:10-20 layout, SoA), padded to
+    MAX_CAMERA_COUNT. forward = -Z axis of the node world transform
+    (gpu/camera.rs:28-32)."""
+
+    position: jax.Array       # (C, 3)
+    right: jax.Array          # (C, 3)
+    up: jax.Array             # (C, 3)
+    forward: jax.Array        # (C, 3)
+    yfov: jax.Array           # (C,)
+    focal_or_xmag: jax.Array  # (C,) focal_distance (persp) or xmag (ortho)
+    aperture_or_ymag: jax.Array  # (C,)
+    ctype: jax.Array          # (C,) i32: 0 perspective, 1 orthographic
+    view_matrix: jax.Array    # (C, 4, 4) — world_transform^-1 (gpu_uploader.rs:114)
+    proj_matrix: jax.Array    # (C, 4, 4) — reverse-Z projection
+    num_cameras: int = 0
+
+
+@partial(_register, meta_fields=("num_textures",))
+@dataclasses.dataclass
+class TextureStack:
+    """Padded texture array with mip chain.
+
+    The reference uploads per-texture Vulkan images with full mip chains
+    and LINEAR/REPEAT samplers (gpu_uploader.rs:334-403). On TPU there is
+    no texture unit: all textures are padded to one (NT, H, W, 4) f32
+    stack; `ops.texture` does manual mip selection + bilinear filtering.
+    Mips are stored in a second stack of half resolution per level packed
+    along a flattened axis (built lazily; level 0 always present).
+    """
+
+    data: jax.Array    # (NT, H, W, 4) f32, level 0
+    sizes: jax.Array   # (NT, 2) i32 — (height, width) actually used
+    num_textures: int = 0
+
+
+@partial(_register, meta_fields=("name",))
+@dataclasses.dataclass
+class DeviceScene:
+    """Everything the integrator kernels read (gpu/scene.rs:11-37 role)."""
+
+    geometry: DeviceGeometry
+    materials: DeviceMaterials
+    lights: DeviceLights
+    cameras: DeviceCameras
+    textures: TextureStack | None = None
+    # LBVH node table (ops/bvh.py), the TLAS/BLAS replacement. None until
+    # built; the brute-force intersector works without it.
+    bvh: "object | None" = None
+    name: str = "scene"
+
+
+def pad_rows(arr: np.ndarray, total: int, fill=0) -> np.ndarray:
+    """Pad axis 0 to `total` rows with `fill`."""
+    pad = total - arr.shape[0]
+    if pad <= 0:
+        return arr
+    pad_block = np.full((pad,) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad_block], axis=0)

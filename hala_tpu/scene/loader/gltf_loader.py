@@ -1,0 +1,515 @@
+"""glTF 2.0 loader (hand-rolled JSON + binary reader).
+
+Parity: reference src/scene/loader/gltf_loader.rs. Matches its observable
+behavior:
+
+* only the first scene is loaded, with a warning if more exist
+  (gltf_loader.rs:131-133);
+* nodes are walked breadth-first with parent indices preserved, so a
+  single forward pass computes world transforms (gltf_loader.rs:134-173);
+* tangents come from the glTF TANGENT accessor with a divide by w
+  (gltf_loader.rs:256-259) or are generated per-triangle from UV deltas
+  (gltf_loader.rs:262-285);
+* material loading maps glTF PBR metallic-roughness plus the
+  KHR_materials_{transmission,ior,emissive_strength} extensions and the
+  Blender-style `extras` JSON `_MaterialCustomInfo` which selects the
+  material type and supplies all non-glTF Disney parameters + medium
+  (gltf_loader.rs:42-114, 318-385);
+* light loading maps KHR_lights_punctual with `extras` overrides to
+  QUAD(1)/SPHERE(2), the directional/spot angle clamps to [0, 90] deg ->
+  radians with spot swap-sort, and the Blender quad intensity
+  re-derivation `intensity /= 0.5*w*h` (gltf_loader.rs:434-487);
+* perspective cameras use an infinite reverse-Z projection and `extras`
+  supply focal_dist (default 10) + aperture (default 0)
+  (gltf_loader.rs:492-538);
+* RGB8 images are expanded to RGBA8 with alpha=255
+  (gltf_loader.rs:407-419).
+
+The reader itself is original: glTF is an open JSON+binary spec; the
+reference delegates parsing to the `gltf` crate, which is not available
+here.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import math
+import os
+import struct
+import urllib.parse
+from collections import deque
+
+import numpy as np
+
+from ...error import HalaRendererError
+from ..cpu.scene import Scene
+from ..cpu.node import Node
+from ..cpu.mesh import Mesh, Primitive
+from ..cpu.material import Material, MaterialType, Medium, MediumType
+from ..cpu.light import Light, LightType
+from ..cpu.camera import PerspectiveCamera, OrthographicCamera
+from ..cpu.image_data import ImageData
+
+logger = logging.getLogger("hala_tpu.scene")
+
+NONE_INDEX = 0xFFFFFFFF
+
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_COUNTS = {
+    "SCALAR": 1,
+    "VEC2": 2,
+    "VEC3": 3,
+    "VEC4": 4,
+    "MAT2": 4,
+    "MAT3": 9,
+    "MAT4": 16,
+}
+
+
+class _Gltf:
+    """Parsed glTF document + resolved binary buffers."""
+
+    def __init__(self, doc: dict, buffers: list[bytes], base_dir: str):
+        self.doc = doc
+        self.buffers = buffers
+        self.base_dir = base_dir
+
+    @staticmethod
+    def parse(path: str) -> "_Gltf":
+        base_dir = os.path.dirname(os.path.abspath(path))
+        with open(path, "rb") as f:
+            data = f.read()
+        glb_chunk = None
+        if data[:4] == b"glTF":  # GLB container
+            magic, version, _length = struct.unpack_from("<III", data, 0)
+            offset = 12
+            doc = None
+            while offset < len(data):
+                chunk_len, chunk_type = struct.unpack_from("<II", data, offset)
+                chunk = data[offset + 8 : offset + 8 + chunk_len]
+                if chunk_type == 0x4E4F534A:  # 'JSON'
+                    doc = json.loads(chunk)
+                elif chunk_type == 0x004E4942:  # 'BIN\0'
+                    glb_chunk = chunk
+                offset += 8 + chunk_len
+            if doc is None:
+                raise HalaRendererError(f"GLB file has no JSON chunk: {path}")
+        else:
+            doc = json.loads(data)
+
+        buffers = []
+        for i, buf in enumerate(doc.get("buffers", [])):
+            uri = buf.get("uri")
+            if uri is None:
+                if glb_chunk is None:
+                    raise HalaRendererError(f"Buffer {i} has no uri and no GLB chunk")
+                buffers.append(glb_chunk)
+            elif uri.startswith("data:"):
+                b64 = uri.split(",", 1)[1]
+                buffers.append(base64.b64decode(b64))
+            else:
+                file_path = os.path.join(base_dir, urllib.parse.unquote(uri))
+                with open(file_path, "rb") as f:
+                    buffers.append(f.read())
+        return _Gltf(doc, buffers, base_dir)
+
+    def accessor(self, index: int) -> np.ndarray:
+        """Read accessor `index` -> (count, components) array (no dtype conversion)."""
+        acc = self.doc["accessors"][index]
+        count = acc["count"]
+        dtype = _COMPONENT_DTYPES[acc["componentType"]]
+        ncomp = _TYPE_COUNTS[acc["type"]]
+        itemsize = np.dtype(dtype).itemsize
+        if "bufferView" in acc:
+            bv = self.doc["bufferViews"][acc["bufferView"]]
+            buf = self.buffers[bv["buffer"]]
+            start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+            stride = bv.get("byteStride", 0) or ncomp * itemsize
+            if stride == ncomp * itemsize:
+                out = np.frombuffer(buf, dtype, count * ncomp, start).reshape(
+                    count, ncomp
+                )
+            else:  # strided read
+                raw = np.frombuffer(
+                    buf, np.uint8, stride * (count - 1) + ncomp * itemsize, start
+                )
+                strided = np.lib.stride_tricks.as_strided(
+                    raw, shape=(count, ncomp * itemsize), strides=(stride, 1)
+                )
+                out = strided.copy().view(dtype).reshape(count, ncomp)
+        else:
+            out = np.zeros((count, ncomp), dtype)
+        # sparse substitution
+        sparse = acc.get("sparse")
+        if sparse:
+            out = out.copy()
+            sc = sparse["count"]
+            idx_info = sparse["indices"]
+            idt = _COMPONENT_DTYPES[idx_info["componentType"]]
+            ibv = self.doc["bufferViews"][idx_info["bufferView"]]
+            ioff = ibv.get("byteOffset", 0) + idx_info.get("byteOffset", 0)
+            sidx = np.frombuffer(self.buffers[ibv["buffer"]], idt, sc, ioff)
+            val_info = sparse["values"]
+            vbv = self.doc["bufferViews"][val_info["bufferView"]]
+            voff = vbv.get("byteOffset", 0) + val_info.get("byteOffset", 0)
+            svals = np.frombuffer(
+                self.buffers[vbv["buffer"]], dtype, sc * ncomp, voff
+            ).reshape(sc, ncomp)
+            out[sidx] = svals
+        return out
+
+    def accessor_f32(self, index: int) -> np.ndarray:
+        """Accessor as float32, denormalizing normalized int types."""
+        acc = self.doc["accessors"][index]
+        raw = self.accessor(index)
+        out = raw.astype(np.float32)
+        if acc.get("normalized", False):
+            info = np.iinfo(raw.dtype)
+            if info.min < 0:
+                out = np.maximum(out / info.max, -1.0)
+            else:
+                out = out / info.max
+        return out
+
+    def bufferview_bytes(self, index: int) -> bytes:
+        bv = self.doc["bufferViews"][index]
+        start = bv.get("byteOffset", 0)
+        return self.buffers[bv["buffer"]][start : start + bv["byteLength"]]
+
+
+def _node_local_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        # glTF stores column-major; we use row-index convention M[r,c].
+        return np.array(node["matrix"], np.float32).reshape(4, 4).T
+    t = np.array(node.get("translation", [0, 0, 0]), np.float32)
+    q = np.array(node.get("rotation", [0, 0, 0, 1]), np.float32)  # x,y,z,w
+    s = np.array(node.get("scale", [1, 1, 1]), np.float32)
+    x, y, z, w = q
+    rot = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = rot * s[None, :]
+    m[:3, 3] = t
+    return m
+
+
+def _extras_dict(obj: dict) -> dict:
+    extras = obj.get("extras")
+    if extras is None:
+        return {}
+    if isinstance(extras, str):  # some exporters stringify extras
+        try:
+            extras = json.loads(extras)
+        except json.JSONDecodeError:
+            return {}
+    return extras if isinstance(extras, dict) else {}
+
+
+class GltfLoader:
+    """glTF 2.0 scene loader (entry parity: gltf_loader.rs:121 `load`)."""
+
+    @staticmethod
+    def load(path: str) -> Scene:
+        g = _Gltf.parse(path)
+        doc = g.doc
+
+        scenes = doc.get("scenes", [])
+        if not scenes:
+            raise HalaRendererError(f"No scene in glTF file {path!r}.")
+        if len(scenes) > 1:
+            logger.warning(
+                "More than one scene in glTF file %r. Only the first scene "
+                "will be loaded.", path,
+            )
+
+        # BFS node walk preserving parent indices (gltf_loader.rs:134-173).
+        nodes: list[Node] = []
+        scene0 = scenes[doc.get("scene", 0)]
+        queue: deque[tuple[int | None, int]] = deque(
+            (None, n) for n in scene0.get("nodes", [])
+        )
+        while queue:
+            parent_idx, gltf_node_idx = queue.popleft()
+            gnode = doc["nodes"][gltf_node_idx]
+            current_index = len(nodes)
+            node = Node(
+                name=gnode.get("name", "<Unnamed>"),
+                parent=parent_idx,
+                local_transform=_node_local_matrix(gnode),
+            )
+            if "mesh" in gnode:
+                node.mesh_index = gnode["mesh"]
+            if "camera" in gnode:
+                node.camera_index = gnode["camera"]
+            light_ext = gnode.get("extensions", {}).get("KHR_lights_punctual")
+            if light_ext is not None:
+                node.light_index = light_ext["light"]
+            nodes.append(node)
+            if parent_idx is not None:
+                nodes[parent_idx].children.append(current_index)
+            queue.extend((current_index, c) for c in gnode.get("children", []))
+
+        meshes = [GltfLoader._load_mesh(g, m) for m in doc.get("meshes", [])]
+        materials = [GltfLoader._load_material(m) for m in doc.get("materials", [])]
+
+        texture2image = {
+            i: t["source"] for i, t in enumerate(doc.get("textures", []))
+        }
+        image2data = {i: i for i in range(len(doc.get("images", [])))}
+        image_data = [GltfLoader._load_image(g, img) for img in doc.get("images", [])]
+
+        lights_ext = doc.get("extensions", {}).get("KHR_lights_punctual", {})
+        lights = [GltfLoader._load_light(l) for l in lights_ext.get("lights", [])]
+
+        cameras = [GltfLoader._load_camera(c) for c in doc.get("cameras", [])]
+
+        scene = Scene(
+            nodes=nodes,
+            meshes=meshes,
+            materials=materials,
+            texture2image_mapping=texture2image,
+            image2data_mapping=image2data,
+            image_data=image_data,
+            lights=lights,
+            cameras=cameras,
+        )
+        return scene
+
+    @staticmethod
+    def _load_mesh(g: _Gltf, gmesh: dict) -> Mesh:
+        """gltf_loader.rs:232-313 parity (incl. tangent handling)."""
+        prims = []
+        for gprim in gmesh.get("primitives", []):
+            attrs = gprim["attributes"]
+            if "indices" not in gprim or "POSITION" not in attrs:
+                raise HalaRendererError(
+                    f"Mesh {gmesh.get('name', '<Unnamed>')!r} primitive lacks "
+                    "indices or positions."
+                )
+            indices = g.accessor(gprim["indices"]).reshape(-1).astype(np.uint32)
+            positions = g.accessor_f32(attrs["POSITION"])[:, :3]
+            nverts = positions.shape[0]
+
+            if "NORMAL" in attrs:
+                normals = g.accessor_f32(attrs["NORMAL"])[:, :3]
+            else:
+                # Deviation from the reference (which errors): synthesize
+                # area-weighted vertex normals so untextured test assets load.
+                logger.warning("Mesh has no normals; synthesizing.")
+                normals = _vertex_normals(positions, indices)
+
+            if "TEXCOORD_0" in attrs:
+                tex_coords = g.accessor_f32(attrs["TEXCOORD_0"])[:, :2]
+            else:
+                logger.warning("Mesh has no texcoords; synthesizing zeros.")
+                tex_coords = np.zeros((nverts, 2), np.float32)
+
+            if "TANGENT" in attrs:
+                t4 = g.accessor_f32(attrs["TANGENT"])
+                # Reference divides xyz by w (gltf_loader.rs:256-259).
+                w = np.where(t4[:, 3:4] == 0.0, 1.0, t4[:, 3:4])
+                tangents = (t4[:, :3] / w).astype(np.float32)
+            else:
+                tangents = _generate_tangents(positions, tex_coords, indices)
+
+            material_index = gprim.get("material", NONE_INDEX)
+            prims.append(
+                Primitive(
+                    indices=indices,
+                    positions=positions.astype(np.float32),
+                    normals=normals.astype(np.float32),
+                    tangents=tangents.astype(np.float32),
+                    tex_coords=tex_coords.astype(np.float32),
+                    material_index=material_index,
+                )
+            )
+        return Mesh(primitives=prims)
+
+    @staticmethod
+    def _load_material(gmat: dict) -> Material:
+        """gltf_loader.rs:318-385 parity."""
+        extras = _extras_dict(gmat)
+        pbr = gmat.get("pbrMetallicRoughness", {})
+        ext = gmat.get("extensions", {})
+
+        base_color = np.array(
+            pbr.get("baseColorFactor", [1, 1, 1, 1]), np.float32
+        )[:3]
+        metallic = float(pbr.get("metallicFactor", 1.0))
+        roughness = float(pbr.get("roughnessFactor", 1.0))
+        emission = np.array(gmat.get("emissiveFactor", [0, 0, 0]), np.float32)
+        strength = ext.get("KHR_materials_emissive_strength", {}).get(
+            "emissiveStrength"
+        )
+        if strength is not None:
+            emission = emission * np.float32(strength)
+        transmission = float(
+            ext.get("KHR_materials_transmission", {}).get("transmissionFactor", 0.0)
+        )
+        ior = float(ext.get("KHR_materials_ior", {}).get("ior", 1.5))
+
+        def tex(d: dict | None) -> int:
+            return d["index"] if d else NONE_INDEX
+
+        return Material(
+            type=MaterialType(int(extras.get("type", 0))),
+            base_color=base_color,
+            opacity=float(extras.get("opacity", 1.0)),
+            emission=emission,
+            anisotropic=float(extras.get("anisotropic", 0.0)),
+            metallic=metallic,
+            roughness=roughness,
+            subsurface=float(extras.get("subsurface", 0.0)),
+            specular_tint=float(extras.get("specular_tint", 0.0)),
+            sheen=float(extras.get("sheen", 0.0)),
+            sheen_tint=float(extras.get("sheen_tint", 0.0)),
+            clearcoat=float(extras.get("clearcoat", 0.0)),
+            clearcoat_roughness=float(extras.get("clearcoat_roughness", 0.0)),
+            clearcoat_tint=np.array(
+                extras.get("clearcoat_tint", [1.0, 1.0, 1.0]), np.float32
+            ),
+            specular_transmission=transmission,
+            ior=ior,
+            medium=Medium(
+                type=MediumType(int(extras.get("medium_type", 0))),
+                color=np.array(extras.get("medium_color", [0, 0, 0]), np.float32),
+                density=float(extras.get("medium_density", 0.0)),
+                anisotropy=float(extras.get("medium_anisotropy", 0.0)),
+            ),
+            base_color_map_index=tex(pbr.get("baseColorTexture")),
+            emission_map_index=tex(gmat.get("emissiveTexture")),
+            normal_map_index=tex(gmat.get("normalTexture")),
+            metallic_roughness_map_index=tex(pbr.get("metallicRoughnessTexture")),
+        )
+
+    @staticmethod
+    def _load_light(glight: dict) -> Light:
+        """gltf_loader.rs:434-487 parity (extras overrides + fixups)."""
+        color = np.array(glight.get("color", [1, 1, 1]), np.float32)
+        intensity = float(glight.get("intensity", 1.0))
+        kind = glight.get("type", "point")
+        if kind == "directional":
+            light_type, param0, param1 = LightType.DIRECTIONAL, 0.0, 0.0
+        elif kind == "spot":
+            spot = glight.get("spot", {})
+            light_type = LightType.SPOT
+            param0 = float(spot.get("innerConeAngle", 0.0))
+            param1 = float(spot.get("outerConeAngle", math.pi / 4.0))
+        else:
+            light_type, param0, param1 = LightType.POINT, 0.0, 0.0
+
+        extras = _extras_dict(glight)
+        if extras:
+            etype = int(extras.get("type", 0))
+            if etype == 1:
+                light_type = LightType.QUAD
+            elif etype == 2:
+                light_type = LightType.SPHERE
+            param0 = float(extras.get("param0", 0.0))
+            param1 = float(extras.get("param1", 0.0))
+
+        if light_type == LightType.DIRECTIONAL:
+            param0 = math.radians(min(max(param0, 0.0), 90.0))
+        elif light_type == LightType.SPOT:
+            param0 = min(max(param0, 0.0), 90.0)
+            param1 = min(max(param1, 0.0), 90.0)
+            if param0 > param1:
+                param0, param1 = param1, param0
+        elif light_type == LightType.QUAD:
+            # Blender exports quads as point lights; single-sided area is
+            # 0.5*w*h (gltf_loader.rs:474-478).
+            intensity /= 0.5 * param0 * param1
+
+        return Light(
+            color=color, intensity=intensity, light_type=light_type,
+            params=(param0, param1),
+        )
+
+    @staticmethod
+    def _load_camera(gcam: dict):
+        """gltf_loader.rs:492-538 parity (reverse-Z, DOF extras)."""
+        if gcam.get("type") == "orthographic":
+            o = gcam["orthographic"]
+            from ..cpu.camera import orthographic_rh
+
+            xmag, ymag = float(o["xmag"]), float(o["ymag"])
+            cam = OrthographicCamera(xmag=xmag, ymag=ymag)
+            cam.orthography = orthographic_rh(
+                -xmag, xmag, -ymag, ymag, float(o["znear"]), float(o["zfar"])
+            )
+            return cam
+        p = gcam["perspective"]
+        extras = _extras_dict(gcam)
+        return PerspectiveCamera(
+            aspect=float(p.get("aspectRatio", 1.0)),
+            yfov=float(p["yfov"]),
+            znear=float(p["znear"]),
+            zfar=float(p.get("zfar", 1000.0)),
+            focal_distance=float(extras.get("focal_dist", 10.0)),
+            aperture=float(extras.get("aperture", 0.0)),
+        )
+
+    @staticmethod
+    def _load_image(g: _Gltf, gimg: dict) -> ImageData:
+        """gltf_loader.rs:391-429 parity (decode + RGB8->RGBA8 expand)."""
+        if "uri" in gimg:
+            uri = gimg["uri"]
+            if uri.startswith("data:"):
+                data = base64.b64decode(uri.split(",", 1)[1])
+                return ImageData.load(data, mime=uri.split(";", 1)[0][5:])
+            return ImageData.load(os.path.join(g.base_dir, urllib.parse.unquote(uri)))
+        data = g.bufferview_bytes(gimg["bufferView"])
+        return ImageData.load(data, mime=gimg.get("mimeType"))
+
+
+def _generate_tangents(
+    positions: np.ndarray, tex_coords: np.ndarray, indices: np.ndarray
+) -> np.ndarray:
+    """Per-triangle tangents from UV deltas, last-write-wins per vertex
+    (gltf_loader.rs:262-285 semantics, vectorized)."""
+    tri = indices.reshape(-1, 3)
+    v0, v1, v2 = positions[tri[:, 0]], positions[tri[:, 1]], positions[tri[:, 2]]
+    uv0, uv1, uv2 = tex_coords[tri[:, 0]], tex_coords[tri[:, 1]], tex_coords[tri[:, 2]]
+    dp1, dp2 = v1 - v0, v2 - v0
+    du1, du2 = uv1 - uv0, uv2 - uv0
+    det = du1[:, 0] * du2[:, 1] - du1[:, 1] * du2[:, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        invdet = 1.0 / det
+        t = (dp1 * du2[:, 1:2] - dp2 * du1[:, 1:2]) * invdet[:, None]
+        norm = np.linalg.norm(t, axis=1, keepdims=True)
+        t = np.where(norm > 0, t / norm, np.float32([1, 0, 0]))
+    t = np.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0).astype(np.float32)
+    tangents = np.zeros_like(positions)
+    # Sequential triangle order means later triangles overwrite earlier
+    # ones per shared vertex, matching the reference's scalar loop.
+    for k in range(3):
+        tangents[tri[:, k]] = t
+    return tangents
+
+
+def _vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    tri = indices.reshape(-1, 3)
+    fn = np.cross(
+        positions[tri[:, 1]] - positions[tri[:, 0]],
+        positions[tri[:, 2]] - positions[tri[:, 0]],
+    )
+    normals = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(normals, tri[:, k], fn)
+    lens = np.linalg.norm(normals, axis=1, keepdims=True)
+    return np.where(lens > 0, normals / lens, np.float32([0, 0, 1])).astype(np.float32)

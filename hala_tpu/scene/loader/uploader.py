@@ -1,0 +1,356 @@
+"""Host -> device scene upload with record precompute.
+
+Parity: reference src/scene/loader/gpu_uploader.rs
+(HalaSceneGPUUploader::upload, :63-545):
+
+* camera records from node world transforms (view = inverse(world),
+  gpu_uploader.rs:114; axis extraction per gpu/camera.rs:28-61), capped
+  at MAX_CAMERA_COUNT=8 with warn+truncate (gpu_uploader.rs:39, 99-104);
+* light records + light AABBs per gpu_uploader.rs:157-274, capped at
+  MAX_LIGHT_COUNT=32 (gpu_uploader.rs:40, 142-147);
+* material records with the BSDF precompute of gpu/material.rs:53-69;
+* per-(node, primitive) instance flattening with custom_index parity
+  (gpu_uploader.rs:843-874) — here triangles are pre-transformed to world
+  space and concatenated into one SoA soup instead of building
+  BLAS-per-primitive + TLAS;
+* texture stack instead of per-texture Vulkan images + samplers
+  (gpu_uploader.rs:334-403).
+
+The `ray_tracing` flag triggers the LBVH build (the BLAS/TLAS-build
+parity point, gpu_uploader.rs:774-967); `use_mesh_shader` triggers
+meshlet clustering (gpu_uploader.rs:555-765).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...error import HalaRendererError
+from ..cpu.scene import Scene
+from ..cpu.camera import PerspectiveCamera, OrthographicCamera
+from ..cpu.material import Material, MaterialType
+from ..cpu.light import LightType
+from ..gpu.scene import (
+    MAX_CAMERA_COUNT,
+    MAX_LIGHT_COUNT,
+    TRI_PAD,
+    DeviceCameras,
+    DeviceGeometry,
+    DeviceLights,
+    DeviceMaterials,
+    DeviceScene,
+    TextureStack,
+    pad_rows,
+)
+
+logger = logging.getLogger("hala_tpu.scene")
+
+
+def _material_precompute(m: Material) -> tuple[float, float, float]:
+    """(roughness, ax, ay) per gpu/material.rs:53-69."""
+    if m.type == MaterialType.DIFFUSE:
+        sigma = m.roughness * 0.5 * (np.pi / 2.0)
+        sigma2 = sigma * sigma
+        a = 1.0 - sigma2 / (2.0 * (sigma2 + 0.33))
+        b = 0.45 * sigma2 / (sigma2 + 0.09)
+        return m.roughness, a, b
+    rough = m.roughness * m.roughness
+    aspect = float(np.sqrt(1.0 - np.clip(m.anisotropic, 0.0, 1.0) * 0.9))
+    return rough, max(0.001, rough / aspect), max(0.001, rough * aspect)
+
+
+class SceneUploader:
+    """Builds a DeviceScene from a host Scene (gpu_uploader.rs:63 role)."""
+
+    @staticmethod
+    def upload(
+        scene: Scene,
+        use_mesh_shader: bool = False,
+        use_global_meshlets: bool = False,
+        use_ray_tracing: bool = True,
+    ) -> DeviceScene:
+        cameras = SceneUploader._upload_cameras(scene)
+        lights = SceneUploader._upload_lights(scene)
+        materials = SceneUploader._upload_materials(scene)
+        geometry = SceneUploader._upload_geometry(scene)
+        textures = SceneUploader._upload_textures(scene)
+
+        device_scene = DeviceScene(
+            geometry=geometry,
+            materials=materials,
+            lights=lights,
+            cameras=cameras,
+            textures=textures,
+        )
+
+        if use_mesh_shader:
+            from ...ops.meshlets import build_scene_meshlets
+
+            build_scene_meshlets(scene, global_meshlets=use_global_meshlets)
+
+        if use_ray_tracing:
+            from ...ops.bvh import build_bvh
+
+            device_scene.bvh = build_bvh(geometry)
+        return device_scene
+
+    # -- cameras ---------------------------------------------------------
+
+    @staticmethod
+    def _upload_cameras(scene: Scene) -> DeviceCameras:
+        recs = []
+        for node in scene.nodes:
+            if node.camera_index is None:
+                continue
+            if len(recs) >= MAX_CAMERA_COUNT:
+                logger.warning(
+                    "Too many cameras (max %d); truncating.", MAX_CAMERA_COUNT
+                )
+                break
+            cam = scene.cameras[node.camera_index]
+            w = node.world_transform
+            position, right, up = w[:3, 3], w[:3, 0], w[:3, 1]
+            forward = -w[:3, 2]
+            if isinstance(cam, PerspectiveCamera):
+                rec = (position, right, up, forward, cam.yfov,
+                       cam.focal_distance, cam.aperture, 0, np.linalg.inv(w),
+                       cam.projection)
+            elif isinstance(cam, OrthographicCamera):
+                rec = (position, right, up, forward, 0.0, cam.xmag, cam.ymag,
+                       1, np.linalg.inv(w), cam.orthography)
+            else:  # pragma: no cover
+                raise HalaRendererError(f"Unknown camera type: {cam!r}")
+            recs.append(rec)
+        if not recs:
+            raise HalaRendererError("Scene has no camera.")
+        n = len(recs)
+
+        def col(i, shape, dtype=np.float32):
+            out = np.zeros((MAX_CAMERA_COUNT,) + shape, dtype)
+            for k, r in enumerate(recs):
+                out[k] = r[i]
+            return jnp.asarray(out)
+
+        return DeviceCameras(
+            position=col(0, (3,)), right=col(1, (3,)), up=col(2, (3,)),
+            forward=col(3, (3,)), yfov=col(4, ()),
+            focal_or_xmag=col(5, ()), aperture_or_ymag=col(6, ()),
+            ctype=col(7, (), np.int32), view_matrix=col(8, (4, 4)),
+            proj_matrix=col(9, (4, 4)), num_cameras=n,
+        )
+
+    # -- lights ----------------------------------------------------------
+
+    @staticmethod
+    def _upload_lights(scene: Scene) -> DeviceLights:
+        """gpu_uploader.rs:157-274 record construction."""
+        intensity, position, u, v = [], [], [], []
+        radius, area, ltype, amin, amax = [], [], [], [], []
+        count = 0
+        for node in scene.nodes:
+            if node.light_index is None:
+                continue
+            if count >= MAX_LIGHT_COUNT:
+                logger.warning(
+                    "Too many lights (max %d); truncating.", MAX_LIGHT_COUNT
+                )
+                break
+            light = scene.lights[node.light_index]
+            w = node.world_transform
+            x_axis, y_axis, z_axis, w_axis = w[:3, 0], w[:3, 1], w[:3, 2], w[:3, 3]
+            I = light.color * np.float32(light.intensity)
+            p0, p1 = light.params
+            t = light.light_type
+            if t == LightType.POINT:
+                rec = (I, w_axis, np.zeros(3), np.zeros(3), 0.0, 0.0, 0,
+                       w_axis, w_axis)
+            elif t == LightType.DIRECTIONAL:
+                rec = (I, np.zeros(3), -z_axis,
+                       np.array([np.cos(0.5 * p0), 0, 0], np.float32),
+                       0.0, 0.0, 1, np.zeros(3), np.zeros(3))
+            elif t == LightType.SPOT:
+                rec = (I, w_axis, -z_axis,
+                       np.array([np.cos(p0), np.cos(p1), 0], np.float32),
+                       0.0, 0.0, 2, w_axis, w_axis)
+            elif t == LightType.QUAD:
+                corner = w_axis - x_axis * (p0 * 0.5) - y_axis * (p1 * 0.5)
+                other = corner + x_axis * p0 + y_axis * p1 + z_axis * 0.01
+                rec = (I, corner, x_axis * p0, y_axis * p1, 0.0, p0 * p1, 3,
+                       np.minimum(corner, other), np.maximum(corner, other))
+            elif t == LightType.SPHERE:
+                rec = (I, w_axis, np.zeros(3), np.zeros(3), p0,
+                       4.0 * np.pi * p0 * p0, 4, w_axis - p0, w_axis + p0)
+            else:  # pragma: no cover
+                raise HalaRendererError(f"Invalid light type: {t}")
+            for lst, val in zip(
+                (intensity, position, u, v, radius, area, ltype, amin, amax), rec
+            ):
+                lst.append(np.asarray(val, np.float32 if lst is not ltype else np.int32))
+            count += 1
+
+        def stack(lst, shape, dtype=np.float32, fill=0):
+            arr = (
+                np.stack(lst).astype(dtype)
+                if lst
+                else np.zeros((0,) + shape, dtype)
+            )
+            return jnp.asarray(pad_rows(arr, MAX_LIGHT_COUNT, fill))
+
+        return DeviceLights(
+            intensity=stack(intensity, (3,)),
+            position=stack(position, (3,)),
+            u=stack(u, (3,)),
+            v=stack(v, (3,)),
+            radius=stack(radius, ()),
+            area=stack(area, ()),
+            ltype=stack(ltype, (), np.int32, fill=-1),
+            aabb_min=stack(amin, (3,)),
+            aabb_max=stack(amax, (3,)),
+            num_lights=count,
+        )
+
+    # -- materials -------------------------------------------------------
+
+    @staticmethod
+    def _upload_materials(scene: Scene) -> DeviceMaterials:
+        mats = scene.materials or [Material()]
+
+        def f(fn, dtype=np.float32):
+            return jnp.asarray(np.array([fn(m) for m in mats], dtype))
+
+        def tex_idx(fn):
+            return jnp.asarray(
+                np.array(
+                    [(-1 if fn(m) == 0xFFFFFFFF else fn(m)) for m in mats],
+                    np.int32,
+                )
+            )
+
+        pre = [_material_precompute(m) for m in mats]
+        return DeviceMaterials(
+            base_color=f(lambda m: m.base_color),
+            opacity=f(lambda m: m.opacity),
+            emission=f(lambda m: m.emission),
+            anisotropic=f(lambda m: m.anisotropic),
+            metallic=f(lambda m: m.metallic),
+            roughness=jnp.asarray(np.array([p[0] for p in pre], np.float32)),
+            subsurface=f(lambda m: m.subsurface),
+            specular_tint=f(lambda m: m.specular_tint),
+            sheen=f(lambda m: m.sheen),
+            sheen_tint=f(lambda m: m.sheen_tint),
+            clearcoat=f(lambda m: m.clearcoat),
+            clearcoat_roughness=f(lambda m: m.clearcoat_roughness),
+            clearcoat_tint=f(lambda m: m.clearcoat_tint),
+            specular_transmission=f(lambda m: m.specular_transmission),
+            ior=f(lambda m: m.ior),
+            ax=jnp.asarray(np.array([p[1] for p in pre], np.float32)),
+            ay=jnp.asarray(np.array([p[2] for p in pre], np.float32)),
+            medium_color=f(lambda m: m.medium.color),
+            medium_density=f(lambda m: m.medium.density),
+            medium_anisotropy=f(lambda m: m.medium.anisotropy),
+            medium_type=f(lambda m: int(m.medium.type), np.int32),
+            mat_type=f(lambda m: int(m.type), np.int32),
+            base_color_map=tex_idx(lambda m: m.base_color_map_index),
+            normal_map=tex_idx(lambda m: m.normal_map_index),
+            metallic_roughness_map=tex_idx(lambda m: m.metallic_roughness_map_index),
+            emission_map=tex_idx(lambda m: m.emission_map_index),
+        )
+
+    # -- geometry --------------------------------------------------------
+
+    @staticmethod
+    def _upload_geometry(scene: Scene) -> DeviceGeometry:
+        v0s, e1s, e2s, ns, ts, uvs, mats, prims = [], [], [], [], [], [], [], []
+        prim_id = 0
+        for node in scene.nodes:
+            if node.mesh_index is None:
+                continue
+            mesh = scene.meshes[node.mesh_index]
+            w = node.world_transform
+            # normal matrix = inverse-transpose of the upper 3x3
+            nrm_mtx = np.linalg.inv(w[:3, :3]).T
+            for prim in mesh.primitives:
+                tri = prim.indices.reshape(-1, 3).astype(np.int64)
+                pos_w = prim.positions @ w[:3, :3].T + w[:3, 3]
+                nrm_w = prim.normals @ nrm_mtx.T
+                nrm_len = np.linalg.norm(nrm_w, axis=1, keepdims=True)
+                nrm_w = np.where(nrm_len > 0, nrm_w / nrm_len, nrm_w)
+                tan_w = prim.tangents @ w[:3, :3].T
+                a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+                v0s.append(pos_w[a])
+                e1s.append(pos_w[b] - pos_w[a])
+                e2s.append(pos_w[c] - pos_w[a])
+                ns.append(np.stack([nrm_w[a], nrm_w[b], nrm_w[c]], axis=1))
+                ts.append(np.stack([tan_w[a], tan_w[b], tan_w[c]], axis=1))
+                uvs.append(
+                    np.stack(
+                        [prim.tex_coords[a], prim.tex_coords[b], prim.tex_coords[c]],
+                        axis=1,
+                    )
+                )
+                mat = prim.material_index
+                mats.append(
+                    np.full(len(tri), -1 if mat == 0xFFFFFFFF else mat, np.int32)
+                )
+                prims.append(np.full(len(tri), prim_id, np.int32))
+                prim_id += 1
+
+        if not v0s:
+            raise HalaRendererError("Scene has no geometry.")
+        v0 = np.concatenate(v0s).astype(np.float32)
+        e1 = np.concatenate(e1s).astype(np.float32)
+        e2 = np.concatenate(e2s).astype(np.float32)
+        n_tris = v0.shape[0]
+        total = -(-n_tris // TRI_PAD) * TRI_PAD
+        # Padding triangles: far away and degenerate so they never hit.
+        far = np.float32(3.0e37)
+        return DeviceGeometry(
+            tri_v0=jnp.asarray(pad_rows(v0, total, far)),
+            tri_e1=jnp.asarray(pad_rows(e1, total, 0)),
+            tri_e2=jnp.asarray(pad_rows(e2, total, 0)),
+            normals=jnp.asarray(
+                pad_rows(np.concatenate(ns).astype(np.float32), total, 0)
+            ),
+            tangents=jnp.asarray(
+                pad_rows(np.concatenate(ts).astype(np.float32), total, 0)
+            ),
+            uvs=jnp.asarray(
+                pad_rows(np.concatenate(uvs).astype(np.float32), total, 0)
+            ),
+            tri_mat=jnp.asarray(
+                pad_rows(np.concatenate(mats), total, -1)
+            ),
+            tri_prim=jnp.asarray(
+                pad_rows(np.concatenate(prims), total, -1)
+            ),
+            num_triangles=n_tris,
+            num_primitives=prim_id,
+        )
+
+    # -- textures --------------------------------------------------------
+
+    @staticmethod
+    def _upload_textures(scene: Scene) -> TextureStack | None:
+        """Texture index list resolution (texture -> image -> data,
+        cpu/scene.rs maps) into one padded f32 stack."""
+        if not scene.texture2image_mapping:
+            return None
+        n = max(scene.texture2image_mapping) + 1
+        imgs = []
+        for t in range(n):
+            img_idx = scene.texture2image_mapping.get(t)
+            data_idx = scene.image2data_mapping.get(img_idx, img_idx)
+            imgs.append(scene.image_data[data_idx].as_float_rgba())
+        max_h = max(im.shape[0] for im in imgs)
+        max_w = max(im.shape[1] for im in imgs)
+        stack = np.zeros((n, max_h, max_w, 4), np.float32)
+        sizes = np.zeros((n, 2), np.int32)
+        for i, im in enumerate(imgs):
+            stack[i, : im.shape[0], : im.shape[1]] = im
+            sizes[i] = (im.shape[0], im.shape[1])
+        return TextureStack(
+            data=jnp.asarray(stack), sizes=jnp.asarray(sizes), num_textures=n
+        )

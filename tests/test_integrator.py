@@ -1,0 +1,219 @@
+"""Integrator tests: energy conservation, Cornell Box smoke + statistics,
+determinism, AOVs, tonemap parity, PFM roundtrip."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hala_tpu.models.integrator import (
+    ENV_SKY,
+    Film,
+    RenderSettings,
+    Uniforms,
+    render_frame,
+)
+from hala_tpu.models.rt_renderer import RayTracingRenderer
+from hala_tpu.ops.tonemap import (
+    apply_tonemap,
+    tonemap_aces_fitted,
+    tonemap_aces_simple,
+    tonemap_reinhard_lum,
+)
+from hala_tpu.scene.procedural import cornell_box
+from hala_tpu.utils.pfm import read_pfm, write_pfm
+
+
+def _render(scene_dev, frames=2, size=32, env=None, env_type=ENV_SKY,
+            uniforms=None, max_depth=3, use_bvh=True):
+    settings = RenderSettings(
+        width=size, height=size, max_depth=max_depth, rr_depth=2,
+        env_type=env_type, tile_size=size * size,
+        use_bvh=use_bvh and scene_dev.bvh is not None,
+    )
+    uniforms = uniforms or Uniforms.default()
+    film = Film.create(size, size)
+    total_rays = 0.0
+    for f in range(frames):
+        film, rays = render_frame(scene_dev, env, uniforms, film, f, settings)
+        total_rays += float(rays)
+    return film, total_rays
+
+
+class TestCornell:
+    def test_render_is_finite_and_lit(self, cornell_device_scene):
+        film, rays = _render(cornell_device_scene, frames=2, size=32)
+        accum = np.asarray(film.accum)
+        assert np.isfinite(accum).all()
+        assert accum[..., :3].max() > 0.01  # something is lit
+        assert rays > 32 * 32 * 2  # primary + shadow rays counted
+
+    def test_deterministic(self, cornell_device_scene):
+        f1, _ = _render(cornell_device_scene, frames=2, size=16)
+        f2, _ = _render(cornell_device_scene, frames=2, size=16)
+        np.testing.assert_array_equal(
+            np.asarray(f1.accum), np.asarray(f2.accum)
+        )
+
+    def test_bvh_matches_bruteforce_image(self, cornell_device_scene):
+        """Same RNG streams -> identical paths -> near-identical images."""
+        fb, _ = _render(cornell_device_scene, frames=1, size=16, use_bvh=True)
+        ff, _ = _render(cornell_device_scene, frames=1, size=16, use_bvh=False)
+        np.testing.assert_allclose(
+            np.asarray(fb.accum), np.asarray(ff.accum), atol=1e-3
+        )
+
+    def test_aovs(self, cornell_device_scene):
+        film, _ = _render(cornell_device_scene, frames=1, size=32)
+        albedo = np.asarray(film.albedo)
+        normal = np.asarray(film.normal)
+        # back wall albedo is the white material
+        assert albedo[..., :3].max() > 0.5
+        # normals are unit-ish where a surface was hit
+        lens = np.linalg.norm(normal[..., :3], axis=-1)
+        hit = lens > 0.1
+        assert hit.mean() > 0.9
+        np.testing.assert_allclose(lens[hit], 1.0, atol=1e-3)
+
+    def test_red_and_green_bleed(self, cornell_device_scene):
+        """Left wall red, right wall green must show up in the render."""
+        film, _ = _render(cornell_device_scene, frames=4, size=48)
+        img = np.asarray(film.accum)[..., :3]
+        left = img[:, :8].mean(axis=(0, 1))
+        right = img[:, -8:].mean(axis=(0, 1))
+        assert left[0] > left[1]   # red dominates on the left
+        assert right[1] > right[0]  # green dominates on the right
+
+
+class TestFurnace:
+    def test_white_furnace(self):
+        """A fully-white diffuse closed box under unit sky must converge
+        to radiance 1 (energy conservation of the Oren-Nayar/NEE/RR
+        pipeline)."""
+        from hala_tpu.scene.cpu.material import Material, MaterialType
+        from hala_tpu.scene.procedural import make_quad
+        from hala_tpu.scene.cpu.mesh import Mesh
+        from hala_tpu.scene.cpu.node import Node
+        from hala_tpu.scene.cpu.scene import Scene
+        from hala_tpu.scene.cpu.camera import PerspectiveCamera
+        from hala_tpu.scene.loader.uploader import SceneUploader
+
+        scene = Scene()
+        scene.materials = [
+            Material(
+                type=MaterialType.DIFFUSE,
+                base_color=np.ones(3, np.float32),
+                roughness=0.0,
+            )
+        ]
+        # one white floor quad seen from above, unit sky everywhere
+        scene.meshes = [
+            Mesh([make_quad([-50, 0, -50], [100, 0, 0], [0, 0, 100], 0)])
+        ]
+        n = Node(name="m")
+        n.mesh_index = 0
+        scene.nodes.append(n)
+        cam = Node(name="c")
+        m = np.eye(4, dtype=np.float32)
+        # look straight down: forward = -y  => node z = +y
+        m[:3, 0] = [1, 0, 0]
+        m[:3, 1] = [0, 0, -1]
+        m[:3, 2] = [0, 1, 0]
+        m[:3, 3] = [0, 5, 0]
+        cam.local_transform = m
+        cam.camera_index = 0
+        scene.nodes.append(cam)
+        scene.cameras = [PerspectiveCamera(aspect=1.0, yfov=0.5)]
+        scene.update_node_hierarchies()
+        dev = SceneUploader.upload(scene, use_ray_tracing=True)
+
+        uni = Uniforms.default()
+        uni.ground_color = jnp.ones(3)
+        uni.sky_color = jnp.ones(3)
+        film, _ = _render(
+            dev, frames=32, size=16, uniforms=uni, max_depth=6
+        )
+        mean = np.asarray(film.accum)[..., :3].mean()
+        # lambertian floor under uniform unit environment -> L = 1
+        assert mean == pytest.approx(1.0, rel=0.03)
+
+
+class TestRendererAPI:
+    def test_progressive_budget_and_save(self, tmp_path, cornell_scene):
+        r = RayTracingRenderer(
+            "t", 32, 32, max_depth=3, rr_depth=2, max_frames=2,
+            tile_size=1024,
+        )
+        r.set_scene(cornell_scene)
+        r.commit()
+        for _ in range(4):
+            r.update()
+            r.render()
+        assert r._frame_index == 2  # max_frames budget (rt_renderer.rs:393)
+        out = tmp_path / "img.png"
+        r.save_images(str(out))
+        color = read_pfm(str(tmp_path / "img_color.pfm"))
+        assert color.shape == (32, 32, 3)
+        assert np.isfinite(color).all()
+        assert (tmp_path / "img_albedo.pfm").exists()
+        assert (tmp_path / "img_normal.pfm").exists()
+
+    def test_env_knobs(self, cornell_scene):
+        r = RayTracingRenderer("t", 16, 16, tile_size=256)
+        r.set_scene(cornell_scene)
+        r.set_ground_color([0.1, 0.2, 0.3])
+        r.set_sky_color([0.4, 0.5, 0.6])
+        r.set_env_intensity(2.0)
+        r.set_exposure_value(1.5)
+        r.commit()
+        r.update()
+        r.render()
+        img = r.get_final_image()
+        assert img.shape == (16, 16, 3)
+        assert np.isfinite(img).all()
+
+
+class TestTonemap:
+    def test_selection_parity(self):
+        """Operator choice flags exactly as rt_renderer.rs:1303-1313."""
+        c = jnp.asarray([[0.5, 1.0, 2.0]])
+        np.testing.assert_allclose(
+            apply_tonemap(c, False, True, True), c
+        )
+        np.testing.assert_allclose(
+            apply_tonemap(c, True, False, False), tonemap_reinhard_lum(c)
+        )
+        np.testing.assert_allclose(
+            apply_tonemap(c, True, True, True), tonemap_aces_simple(c)
+        )
+        np.testing.assert_allclose(
+            apply_tonemap(c, True, True, False), tonemap_aces_fitted(c)
+        )
+
+    def test_aces_simple_known_values(self):
+        # Narkowicz fit: f(0) = 0, monotone, f(10) ~ 1
+        c = jnp.asarray([[0.0, 0.18, 10.0]])
+        out = np.asarray(tonemap_aces_simple(c))[0]
+        assert out[0] == 0.0
+        assert 0.1 < out[1] < 0.3
+        assert out[2] > 0.98
+
+    def test_reinhard_luminance_limit(self):
+        c = jnp.asarray([[1.5, 1.5, 1.5]])
+        out = np.asarray(tonemap_reinhard_lum(c, 1.5))
+        assert (out < 1.0).all()
+
+
+class TestPFM:
+    def test_roundtrip(self, tmp_path, rs):
+        img = rs.uniform(0, 4, (8, 6, 3)).astype(np.float32)
+        p = tmp_path / "x.pfm"
+        write_pfm(str(p), img)
+        back = read_pfm(str(p))
+        np.testing.assert_allclose(back, img, rtol=1e-6)
+
+    def test_header_layout(self, tmp_path):
+        img = np.zeros((4, 4, 3), np.float32)
+        p = tmp_path / "h.pfm"
+        write_pfm(str(p), img)
+        raw = p.read_bytes()
+        assert raw.startswith(b"PF\n4 4\n-1.0\n")
