@@ -18,11 +18,15 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    from hala_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from hala_tpu.models.integrator import (
         Film,
         RenderSettings,
         Uniforms,
         render_frame,
+        resolve_intersector,
     )
     from hala_tpu.scene.loader.uploader import SceneUploader
     from hala_tpu.scene.procedural import cornell_box
@@ -30,14 +34,14 @@ def main() -> None:
     width = height = 512
     spp_timed = 8
 
-    scene = SceneUploader.upload(cornell_box(), use_ray_tracing=True)
+    scene = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
     settings = RenderSettings(
         width=width,
         height=height,
         max_depth=4,
         rr_depth=2,
         tile_size=65536,
-        use_bvh=True,
+        intersector=resolve_intersector("auto"),
     )
     uniforms = Uniforms.default()
     film = Film.create(width, height)

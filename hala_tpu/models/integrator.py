@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..ops import rng
 from ..ops.bsdf import bsdf_eval, bsdf_sample, gather_materials
+from ..ops.gathers import take_rows
 from ..ops.bvh import intersect_bvh, occluded_bvh
 from ..ops.camera import generate_rays
 from ..ops.env import env_pdf, env_radiance, env_sample, sky_radiance
@@ -52,7 +53,14 @@ _RAY_EPS = 1e-4
 
 @dataclasses.dataclass(frozen=True)
 class RenderSettings:
-    """Static (compile-time) integrator configuration."""
+    """Static (compile-time) integrator configuration.
+
+    `intersector` selects the visibility backend:
+      - "pallas": the Pallas VPU kernel (TPU; `interpret` on CPU)
+      - "bruteforce": chunked jnp scan (any backend; BVH ground truth)
+      - "bvh": skip-link BVH traversal (gather-heavy; large scenes only)
+    `use_bvh` is kept as a legacy alias: False forces "bruteforce".
+    """
 
     width: int
     height: int
@@ -62,6 +70,17 @@ class RenderSettings:
     tile_size: int = 65536
     use_bvh: bool = True
     chunk: int = 2048  # brute-force triangle chunk
+    intersector: str = "legacy"  # "legacy" honors use_bvh
+    interpret_pallas: bool = False
+
+
+def resolve_intersector(preference: str = "auto") -> str:
+    """Pick the visibility backend for the current jax backend."""
+    if preference != "auto":
+        return preference
+    import jax as _jax
+
+    return "pallas" if _jax.default_backend() == "tpu" else "bruteforce"
 
 
 def _register(cls):
@@ -116,18 +135,50 @@ class Film:
         return Film(accum=z(), albedo=z(), normal=z())
 
 
-def _intersect(scene, o, d, settings: RenderSettings):
-    g = scene.geometry
+def _backend(settings: RenderSettings, scene) -> str:
+    if settings.intersector == "pallas":
+        return "pallas"
+    if settings.intersector == "bruteforce":
+        return "bruteforce"
+    if settings.intersector == "bvh":
+        return "bvh" if scene.bvh is not None else "bruteforce"
+    # "legacy": honor the use_bvh flag
     if settings.use_bvh and scene.bvh is not None:
-        return intersect_bvh(scene.bvh, g, o, d)
+        return "bvh"
+    return "bruteforce"
+
+
+def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
+    g = scene.geometry
+    backend = _backend(settings, scene)
+    if backend == "pallas":
+        from ..ops.pallas.intersect_kernel import intersect_pallas
+
+        return intersect_pallas(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=t_max,
+            interpret=settings.interpret_pallas,
+            num_real=g.num_triangles,
+        )
+    if backend == "bvh":
+        return intersect_bvh(scene.bvh, g, o, d, t_max=t_max)
     return intersect_bruteforce(
-        o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=settings.chunk
+        o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=t_max,
+        chunk=settings.chunk,
     )
 
 
 def _occluded(scene, o, d, t_far, settings: RenderSettings):
     g = scene.geometry
-    if settings.use_bvh and scene.bvh is not None:
+    backend = _backend(settings, scene)
+    if backend == "pallas":
+        from ..ops.pallas.intersect_kernel import occluded_pallas
+
+        return occluded_pallas(
+            o, d, t_far, g.tri_v0, g.tri_e1, g.tri_e2,
+            interpret=settings.interpret_pallas,
+            num_real=g.num_triangles,
+        )
+    if backend == "bvh":
         return occluded_bvh(scene.bvh, g, o, d, t_far)
     return occluded_bruteforce(
         o, d, t_far, g.tri_v0, g.tri_e1, g.tri_e2, chunk=settings.chunk
@@ -164,22 +215,38 @@ def trace_paths(
     n = o.shape[0]
     geom = scene.geometry
     has_env_map = settings.env_type == ENV_MAP and env is not None
+    # Scene capability specialization (cpu/scene.rs probe analog): BSDF
+    # lobes unused by every material compile out of the megakernel.
+    w_disney = bool(scene.materials.has_disney)
+    w_trans = bool(scene.materials.has_transmission)
 
     # Carries derived from `o` so their varying-axes type survives
     # shard_map (see ops/intersect.varying_like).
     zeros3 = varying_like(o, 0.0)
     zeros = zeros3[:, 0]
+    # Prologue: closest hit for the camera rays. Every later bounce folds
+    # its extension ray into the batched end-of-bounce visibility query,
+    # so the whole path costs 1 + max_depth kernel dispatches instead of
+    # up to 3 per bounce (dispatch overhead showed up as ~25% of frame
+    # time in the stage ablation).
+    hit0 = _intersect(scene, o, d, settings)
     state = dict(
         o=o,
         d=d,
+        hit_t=hit0.t,
+        hit_tri=hit0.tri,
+        hit_u=hit0.u,
+        hit_v=hit0.v,
         throughput=zeros3 + 1.0,
         radiance=zeros3,
         active=zeros < 1.0,
         prev_pdf=zeros,  # 0 => previous bounce was camera/delta
         albedo=zeros3,
         normal=zeros3,
-        rays=zeros,
+        rays=zeros + 1.0,  # the primary ray
     )
+
+    from ..ops.intersect import Hit as _Hit
 
     def bounce_body(bounce, st):
         o, d = st["o"], st["d"]
@@ -187,9 +254,9 @@ def trace_paths(
         throughput = st["throughput"]
         radiance = st["radiance"]
         prev_pdf = st["prev_pdf"]
-        rays = st["rays"] + active.astype(jnp.float32)
+        rays = st["rays"]
 
-        hit = _intersect(scene, o, d, settings)
+        hit = _Hit(t=st["hit_t"], tri=st["hit_tri"], u=st["hit_u"], v=st["hit_v"])
         lhit = intersect_lights(scene.lights, o, d)
 
         light_first = lhit.t < hit.t
@@ -222,24 +289,24 @@ def trace_paths(
         active = active & ~miss & ~light_first
 
         # --- shading point ----------------------------------------------
+        # One row-gather of the packed shade table per hit (shade_table
+        # layout documented in scene/gpu/scene.py) — keeps the gather
+        # count per bounce O(1), which the frame profile demands.
         tid = jnp.maximum(hit.tri, 0)
         u, v = hit.u, hit.v
         w0 = 1.0 - u - v
-        n_tri = jnp.take(geom.normals, tid, axis=0)  # (N, 3, 3)
+        rows = take_rows(geom.shade_table, tid)  # (N, 32) via MXU one-hot
         ns = normalize(
-            w0[:, None] * n_tri[:, 0]
-            + u[:, None] * n_tri[:, 1]
-            + v[:, None] * n_tri[:, 2]
+            w0[:, None] * rows[:, 0:3]
+            + u[:, None] * rows[:, 3:6]
+            + v[:, None] * rows[:, 6:9]
         )
-        uv_tri = jnp.take(geom.uvs, tid, axis=0)  # (N, 3, 2)
         uv = (
-            w0[:, None] * uv_tri[:, 0]
-            + u[:, None] * uv_tri[:, 1]
-            + v[:, None] * uv_tri[:, 2]
+            w0[:, None] * rows[:, 9:11]
+            + u[:, None] * rows[:, 11:13]
+            + v[:, None] * rows[:, 13:15]
         )
-        e1 = jnp.take(geom.tri_e1, tid, axis=0)
-        e2 = jnp.take(geom.tri_e2, tid, axis=0)
-        ng = normalize(jnp.cross(e1, e2))
+        ng = rows[:, 15:18]
         # orient geometric normal along shading normal
         ng = jnp.where(dot(ng, ns)[:, None] < 0, -ng, ng)
         hit_p = o + hit.t[:, None] * d
@@ -251,14 +318,12 @@ def trace_paths(
         wo_l = to_local(-d, t_b, b_b, ns_f)
         wo_l = wo_l.at[:, 2].set(jnp.maximum(wo_l[:, 2], 1e-5))
 
-        mat_idx = jnp.take(geom.tri_mat, tid)
+        mat_idx = rows[:, 18].astype(jnp.int32)
         mp = gather_materials(scene.materials, mat_idx)
         if scene.textures is not None:
-            base_map = jnp.take(scene.materials.base_color_map, jnp.maximum(mat_idx, 0))
-            mr_map = jnp.take(
-                scene.materials.metallic_roughness_map, jnp.maximum(mat_idx, 0)
-            )
-            em_map = jnp.take(scene.materials.emission_map, jnp.maximum(mat_idx, 0))
+            base_map = mp.base_color_map
+            mr_map = mp.metallic_roughness_map
+            em_map = mp.emission_map
             base_t = sample_texture(scene.textures, base_map, uv)
             mr_t = sample_texture(scene.textures, mr_map, uv)
             em_t = sample_texture(scene.textures, em_map, uv)
@@ -296,60 +361,55 @@ def trace_paths(
         r_alpha = rng.sample4(pixel_idx, frame_index, bounce, seed=11)
         pass_through = active & (r_alpha[:, 0] > mp.opacity)
 
-        # --- NEE: analytic lights ---------------------------------------
+        # --- NEE: analytic lights (occlusion deferred to the batched
+        # visibility query below) -----------------------------------------
         r_nee = rng.sample4(pixel_idx, frame_index, bounce, seed=13)
-        shadow_rays = jnp.zeros((n,))
+        shadow_o = hit_p + ng_f * _RAY_EPS
         if scene.lights.num_lights > 0:
             ls = sample_one_light(scene.lights, hit_p, r_nee[:, :3])
             wi_l = to_local(ls.wi, t_b, b_b, ns_f)
-            f_l, pdf_b = bsdf_eval(mp, wo_l, wi_l)
+            f_l, pdf_b = bsdf_eval(mp, wo_l, wi_l, w_disney, w_trans)
             cos_l = jnp.abs(wi_l[:, 2])
             candidate = active & ~pass_through & (ls.pdf > 0) & (cos_l > 1e-6)
-            shadow_o = hit_p + ng_f * _RAY_EPS
-            blocked = _occluded(scene, shadow_o, ls.wi, ls.dist, settings)
-            shadow_rays = shadow_rays + candidate.astype(jnp.float32)
             w_mis = jnp.where(
                 ls.is_delta, 1.0, power_heuristic(ls.pdf, pdf_b)
             )
-            contrib = (
+            nee_contrib = (
                 throughput
                 * f_l
                 * (cos_l / jnp.maximum(ls.pdf, 1e-12) * w_mis)[:, None]
                 * ls.radiance
             )
-            radiance = radiance + jnp.where(
-                (candidate & ~blocked)[:, None], contrib, 0.0
-            )
+            nee_dir = ls.wi
+            nee_tmax = jnp.where(candidate, ls.dist * (1.0 - 1e-4), 0.0)
+        else:
+            candidate = zeros > 1.0
+            nee_contrib = zeros3
+            nee_dir = ns_f
+            nee_tmax = zeros
 
-        # --- NEE: environment map ---------------------------------------
+        # --- NEE: environment map (occlusion deferred likewise) ---------
         if has_env_map:
             r_env = rng.sample4(pixel_idx, frame_index, bounce, seed=17)
             wi_e, rad_e, pdf_e = env_sample(
                 env, r_env[:, :2], uniforms.env_rotation, uniforms.env_intensity
             )
             wi_el = to_local(wi_e, t_b, b_b, ns_f)
-            f_e, pdf_be = bsdf_eval(mp, wo_l, wi_el)
+            f_e, pdf_be = bsdf_eval(mp, wo_l, wi_el, w_disney, w_trans)
             cos_e = jnp.abs(wi_el[:, 2])
             cand_e = active & ~pass_through & (pdf_e > 0) & (cos_e > 1e-6)
-            shadow_o = hit_p + ng_f * _RAY_EPS
-            blocked_e = _occluded(
-                scene, shadow_o, wi_e, jnp.full((n,), 1.0e7), settings
-            )
-            shadow_rays = shadow_rays + cand_e.astype(jnp.float32)
             w_mis_e = power_heuristic(pdf_e, pdf_be)
-            contrib_e = (
+            env_contrib = (
                 throughput
                 * f_e
                 * (cos_e / jnp.maximum(pdf_e, 1e-12) * w_mis_e)[:, None]
                 * rad_e
             )
-            radiance = radiance + jnp.where(
-                (cand_e & ~blocked_e)[:, None], contrib_e, 0.0
-            )
+            env_tmax = jnp.where(cand_e, 1.0e7, 0.0)
 
         # --- BSDF sampling / continuation -------------------------------
         r_bsdf = rng.sample4(pixel_idx, frame_index, bounce, seed=19)
-        wi_s, f_s, pdf_s = bsdf_sample(mp, wo_l, r_bsdf)
+        wi_s, f_s, pdf_s = bsdf_sample(mp, wo_l, r_bsdf, w_disney, w_trans)
         wi_w = to_world(wi_s, t_b, b_b, ns_f)
         cos_s = jnp.abs(wi_s[:, 2])
         valid_s = pdf_s > 1e-9
@@ -373,16 +433,49 @@ def trace_paths(
         next_tp = jnp.where(do_rr, next_tp / q[:, None], next_tp)
         active = active & survive
 
+        # --- batched visibility: next extension ray + NEE shadow ray(s)
+        # in ONE kernel dispatch --------------------------------------------
+        ext_tmax = jnp.where(active, jnp.float32(T_MAX), 0.0)
+        q_o = [next_o, shadow_o]
+        q_d = [next_d, nee_dir]
+        q_t = [ext_tmax, nee_tmax]
+        if has_env_map:
+            q_o.append(shadow_o)
+            q_d.append(wi_e)
+            q_t.append(env_tmax)
+        qhit = _intersect(
+            scene,
+            jnp.concatenate(q_o),
+            jnp.concatenate(q_d),
+            settings,
+            t_max=jnp.concatenate(q_t),
+        )
+        blocked = qhit.tri[n : 2 * n] >= 0
+        radiance = radiance + jnp.where(
+            (candidate & ~blocked)[:, None], nee_contrib, 0.0
+        )
+        rays = rays + candidate.astype(jnp.float32)
+        if has_env_map:
+            blocked_e = qhit.tri[2 * n : 3 * n] >= 0
+            radiance = radiance + jnp.where(
+                (cand_e & ~blocked_e)[:, None], env_contrib, 0.0
+            )
+            rays = rays + cand_e.astype(jnp.float32)
+
         return dict(
             o=next_o,
             d=next_d,
+            hit_t=qhit.t[:n],
+            hit_tri=jnp.where(active, qhit.tri[:n], -1),
+            hit_u=qhit.u[:n],
+            hit_v=qhit.v[:n],
             throughput=next_tp,
             radiance=radiance,
             active=active,
             prev_pdf=next_pdf,
             albedo=st_albedo,
             normal=st_normal,
-            rays=rays + shadow_rays,
+            rays=rays + active.astype(jnp.float32),
         )
 
     state = jax.lax.fori_loop(0, settings.max_depth, bounce_body, state)
@@ -406,6 +499,7 @@ def render_frame(
     settings: RenderSettings,
     row_offset=0,
     full_height: int | None = None,
+    blue_noise=None,
 ):
     """One progressive frame (1 spp): rt_renderer.rs update() parity.
 
@@ -447,6 +541,20 @@ def render_frame(
         px = (gpix % w).astype(jnp.float32)
         py = (gpix // w).astype(jnp.float32)
         r_jit = rng.sample4(gpix, fidx, 0, seed=1)
+        if blue_noise is not None:
+            # Blue-noise pixel jitter (load_blue_noise_texture role,
+            # rt_renderer.rs:1117-1156): tile the texture over the film
+            # and Cranley-Patterson-rotate it per frame with the R2
+            # low-discrepancy sequence.
+            bh, bw = blue_noise.shape[0], blue_noise.shape[1]
+            bx = (gpix % w) % bw
+            by = (gpix // w) % bh
+            f = jnp.asarray(frame_index, jnp.float32)
+            shift = jnp.stack(
+                [f * 0.7548776662466927, f * 0.5698402909980532]
+            ) % 1.0
+            bn = (blue_noise[by, bx, :2] + shift[None, :]) % 1.0
+            r_jit = r_jit.at[:, :2].set(bn)
         o, d = generate_rays(
             scene.cameras, uniforms.camera_index, px, py, w, cam_h,
             r_jit[:, :2], r_jit[:, 2:],

@@ -78,6 +78,7 @@ class RayTracingRenderer(BaseRenderer):
         max_frames: int = 0,
         tile_size: int = 65536,
         use_bvh: bool = True,
+        intersector: str = "auto",
     ):
         super().__init__(name, width, height)
         self.max_depth = max_depth
@@ -88,6 +89,9 @@ class RayTracingRenderer(BaseRenderer):
         self.max_frames = max_frames if max_frames > 0 else (1 << 62)
         self._tile_size = tile_size
         self._use_bvh = use_bvh
+        from .integrator import resolve_intersector
+
+        self._intersector = resolve_intersector(intersector)
 
         self.scene = None          # DeviceScene
         self._host_scene: Scene | None = None
@@ -139,8 +143,10 @@ class RayTracingRenderer(BaseRenderer):
         self.uniforms.camera_index = jnp.int32(index)
 
     def load_blue_noise_texture(self, path: str) -> None:
-        """rt_renderer.rs:1117-1156."""
-        self.blue_noise = ImageData.load(path)
+        """rt_renderer.rs:1117-1156: the texture becomes the per-pixel
+        low-discrepancy jitter source for primary rays."""
+        img = ImageData.load(path)
+        self.blue_noise = jnp.asarray(img.as_float_rgba())
 
     # -- frame loop ------------------------------------------------------
 
@@ -148,6 +154,8 @@ class RayTracingRenderer(BaseRenderer):
         """Freeze settings + compile (rt_renderer.rs:136-379 role)."""
         if self.scene is None:
             raise HalaRendererError("commit() before set_scene().")
+        from .integrator import resolve_intersector
+
         self.settings = RenderSettings(
             width=self.info.width,
             height=self.info.height,
@@ -156,6 +164,7 @@ class RayTracingRenderer(BaseRenderer):
             env_type=int(self.env_type),
             tile_size=self._tile_size,
             use_bvh=self._use_bvh and self.scene.bvh is not None,
+            intersector=self._intersector,
         )
 
     def update(self, delta_time: float = 0.0) -> None:
@@ -173,6 +182,7 @@ class RayTracingRenderer(BaseRenderer):
             self.film,
             self._frame_index,
             self.settings,
+            blue_noise=self.blue_noise,
         )
         self._pending = (self.film, rays)
         self._last_rays = rays

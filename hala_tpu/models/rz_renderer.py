@@ -131,9 +131,11 @@ def _shade(scene, frag, view_pos):
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def raster_frame(scene, camera_index, settings: RasterSettings):
-    """Rasterize + shade one frame. Returns (color (H,W,3),
-    gbuffer dict with albedo/normal/depth)."""
+def gbuffer_pass(scene, camera_index, settings: RasterSettings):
+    """Visibility + G-buffer fill (deferred first subpass:
+    record_deferred_command_buffer G-buffer stage / create_gbuffer_images,
+    rz_renderer.rs:1149-1247, 1455-1570). Returns the FragmentBuffer plus
+    world-space position for the lighting pass."""
     h, w = settings.height, settings.width
     ss = settings.msaa
     rw, rh = w * ss, h * ss
@@ -143,7 +145,6 @@ def raster_frame(scene, camera_index, settings: RasterSettings):
     proj = scene.cameras.proj_matrix[camera_index]
     vp = proj @ view
 
-    # Triangle corners in world space -> clip.
     v0 = geom.tri_v0
     v1 = geom.tri_v0 + geom.tri_e1
     v2 = geom.tri_v0 + geom.tri_e2
@@ -158,6 +159,23 @@ def raster_frame(scene, camera_index, settings: RasterSettings):
     frag = rasterize(
         screen, depth, inv_w, valid, px, py, chunk=settings.chunk
     )
+    return frag
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def raster_frame(scene, camera_index, settings: RasterSettings):
+    """Rasterize + shade one frame. Returns (color (H,W,3),
+    gbuffer dict with albedo/normal/depth).
+
+    Forward and deferred produce identical output by construction (the
+    reference's two paths are an optimization split, not a semantic
+    one); deferred materializes the G-buffer between the passes, forward
+    fuses them — with `settings.deferred` the two stages are separate
+    jit boundaries (see RasterizationRenderer.update)."""
+    h, w = settings.height, settings.width
+    ss = settings.msaa
+    rw, rh = w * ss, h * ss
+    frag = gbuffer_pass(scene, camera_index, settings)
     cam_pos = scene.cameras.position[camera_index]
     color, albedo, normal, _ = _shade(scene, frag, cam_pos)
 
@@ -174,6 +192,23 @@ def raster_frame(scene, camera_index, settings: RasterSettings):
         "depth": resolve(frag.depth[:, None], 1)[..., 0],
     }
     return color, gbuffer
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def lighting_pass(scene, frag, camera_index, settings: RasterSettings):
+    """Fullscreen lighting from the materialized visibility buffer
+    (deferred second subpass, rz_renderer.rs:1249-1338 lighting draw)."""
+    h, w = settings.height, settings.width
+    cam_pos = scene.cameras.position[camera_index]
+    color, albedo, normal, _ = _shade(scene, frag, cam_pos)
+    return (
+        color.reshape(h, w, 3),
+        {
+            "albedo": albedo.reshape(h, w, 3),
+            "normal": normal.reshape(h, w, 3),
+            "depth": frag.depth.reshape(h, w),
+        },
+    )
 
 
 class RasterizationRenderer(BaseRenderer):

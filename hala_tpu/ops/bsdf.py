@@ -61,11 +61,46 @@ class MatParams(NamedTuple):
     ax: jnp.ndarray
     ay: jnp.ndarray
     mat_type: jnp.ndarray         # (N,) i32
+    base_color_map: jnp.ndarray = None       # (N,) i32, -1 = none
+    metallic_roughness_map: jnp.ndarray = None
+    emission_map: jnp.ndarray = None
+    normal_map: jnp.ndarray = None
 
 
 def gather_materials(materials, mat_idx: jnp.ndarray) -> MatParams:
-    """Gather DeviceMaterials rows for per-ray material indices."""
+    """Gather material parameters for per-ray material indices.
+
+    Uses the packed (M, 32) table when present — ONE row gather per ray
+    instead of 17 scalar gathers (TPU gathers are element-wise; the
+    scalar-gather version dominated the frame profile)."""
     idx = jnp.maximum(mat_idx, 0)
+    if materials.packed is not None:
+        from .gathers import take_rows
+
+        rows = take_rows(materials.packed, idx)  # (N, 32)
+        return MatParams(
+            base_color=rows[:, 0:3],
+            opacity=rows[:, 3],
+            emission=rows[:, 4:7],
+            metallic=rows[:, 7],
+            roughness=rows[:, 8],
+            subsurface=rows[:, 9],
+            specular_tint=rows[:, 10],
+            sheen=rows[:, 11],
+            sheen_tint=rows[:, 12],
+            clearcoat=rows[:, 13],
+            clearcoat_roughness=rows[:, 14],
+            clearcoat_tint=rows[:, 15:18],
+            specular_transmission=rows[:, 18],
+            ior=rows[:, 19],
+            ax=rows[:, 20],
+            ay=rows[:, 21],
+            mat_type=rows[:, 22].astype(jnp.int32),
+            base_color_map=rows[:, 23].astype(jnp.int32),
+            metallic_roughness_map=rows[:, 24].astype(jnp.int32),
+            emission_map=rows[:, 25].astype(jnp.int32),
+            normal_map=rows[:, 26].astype(jnp.int32),
+        )
     g = lambda a: jnp.take(a, idx, axis=0)
     return MatParams(
         base_color=g(materials.base_color),
@@ -85,6 +120,10 @@ def gather_materials(materials, mat_idx: jnp.ndarray) -> MatParams:
         ax=g(materials.ax),
         ay=g(materials.ay),
         mat_type=g(materials.mat_type),
+        base_color_map=g(materials.base_color_map),
+        metallic_roughness_map=g(materials.metallic_roughness_map),
+        emission_map=g(materials.emission_map),
+        normal_map=g(materials.normal_map),
     )
 
 
@@ -282,26 +321,36 @@ def _disney_transmission_eval(mp: MatParams, wo, wi):
     return f, jnp.maximum(pdf, 0.0)
 
 
-def disney_eval(mp: MatParams, wo, wi):
-    """Combined Disney f and one-sample-MIS pdf for given wo, wi (local)."""
+def disney_eval(mp: MatParams, wo, wi, with_transmission: bool = True):
+    """Combined Disney f and one-sample-MIS pdf for given wo, wi (local).
+
+    `with_transmission=False` statically compiles out the dielectric
+    transmission lobe (scene capability specialization — the reference's
+    shader-permutation analog, cpu/scene.rs has_transparent probe)."""
     w_d, w_s, w_c, w_t = _disney_lobe_weights(mp)
     f_d, p_d = _disney_diffuse_eval(mp, wo, wi)
     f_s, p_s = _disney_specular_eval(mp, wo, wi)
     f_c, p_c = _disney_clearcoat_eval(mp, wo, wi)
-    f_t, p_t = _disney_transmission_eval(mp, wo, wi)
-    has_trans = mp.specular_transmission > 0.0
-    f = f_d + f_s + f_c + jnp.where(has_trans[..., None], f_t, 0.0)
-    pdf = (
-        w_d * p_d + w_s * p_s + w_c * p_c
-        + jnp.where(has_trans, w_t * p_t, 0.0)
-    )
+    f = f_d + f_s + f_c
+    pdf = w_d * p_d + w_s * p_s + w_c * p_c
+    if with_transmission:
+        f_t, p_t = _disney_transmission_eval(mp, wo, wi)
+        has_trans = mp.specular_transmission > 0.0
+        f = f + jnp.where(has_trans[..., None], f_t, 0.0)
+        pdf = pdf + jnp.where(has_trans, w_t * p_t, 0.0)
     return f, pdf
 
 
-def bsdf_eval(mp: MatParams, wo, wi):
-    """Dispatch on material type (0 DIFFUSE / 1 DISNEY)."""
+def bsdf_eval(
+    mp: MatParams, wo, wi,
+    with_disney: bool = True, with_transmission: bool = True,
+):
+    """Dispatch on material type (0 DIFFUSE / 1 DISNEY). The with_*
+    flags statically drop model families no material in the scene uses."""
     f_on, p_on = oren_nayar_eval(mp, wo, wi)
-    f_di, p_di = disney_eval(mp, wo, wi)
+    if not with_disney:
+        return f_on, p_on
+    f_di, p_di = disney_eval(mp, wo, wi, with_transmission)
     is_disney = (mp.mat_type == 1)
     return (
         jnp.where(is_disney[..., None], f_di, f_on),
@@ -309,12 +358,19 @@ def bsdf_eval(mp: MatParams, wo, wi):
     )
 
 
-def bsdf_sample(mp: MatParams, wo, rnd):
+def bsdf_sample(
+    mp: MatParams, wo, rnd,
+    with_disney: bool = True, with_transmission: bool = True,
+):
     """Sample wi in the local frame. rnd: (N, 4) uniforms.
 
     Returns (wi, f, pdf). f/pdf are the full one-sample-MIS combination,
     so throughput update is f * |cos| / pdf.
     """
+    if not with_disney:
+        wi = cosine_sample_hemisphere(rnd[..., 1], rnd[..., 2])
+        f, pdf = oren_nayar_eval(mp, wo, wi)
+        return wi, f, pdf
     w_d, w_s, w_c, w_t = _disney_lobe_weights(mp)
     u_lobe = rnd[..., 0]
     u1, u2 = rnd[..., 1], rnd[..., 2]
@@ -333,14 +389,19 @@ def bsdf_sample(mp: MatParams, wo, rnd):
     )
 
     # Transmission lobe: reflect or refract by exact Fresnel.
-    eta = jnp.where(wo[..., 2] > 0, 1.0 / mp.ior, mp.ior)
-    h_t = sample_ggx_vndf(wo, mp.ax, mp.ay, u1, u2)
-    cos_oh = jnp.sum(wo * h_t, axis=-1)
-    fr_t = fresnel_dielectric(jnp.abs(cos_oh), 1.0 / jnp.maximum(eta, _EPS))
-    wt, can_refract = _refract(wo, h_t, eta)
-    wi_t_refl = normalize(2.0 * cos_oh[..., None] * h_t - wo)
-    choose_refl = (rnd[..., 3] < fr_t) | ~can_refract
-    wi_trans = jnp.where(choose_refl[..., None], wi_t_refl, wt)
+    if with_transmission:
+        eta = jnp.where(wo[..., 2] > 0, 1.0 / mp.ior, mp.ior)
+        h_t = sample_ggx_vndf(wo, mp.ax, mp.ay, u1, u2)
+        cos_oh = jnp.sum(wo * h_t, axis=-1)
+        fr_t = fresnel_dielectric(
+            jnp.abs(cos_oh), 1.0 / jnp.maximum(eta, _EPS)
+        )
+        wt, can_refract = _refract(wo, h_t, eta)
+        wi_t_refl = normalize(2.0 * cos_oh[..., None] * h_t - wo)
+        choose_refl = (rnd[..., 3] < fr_t) | ~can_refract
+        wi_trans = jnp.where(choose_refl[..., None], wi_t_refl, wt)
+    else:
+        wi_trans = wi_spec
 
     # Lobe selection by cumulative weights.
     c1 = w_d
@@ -364,5 +425,5 @@ def bsdf_sample(mp: MatParams, wo, rnd):
     # DIFFUSE type always cosine-samples.
     is_disney = mp.mat_type == 1
     wi = jnp.where(is_disney[..., None], wi_disney, wi_diffuse)
-    f, pdf = bsdf_eval(mp, wo, wi)
+    f, pdf = bsdf_eval(mp, wo, wi, True, with_transmission)
     return wi, f, pdf

@@ -68,7 +68,9 @@ def sample_one_light(lights, p: jnp.ndarray, rnd: jnp.ndarray) -> LightSample:
             is_delta=jnp.ones((n,), bool),
         )
     li = jnp.minimum((rnd[:, 0] * nl).astype(jnp.int32), nl - 1)
-    g = lambda a: jnp.take(a, li, axis=0)
+    # Gather from the first nl rows only (num_lights is static; the table
+    # is padded to MAX_LIGHT_COUNT and padded slots must not cost work).
+    g = lambda a: jnp.take(a[:nl], li, axis=0)
     I = g(lights.intensity)
     pos = g(lights.position)
     u = g(lights.u)
@@ -185,14 +187,20 @@ def intersect_lights(lights, o: jnp.ndarray, d: jnp.ndarray) -> LightHit:
             radiance=jnp.zeros((n, 3)),
             pdf=jnp.zeros((n,)),
         )
-    lt = lights.ltype  # (L,)
+    # Static slice to the real light count: the table is padded to
+    # MAX_LIGHT_COUNT and testing padded slots costs real VPU time.
+    lt = lights.ltype[:nl]  # (L,)
+    lpos = lights.position[:nl]
+    lu = lights.u[:nl]
+    lv = lights.v[:nl]
+    lradius = lights.radius[:nl]
     # Quad hits: only through the emitting face (cos > 0 toward ray origin)
-    t_quad = ray_quad(o, d, lights.position, lights.u, lights.v)
-    n_q = normalize(jnp.cross(lights.u, lights.v))  # (L,3)
+    t_quad = ray_quad(o, d, lpos, lu, lv)
+    n_q = normalize(jnp.cross(lu, lv))  # (L,3)
     facing = -jnp.einsum("nk,lk->nl", d, n_q) > 0.0
     t_quad = jnp.where((lt == 3)[None, :] & facing, t_quad, T_MAX)
 
-    t_sph = ray_sphere(o, d, lights.position, lights.radius)
+    t_sph = ray_sphere(o, d, lpos, lradius)
     t_sph = jnp.where((lt == 4)[None, :], t_sph, T_MAX)
 
     t_all = jnp.minimum(t_quad, t_sph)  # (N, L)
@@ -200,7 +208,7 @@ def intersect_lights(lights, o: jnp.ndarray, d: jnp.ndarray) -> LightHit:
     li = jnp.argmin(t_all, axis=1)
     hit = t_best < T_MAX
 
-    g = lambda a: jnp.take(a, li, axis=0)
+    g = lambda a: jnp.take(a[:nl], li, axis=0)
     I = g(lights.intensity)
     area = g(lights.area)
     radius = g(lights.radius)

@@ -1,0 +1,92 @@
+"""Ray-tracing program: JSON desc -> configured integrator.
+
+Parity: reference src/raytracing_program.rs (HalaRayTracingProgram{Desc}):
+desc with raygen/miss/hit/callable shader path lists + ray_recursion_depth
+(default 1, raytracing_program.rs:49-57), building a pipeline + SBT with
+bind/trace_rays. TPU mapping: the shader stages name kernels in the
+KernelCache (defaults are the built-in integrator stages — camera raygen,
+environment miss, surface shading); `trace_rays(width, height)` runs one
+progressive frame of `models.integrator.render_frame` with
+max_depth = ray_recursion_depth. The SBT's role (stage dispatch table)
+is the desc itself.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+
+from ..models.integrator import (
+    ENV_SKY,
+    Film,
+    RenderSettings,
+    Uniforms,
+    render_frame,
+)
+
+
+@dataclasses.dataclass
+class RayTracingProgramDesc:
+    """raytracing_program.rs:25-47 JSON shape (serde defaults kept)."""
+
+    ray_gen_shader_file_path: str = "builtin:raygen"
+    miss_shader_file_paths: list[str] = dataclasses.field(
+        default_factory=lambda: ["builtin:miss_env"]
+    )
+    hit_shader_file_paths: list[str] = dataclasses.field(
+        default_factory=lambda: ["builtin:closest_hit"]
+    )
+    callable_shader_file_paths: list[str] = dataclasses.field(
+        default_factory=lambda: ["builtin:bsdf"]
+    )
+    push_constant_size: int = 0
+    ray_recursion_depth: int = 1   # serde default (raytracing_program.rs:49-57)
+    rr_depth: int = 2
+    env_type: int = ENV_SKY
+
+    @staticmethod
+    def from_json(text: str) -> "RayTracingProgramDesc":
+        d = json.loads(text)
+        out = RayTracingProgramDesc()
+        for f in dataclasses.fields(out):
+            if f.name in d:
+                setattr(out, f.name, d[f.name])
+        return out
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+class RayTracingProgram:
+    def __init__(self, desc: RayTracingProgramDesc, scene, env=None):
+        self.desc = desc
+        self.scene = scene
+        self.env = env
+
+    def trace_rays(
+        self,
+        film: Film,
+        width: int,
+        height: int,
+        frame_index=0,
+        uniforms: Uniforms | None = None,
+    ):
+        """raytracing_program.rs:330-340 trace_rays: one frame dispatch."""
+        settings = RenderSettings(
+            width=width,
+            height=height,
+            max_depth=self.desc.ray_recursion_depth,
+            rr_depth=self.desc.rr_depth,
+            env_type=self.desc.env_type,
+            use_bvh=self.scene.bvh is not None,
+        )
+        return render_frame(
+            self.scene,
+            self.env,
+            uniforms or Uniforms.default(),
+            film,
+            jnp.asarray(frame_index, jnp.uint32),
+            settings,
+        )

@@ -60,11 +60,24 @@ class DeviceGeometry:
     uvs: jax.Array         # (T, 3, 2) f32
     tri_mat: jax.Array     # (T,) i32 — material index, -1 for padding
     tri_prim: jax.Array    # (T,) i32 — flattened instance id (custom_index parity)
+    # Packed per-triangle shading attributes, one row-gather per hit
+    # instead of ~10 scalar gathers (TPU gathers are element-wise and
+    # dominated the megakernel profile). Layout (T, 32) f32:
+    # [0:3] n0 [3:6] n1 [6:9] n2 [9:11] uv0 [11:13] uv1 [13:15] uv2
+    # [15:18] geometric normal [18] material id [19] primitive id.
+    shade_table: jax.Array | None = None
+    # Cluster tables (triangles are Morton-ordered at upload, so each
+    # TRI_PAD chunk is a spatial cluster): per-cluster AABBs for the
+    # culling pass and the (C, TRI_PAD, 12) packed [v0|e1|e2|pad]
+    # geometry blocks the streaming kernel DMAs (ops/cluster.py).
+    cluster_min: jax.Array | None = None   # (C, 3)
+    cluster_max: jax.Array | None = None   # (C, 3)
+    tri_packed: jax.Array | None = None    # (C, TRI_PAD, 12)
     num_triangles: int = 0   # un-padded count (static)
     num_primitives: int = 0  # instance count (static)
 
 
-@_register
+@partial(_register, meta_fields=("has_disney", "has_transmission"))
 @dataclasses.dataclass
 class DeviceMaterials:
     """Material table (gpu/material.rs:16-48 layout, SoA).
@@ -102,6 +115,21 @@ class DeviceMaterials:
     normal_map: jax.Array            # (M,) i32
     metallic_roughness_map: jax.Array  # (M,) i32
     emission_map: jax.Array          # (M,) i32
+    # Packed (M, 32) f32 table mirroring the columns above so the
+    # integrator gathers one row per hit (see gather_materials). Layout:
+    # [0:3] base_color [3] opacity [4:7] emission [7] metallic
+    # [8] roughness [9] subsurface [10] specular_tint [11] sheen
+    # [12] sheen_tint [13] clearcoat [14] clearcoat_roughness
+    # [15:18] clearcoat_tint [18] specular_transmission [19] ior
+    # [20] ax [21] ay [22] mat_type [23] base_color_map
+    # [24] metallic_roughness_map [25] emission_map [26] normal_map
+    # [27] anisotropic.
+    packed: jax.Array | None = None
+    # Static scene capability flags (the TPU analog of the reference's
+    # shader-permutation probes, cpu/scene.rs:59-95): the integrator
+    # compiles out BSDF lobes no material in the scene uses.
+    has_disney: bool = True
+    has_transmission: bool = True
 
 
 @partial(_register, meta_fields=("num_lights",))

@@ -230,7 +230,42 @@ class SceneUploader:
             )
 
         pre = [_material_precompute(m) for m in mats]
+
+        def _map_idx(i):
+            return -1.0 if i == 0xFFFFFFFF else float(i)
+
+        packed = np.zeros((len(mats), 32), np.float32)
+        for i, (m, p) in enumerate(zip(mats, pre)):
+            packed[i, 0:3] = m.base_color
+            packed[i, 3] = m.opacity
+            packed[i, 4:7] = m.emission
+            packed[i, 7] = m.metallic
+            packed[i, 8] = p[0]
+            packed[i, 9] = m.subsurface
+            packed[i, 10] = m.specular_tint
+            packed[i, 11] = m.sheen
+            packed[i, 12] = m.sheen_tint
+            packed[i, 13] = m.clearcoat
+            packed[i, 14] = m.clearcoat_roughness
+            packed[i, 15:18] = m.clearcoat_tint
+            packed[i, 18] = m.specular_transmission
+            packed[i, 19] = m.ior
+            packed[i, 20] = p[1]
+            packed[i, 21] = p[2]
+            packed[i, 22] = float(int(m.type))
+            packed[i, 23] = _map_idx(m.base_color_map_index)
+            packed[i, 24] = _map_idx(m.metallic_roughness_map_index)
+            packed[i, 25] = _map_idx(m.emission_map_index)
+            packed[i, 26] = _map_idx(m.normal_map_index)
+            packed[i, 27] = m.anisotropic
+
         return DeviceMaterials(
+            packed=jnp.asarray(packed),
+            has_disney=any(m.type == MaterialType.DISNEY for m in mats),
+            has_transmission=any(
+                m.type == MaterialType.DISNEY and m.specular_transmission > 0
+                for m in mats
+            ),
             base_color=f(lambda m: m.base_color),
             opacity=f(lambda m: m.opacity),
             emission=f(lambda m: m.emission),
@@ -307,7 +342,62 @@ class SceneUploader:
         total = -(-n_tris // TRI_PAD) * TRI_PAD
         # Padding triangles: far away and degenerate so they never hit.
         far = np.float32(3.0e37)
+
+        nrm = np.concatenate(ns).astype(np.float32)
+        uv = np.concatenate(uvs).astype(np.float32)
+        mat = np.concatenate(mats)
+        prim = np.concatenate(prims)
+
+        # Morton-order the triangle soup so each TRI_PAD chunk is a
+        # spatially coherent *cluster* — the unit of the streaming
+        # intersector's AABB culling (ops/cluster.py). Replaces the
+        # spatial role of per-primitive BLAS ordering.
+        from ...ops.morton import morton3d_np
+
+        centroid = v0 + (e1 + e2) / 3.0
+        scene_min = centroid.min(axis=0)
+        scene_max = centroid.max(axis=0)
+        order = np.argsort(
+            morton3d_np(centroid, scene_min, scene_max), kind="stable"
+        )
+        v0, e1, e2 = v0[order], e1[order], e2[order]
+        nrm, uv, mat, prim = nrm[order], uv[order], mat[order], prim[order]
+        ng = np.cross(e1, e2)
+        ng_len = np.linalg.norm(ng, axis=1, keepdims=True)
+        ng = np.where(ng_len > 0, ng / ng_len, ng).astype(np.float32)
+        shade = np.zeros((n_tris, 32), np.float32)
+        shade[:, 0:9] = nrm.reshape(n_tris, 9)
+        shade[:, 9:15] = uv.reshape(n_tris, 6)
+        shade[:, 15:18] = ng
+        shade[:, 18] = mat.astype(np.float32)
+        shade[:, 19] = prim.astype(np.float32)
+
+        # Cluster AABBs + packed geometry blocks over the padded soup.
+        v0p = pad_rows(v0, total, far)
+        e1p = pad_rows(e1, total, 0)
+        e2p = pad_rows(e2, total, 0)
+        n_clusters = total // TRI_PAD
+        t_min = np.minimum(np.minimum(v0p, v0p + e1p), v0p + e2p)
+        t_max = np.maximum(np.maximum(v0p, v0p + e1p), v0p + e2p)
+        real = (np.arange(total) < n_tris)[:, None]
+        t_min = np.where(real, t_min, np.float32(np.inf))
+        t_max = np.where(real, t_max, np.float32(-np.inf))
+        cluster_min = t_min.reshape(n_clusters, TRI_PAD, 3).min(axis=1)
+        cluster_max = t_max.reshape(n_clusters, TRI_PAD, 3).max(axis=1)
+        # all-padding clusters: empty AABB that never intersects
+        empty = ~np.isfinite(cluster_min[:, 0])
+        cluster_min[empty] = far
+        cluster_max[empty] = far
+        tri_packed = np.zeros((n_clusters, TRI_PAD, 12), np.float32)
+        tri_packed[..., 0:3] = v0p.reshape(n_clusters, TRI_PAD, 3)
+        tri_packed[..., 3:6] = e1p.reshape(n_clusters, TRI_PAD, 3)
+        tri_packed[..., 6:9] = e2p.reshape(n_clusters, TRI_PAD, 3)
+
         return DeviceGeometry(
+            shade_table=jnp.asarray(pad_rows(shade, total, 0)),
+            cluster_min=jnp.asarray(cluster_min.astype(np.float32)),
+            cluster_max=jnp.asarray(cluster_max.astype(np.float32)),
+            tri_packed=jnp.asarray(tri_packed),
             tri_v0=jnp.asarray(pad_rows(v0, total, far)),
             tri_e1=jnp.asarray(pad_rows(e1, total, 0)),
             tri_e2=jnp.asarray(pad_rows(e2, total, 0)),

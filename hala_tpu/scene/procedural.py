@@ -147,6 +147,83 @@ def cornell_box(
     return scene
 
 
+def sponza_like(
+    rooms: tuple[int, int] = (4, 4),
+    columns_per_room: int = 4,
+    boxes_per_room: int = 3,
+    seed: int = 0,
+) -> Scene:
+    """Structured architectural scene (Sponza stand-in for BASELINE
+    config[4]): a grid of rooms with floors, walls, columns and clutter
+    boxes — high spatial coherence, tens of thousands of triangles when
+    scaled up. Column/box counts scale triangle count."""
+    rs = np.random.RandomState(seed)
+    scene = Scene()
+    scene.materials = [
+        _diffuse([0.7, 0.65, 0.6]),   # masonry
+        _diffuse([0.45, 0.3, 0.2]),   # wood
+        _diffuse([0.3, 0.35, 0.45]),  # stone
+    ]
+    prims: list = []
+    rx, rz = rooms
+    room = 4.0
+    for ix in range(rx):
+        for iz in range(rz):
+            x0, z0 = ix * room, iz * room
+            cx, cz = x0 + room / 2, z0 + room / 2
+            # floor + ceiling slabs
+            prims += make_box([cx, -0.1, cz], [room, 0.2, room], 0)
+            prims += make_box([cx, 3.1, cz], [room, 0.2, room], 0)
+            # columns
+            for c in range(columns_per_room):
+                px = x0 + 0.6 + 2.8 * ((c % 2))
+                pz = z0 + 0.6 + 2.8 * ((c // 2) % 2)
+                prims += make_box([px, 1.5, pz], [0.3, 3.0, 0.3], 2)
+            # clutter
+            for _ in range(boxes_per_room):
+                bx = x0 + rs.uniform(0.8, room - 0.8)
+                bz = z0 + rs.uniform(0.8, room - 0.8)
+                s = rs.uniform(0.2, 0.7)
+                prims += make_box([bx, s / 2, bz], [s, s, s], 1)
+    scene.meshes = [Mesh(primitives=prims)]
+    root = Node(name="root")
+    root.mesh_index = 0
+    scene.nodes.append(root)
+
+    light_node = Node(name="sun")
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = [rx * room / 2, 2.9, rz * room / 2]
+    m[:3, 0] = [1, 0, 0]
+    m[:3, 1] = [0, 0, 1]
+    m[:3, 2] = [0, -1, 0]
+    light_node.local_transform = m
+    light_node.light_index = 0
+    scene.nodes.append(light_node)
+    scene.lights = [
+        Light(
+            color=np.ones(3, np.float32),
+            intensity=40.0,
+            light_type=LightType.QUAD,
+            params=(1.5, 1.5),
+        )
+    ]
+
+    cam_node = Node(name="camera")
+    cm = np.eye(4, dtype=np.float32)
+    # stand in the first room looking down the +x corridor: forward = -Z
+    # axis of the node, so orient z toward -x.
+    cm[:3, 0] = [0, 0, -1]
+    cm[:3, 1] = [0, 1, 0]
+    cm[:3, 2] = [-1, 0, 0]
+    cm[:3, 3] = [0.5, 1.5, rz * room / 2]
+    cam_node.local_transform = cm
+    cam_node.camera_index = 0
+    scene.nodes.append(cam_node)
+    scene.cameras = [PerspectiveCamera(aspect=16 / 9, yfov=0.8, znear=0.05)]
+    scene.update_node_hierarchies()
+    return scene
+
+
 def random_triangle_soup(n_tris: int, seed: int = 0) -> Scene:
     """Random triangles in [-1,1]^3 for BVH stress tests + LBVH bench."""
     rs = np.random.RandomState(seed)

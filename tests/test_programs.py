@@ -1,0 +1,186 @@
+"""Program façade + kernel cache tests (reference section 2.10 parity),
+plus checkpoint/resume and RenderConfig round-trips."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hala_tpu.error import HalaRendererError
+from hala_tpu.models.integrator import Film
+from hala_tpu.programs import (
+    ComputeProgram,
+    ComputeProgramDesc,
+    GraphicsProgram,
+    GraphicsProgramDesc,
+    KernelCache,
+    RayTracingProgram,
+    RayTracingProgramDesc,
+)
+from hala_tpu.utils.checkpoint import load_render_state, save_render_state
+from hala_tpu.utils.config import RenderConfig
+
+
+class TestKernelCache:
+    def test_singleton(self):
+        assert KernelCache.get_instance() is KernelCache.get_instance()
+
+    def test_from_memory_and_get(self):
+        cache = KernelCache.get_instance()
+        fn = lambda x: x + 1
+        cache.from_memory("my_kernel", fn)
+        assert cache.get("my_kernel") is fn
+        cache.remove("my_kernel")
+        assert cache.get("my_kernel") is None
+
+    def test_load_import_path(self):
+        cache = KernelCache.get_instance()
+        fn = cache.load("hala_tpu.ops.tonemap:tonemap_aces_simple")
+        out = np.asarray(fn(jnp.asarray([[10.0, 10.0, 10.0]])))
+        assert out.max() <= 1.0
+
+    def test_load_bad_path(self):
+        with pytest.raises(HalaRendererError):
+            KernelCache.get_instance().load("no_such_module:fn")
+        with pytest.raises(HalaRendererError):
+            KernelCache.get_instance().load("not-a-kernel-path")
+
+
+class TestComputeProgram:
+    def test_dispatch_jitted_kernel(self):
+        desc = ComputeProgramDesc(
+            shader_file_path="hala_tpu.ops.tonemap:tonemap_reinhard_lum"
+        )
+        prog = ComputeProgram(desc)
+        out = prog.dispatch(jnp.asarray([[1.5, 1.5, 1.5]]))
+        assert np.asarray(out).max() < 1.0
+
+    def test_desc_json_roundtrip(self):
+        desc = ComputeProgramDesc(
+            shader_file_path="m:f", push_constant_size=8, bindings=["a", "b"]
+        )
+        back = ComputeProgramDesc.from_json(desc.to_json())
+        assert back == desc
+
+
+class TestRayTracingProgram:
+    def test_desc_defaults(self):
+        """serde defaults parity: recursion depth 1."""
+        d = RayTracingProgramDesc.from_json("{}")
+        assert d.ray_recursion_depth == 1
+        assert d.ray_gen_shader_file_path == "builtin:raygen"
+
+    def test_trace_rays(self, cornell_device_scene):
+        desc = RayTracingProgramDesc(ray_recursion_depth=2)
+        prog = RayTracingProgram(desc, cornell_device_scene)
+        film = Film.create(16, 16)
+        film, rays = prog.trace_rays(film, 16, 16, frame_index=0)
+        assert np.isfinite(np.asarray(film.accum)).all()
+        assert float(rays) > 0
+
+
+class TestGraphicsProgram:
+    def test_draw(self, cornell_device_scene):
+        desc = GraphicsProgramDesc()
+        prog = GraphicsProgram(desc, cornell_device_scene)
+        color, gbuffer = prog.draw(24, 24)
+        assert color.shape == (24, 24, 3)
+        assert np.isfinite(np.asarray(color)).all()
+
+    def test_mesh_shader_flag(self):
+        d = GraphicsProgramDesc(mesh_shader_file_path="builtin:meshlet")
+        assert d.uses_mesh_shader
+        assert not GraphicsProgramDesc().uses_mesh_shader
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, rs):
+        film = Film(
+            accum=jnp.asarray(rs.rand(8, 8, 4).astype(np.float32)),
+            albedo=jnp.asarray(rs.rand(8, 8, 4).astype(np.float32)),
+            normal=jnp.asarray(rs.rand(8, 8, 4).astype(np.float32)),
+        )
+        p = str(tmp_path / "state.npz")
+        save_render_state(p, film, frame_index=42, seed=7, extra={"spp": 4})
+        film2, fidx, seed, extra = load_render_state(p)
+        np.testing.assert_array_equal(np.asarray(film.accum), np.asarray(film2.accum))
+        assert fidx == 42 and seed == 7
+        assert int(extra["spp"]) == 4
+
+    def test_resume_continues_progressive(self, tmp_path, cornell_device_scene):
+        """Render 2 frames, checkpoint, resume, render 2 more == 4 straight."""
+        from hala_tpu.models.integrator import (
+            RenderSettings,
+            Uniforms,
+            render_frame,
+        )
+
+        settings = RenderSettings(width=16, height=16, max_depth=2, tile_size=256)
+        uni = Uniforms.default()
+
+        film_a = Film.create(16, 16)
+        for f in range(4):
+            film_a, _ = render_frame(
+                cornell_device_scene, None, uni, film_a, f, settings
+            )
+
+        film_b = Film.create(16, 16)
+        for f in range(2):
+            film_b, _ = render_frame(
+                cornell_device_scene, None, uni, film_b, f, settings
+            )
+        p = str(tmp_path / "ck.npz")
+        save_render_state(p, film_b, frame_index=2)
+        film_c, fidx, _, _ = load_render_state(p)
+        for f in range(fidx, 4):
+            film_c, _ = render_frame(
+                cornell_device_scene, None, uni, film_c, f, settings
+            )
+        np.testing.assert_allclose(
+            np.asarray(film_a.accum), np.asarray(film_c.accum), atol=1e-6
+        )
+
+
+class TestRenderConfig:
+    def test_json_roundtrip(self):
+        cfg = RenderConfig(width=256, max_depth=6, env_type="map",
+                           sky_color=(0.1, 0.2, 0.3))
+        back = RenderConfig.from_json(cfg.to_json())
+        assert back == cfg
+
+    def test_build_renderer(self, cornell_scene):
+        cfg = RenderConfig(width=16, height=16, max_frames=1, tile_size=256)
+        r = cfg.build_renderer()
+        r.set_scene(cornell_scene)
+        r.commit()
+        r.update()
+        r.render()
+        assert r._frame_index == 1
+
+    def test_unknown_keys_ignored(self):
+        cfg = RenderConfig.from_json('{"width": 64, "bogus_key": 1}')
+        assert cfg.width == 64
+
+
+class TestBlueNoise:
+    def test_blue_noise_jitter_changes_image(self, cornell_device_scene):
+        from hala_tpu.models.integrator import (
+            RenderSettings,
+            Uniforms,
+            render_frame,
+        )
+
+        settings = RenderSettings(width=16, height=16, max_depth=2, tile_size=256)
+        uni = Uniforms.default()
+        bn = jnp.asarray(
+            np.random.RandomState(0).rand(32, 32, 4).astype(np.float32)
+        )
+        f1, _ = render_frame(
+            cornell_device_scene, None, uni, Film.create(16, 16), 0, settings
+        )
+        f2, _ = render_frame(
+            cornell_device_scene, None, uni, Film.create(16, 16), 0, settings,
+            blue_noise=bn,
+        )
+        a, b = np.asarray(f1.accum), np.asarray(f2.accum)
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() > 0  # different jitter stream
