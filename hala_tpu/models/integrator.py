@@ -72,6 +72,8 @@ class RenderSettings:
     chunk: int = 2048  # brute-force triangle chunk
     intersector: str = "legacy"  # "legacy" honors use_bvh
     interpret_pallas: bool = False
+    cluster_k_max: int = 64      # candidate clusters per 1024-ray block
+    sort_rays: bool = False      # wavefront coherence sort before queries
 
 
 def resolve_intersector(preference: str = "auto") -> str:
@@ -136,6 +138,8 @@ class Film:
 
 
 def _backend(settings: RenderSettings, scene) -> str:
+    if settings.intersector == "cluster":
+        return "cluster"
     if settings.intersector == "pallas":
         return "pallas"
     if settings.intersector == "bruteforce":
@@ -151,6 +155,32 @@ def _backend(settings: RenderSettings, scene) -> str:
 def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
     g = scene.geometry
     backend = _backend(settings, scene)
+    if backend == "cluster":
+        from ..ops.cluster import intersect_clustered
+        from ..ops.compaction import permute, sort_rays
+        from ..ops.intersect import Hit as _H
+
+        if settings.sort_rays:
+            tm = (
+                jnp.broadcast_to(t_max, (o.shape[0],)).astype(jnp.float32)
+                if t_max is not None
+                else jnp.full((o.shape[0],), T_MAX)
+            )
+            smin = jnp.min(g.cluster_min, axis=0)
+            smax = jnp.max(
+                jnp.where(g.cluster_max < 1e30, g.cluster_max, -jnp.inf), axis=0
+            )
+            ro = sort_rays(o, d, tm > 0, smin, smax)
+            o_s, d_s, t_s = permute(ro.order, o, d, tm)
+            hit = intersect_clustered(
+                o_s, d_s, g, t_max=t_s,
+                interpret=settings.interpret_pallas,
+            )
+            return _H(*(permute(ro.inverse, x) for x in hit))
+        return intersect_clustered(
+            o, d, g, t_max=t_max,
+            interpret=settings.interpret_pallas,
+        )
     if backend == "pallas":
         from ..ops.pallas.intersect_kernel import intersect_pallas
 
@@ -170,6 +200,11 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
 def _occluded(scene, o, d, t_far, settings: RenderSettings):
     g = scene.geometry
     backend = _backend(settings, scene)
+    if backend == "cluster":
+        hit = _intersect(
+            scene, o, d, settings, t_max=t_far * (1.0 - 1e-4)
+        )
+        return hit.tri >= 0
     if backend == "pallas":
         from ..ops.pallas.intersect_kernel import occluded_pallas
 
@@ -516,6 +551,27 @@ def render_frame(
     h, w = settings.height, settings.width
     cam_h = full_height if full_height is not None else h
     row_offset = jnp.asarray(row_offset, jnp.int32)
+    # 32x32 pixel swizzle: consecutive 1024-ray groups cover square pixel
+    # blocks instead of 2-row strips, which keeps the cluster
+    # intersector's per-block frusta tight. Pure layout transform; the
+    # RNG stays keyed on the global pixel id, so output is identical.
+    swizzle = (
+        h % 32 == 0 and w % 32 == 0 and settings.tile_size % 1024 == 0
+    )
+
+    def to_blocked(a):
+        return (
+            a.reshape(h // 32, 32, w // 32, 32, a.shape[-1])
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(h * w, a.shape[-1])
+        )
+
+    def from_blocked(a):
+        return (
+            a.reshape(h // 32, w // 32, 32, 32, a.shape[-1])
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(h * w, a.shape[-1])
+        )
     n_pix = h * w
     tile = min(settings.tile_size, n_pix)
     n_tiles = -(-n_pix // tile)
@@ -524,6 +580,10 @@ def render_frame(
     accum = film.accum.reshape(-1, 4)
     albedo = film.albedo.reshape(-1, 4)
     normal = film.normal.reshape(-1, 4)
+    if swizzle:
+        accum, albedo, normal = (
+            to_blocked(accum), to_blocked(albedo), to_blocked(normal)
+        )
     if n_pad != n_pix:
         pad = ((0, n_pad - n_pix), (0, 0))
         accum = jnp.pad(accum, pad)
@@ -537,9 +597,21 @@ def render_frame(
         accum, albedo, normal, rays_total = carry
         start = t * tile
         pix = start + jnp.arange(tile, dtype=jnp.int32)
-        gpix = pix + row_offset * w  # globally unique pixel id
-        px = (gpix % w).astype(jnp.float32)
-        py = (gpix // w).astype(jnp.float32)
+        if swizzle:
+            # blocked index -> pixel coords (32x32 blocks, row-major)
+            blk = pix // 1024
+            within = pix % 1024
+            bx = blk % (w // 32)
+            by = blk // (w // 32)
+            px_i = bx * 32 + within % 32
+            py_i = by * 32 + within // 32
+        else:
+            px_i = pix % w
+            py_i = pix // w
+        py_i = py_i + row_offset
+        gpix = py_i * w + px_i  # globally unique pixel id
+        px = px_i.astype(jnp.float32)
+        py = py_i.astype(jnp.float32)
         r_jit = rng.sample4(gpix, fidx, 0, seed=1)
         if blue_noise is not None:
             # Blue-noise pixel jitter (load_blue_noise_texture role,
@@ -584,9 +656,14 @@ def render_frame(
         jnp.arange(n_tiles, dtype=jnp.int32),
     )
 
+    accum, albedo, normal = accum[:n_pix], albedo[:n_pix], normal[:n_pix]
+    if swizzle:
+        accum, albedo, normal = (
+            from_blocked(accum), from_blocked(albedo), from_blocked(normal)
+        )
     new_film = Film(
-        accum=accum[:n_pix].reshape(h, w, 4),
-        albedo=albedo[:n_pix].reshape(h, w, 4),
-        normal=normal[:n_pix].reshape(h, w, 4),
+        accum=accum.reshape(h, w, 4),
+        albedo=albedo.reshape(h, w, 4),
+        normal=normal.reshape(h, w, 4),
     )
     return new_film, rays_total

@@ -142,6 +142,40 @@ class RayTracingRenderer(BaseRenderer):
     def set_camera_index(self, index: int) -> None:
         self.uniforms.camera_index = jnp.int32(index)
 
+    # -- kernel push API (shader push parity) -----------------------------
+
+    def push_general_kernel(self, kind: str, fn_or_path) -> None:
+        """Register a raygen/miss/callable stage kernel
+        (rt_renderer.rs:925-1012 push_general_shader: rejects other
+        stages). Kernels land in the process KernelCache under
+        rt.<kind>; the built-in integrator stages are the defaults."""
+        if kind not in ("raygen", "miss", "callable"):
+            raise HalaRendererError(
+                f"Only raygen/miss/callable stages accepted, got {kind!r}."
+            )
+        self._push_kernel(f"rt.{kind}", fn_or_path)
+
+    def push_hit_kernels(
+        self, closest_hit, any_hit=None, intersection=None
+    ) -> None:
+        """Register a hit-group kernel tuple (rt_renderer.rs:1020-1112
+        push_hit_shaders; group type TRIANGLES unless an intersection
+        kernel is present — the procedural-geometry analog)."""
+        self._push_kernel("rt.closest_hit", closest_hit)
+        if any_hit is not None:
+            self._push_kernel("rt.any_hit", any_hit)
+        if intersection is not None:
+            self._push_kernel("rt.intersection", intersection)
+
+    def _push_kernel(self, name: str, fn_or_path) -> None:
+        from ..programs import KernelCache
+
+        cache = KernelCache.get_instance()
+        if isinstance(fn_or_path, str):
+            cache.from_memory(name, cache.load(fn_or_path))
+        else:
+            cache.from_memory(name, fn_or_path)
+
     def load_blue_noise_texture(self, path: str) -> None:
         """rt_renderer.rs:1117-1156: the texture becomes the per-pixel
         low-discrepancy jitter source for primary rays."""
@@ -154,8 +188,18 @@ class RayTracingRenderer(BaseRenderer):
         """Freeze settings + compile (rt_renderer.rs:136-379 role)."""
         if self.scene is None:
             raise HalaRendererError("commit() before set_scene().")
-        from .integrator import resolve_intersector
-
+        intersector = self._intersector
+        sort = False
+        if (
+            intersector == "pallas"
+            and self.scene.geometry.num_triangles > 4096
+            and self.scene.geometry.tri_packed is not None
+        ):
+            # Large scene: all-triangles-in-SMEM streaming stops paying;
+            # switch to the cluster-culling intersector with the
+            # wavefront coherence sort (measured +39% on sponza_like).
+            intersector = "cluster"
+            sort = True
         self.settings = RenderSettings(
             width=self.info.width,
             height=self.info.height,
@@ -164,7 +208,8 @@ class RayTracingRenderer(BaseRenderer):
             env_type=int(self.env_type),
             tile_size=self._tile_size,
             use_bvh=self._use_bvh and self.scene.bvh is not None,
-            intersector=self._intersector,
+            intersector=intersector,
+            sort_rays=sort,
         )
 
     def update(self, delta_time: float = 0.0) -> None:

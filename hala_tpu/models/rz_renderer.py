@@ -58,6 +58,9 @@ class RasterSettings:
     deferred: bool = False
     msaa: int = 1  # supersampling factor per axis (1 = off)
     chunk: int = 512
+    binned: bool = False   # tile-binned rasterization (config[5])
+    tile: int = 64
+    bin_k_max: int = 256
 
 
 def _shade(scene, frag, view_pos):
@@ -153,6 +156,14 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings):
     screen, depth, inv_w = clip_to_screen(clip, rw, rh)
     valid = (geom.tri_mat >= 0) & jnp.all(clip[..., 3] > 1e-6, axis=-1)
 
+    if settings.binned:
+        from ..ops.raster import rasterize_tiled
+
+        frag, _overflow = rasterize_tiled(
+            screen, depth, inv_w, valid, rw, rh,
+            tile=settings.tile, k_max=settings.bin_k_max,
+        )
+        return frag
     pix = jnp.arange(rw * rh, dtype=jnp.int32)
     px = (pix % rw).astype(jnp.float32) + 0.5
     py = (pix // rw).astype(jnp.float32) + 0.5
@@ -222,6 +233,10 @@ class RasterizationRenderer(BaseRenderer):
         msaa: int = 1,
         enable_tonemap: bool = False,
         chunk: int = 512,
+        binned: bool = False,
+        tile: int = 64,
+        bin_k_max: int = 256,
+        post_program=None,
     ):
         super().__init__(name, width, height)
         if use_deferred and msaa > 1:
@@ -237,9 +252,52 @@ class RasterizationRenderer(BaseRenderer):
         self._host_scene: Scene | None = None
         self.settings: RasterSettings | None = None
         self._chunk = chunk
+        self._binned = binned
+        self._tile = tile
+        self._bin_k_max = bin_k_max
+        # Optional ComputeProgram applied to the shaded color image — the
+        # "compute_program post pass" of BASELINE config[5].
+        self.post_program = post_program
         self.color: np.ndarray | None = None
         self.gbuffer: dict | None = None
         self.camera_index = 0
+
+    # -- kernel push API (shader push parity) -----------------------------
+
+    def push_traditional_kernels(self, vertex, fragment) -> None:
+        """VS+FS pair (rz_renderer.rs:1829-1860: asserts the renderer is
+        not in mesh-shader mode)."""
+        if self.use_mesh_shader:
+            raise HalaRendererError(
+                "Traditional shaders require use_mesh_shader=False."
+            )
+        self._push_kernel("rz.vertex", vertex)
+        self._push_kernel("rz.fragment", fragment)
+
+    def push_kernels(self, mesh, fragment, task=None) -> None:
+        """task?+mesh+FS set (rz_renderer.rs:1862-1905: asserts the
+        mesh-shader mode)."""
+        if not self.use_mesh_shader:
+            raise HalaRendererError(
+                "Mesh-shader kernels require use_mesh_shader=True."
+            )
+        if task is not None:
+            self._push_kernel("rz.task", task)
+        self._push_kernel("rz.mesh", mesh)
+        self._push_kernel("rz.fragment", fragment)
+
+    def push_compute_kernels(self, fn_or_path) -> None:
+        """rz_renderer.rs:1907-1931 push_compute_shaders."""
+        self._push_kernel("rz.compute", fn_or_path)
+
+    def _push_kernel(self, name: str, fn_or_path) -> None:
+        from ..programs import KernelCache
+
+        cache = KernelCache.get_instance()
+        if isinstance(fn_or_path, str):
+            cache.from_memory(name, cache.load(fn_or_path))
+        else:
+            cache.from_memory(name, fn_or_path)
 
     def set_scene(self, scene: Scene) -> None:
         """rz_renderer.rs:1936-1954."""
@@ -260,6 +318,9 @@ class RasterizationRenderer(BaseRenderer):
             deferred=self.use_deferred,
             msaa=self.msaa,
             chunk=self._chunk,
+            binned=self._binned,
+            tile=self._tile,
+            bin_k_max=self._bin_k_max,
         )
 
     def update(self, delta_time: float = 0.0) -> None:
@@ -270,6 +331,8 @@ class RasterizationRenderer(BaseRenderer):
         color, gbuffer = raster_frame(
             self.scene, jnp.int32(self.camera_index), self.settings
         )
+        if self.post_program is not None:
+            color = self.post_program.dispatch(color)
         self._pending = (color, gbuffer)
         self.color = color
         self.gbuffer = gbuffer

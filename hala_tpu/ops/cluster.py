@@ -1,25 +1,21 @@
 """Cluster-streaming intersector for large scenes.
 
 The TPU-native replacement for per-ray BVH traversal (SURVEY.md
-section 7 hard-part #1: per-lane tree walks don't map to a 8x128-lane
+section 7 hard-part #1: per-lane tree walks don't map to an 8x128-lane
 machine). Triangles are Morton-ordered at upload so every TRI_PAD chunk
-is a spatially coherent *cluster* with a tight AABB. Visibility is then
-two dense phases:
+is a spatially coherent *cluster* with a tight AABB; the kernel walks a
+flat cluster list in lockstep:
 
-1. **Cull** (jnp): every ray of a 1024-ray block is slab-tested against
-   every cluster AABB; a block-level OR yields the block's candidate
-   cluster list (N x C elementwise VPU work, no gathers).
-2. **Stream** (Pallas): grid = (ray_blocks, k_max). The candidate ids are
-   scalar-prefetch arguments, so each grid step's BlockSpec index_map
-   *is* the indirection: Pallas pipelines the DMA of cluster geometry
-   blocks from HBM into VMEM while the previous cluster's 128-triangle
-   Moller-Trumbore loop runs on the VPU. Steps beyond the candidate
-   count repeat the previous block index (Pallas skips the re-fetch) and
-   are predicated off.
+for each cluster: slab-test its AABB against the whole 1024-ray tile
+(~20 VPU ops); only if ANY lane hits, DMA the cluster's packed geometry
+block from HBM into VMEM and run the 128-triangle Moller-Trumbore loop.
+The AABB test is the "traversal"; the predicated DMA+loop is the "leaf".
+No gathers, no per-ray stacks, no candidate-list overflow hazard.
 
-Block coherence governs efficiency: primary rays are coherent by
-construction; bounce rays rely on the wavefront sorter
-(ops/compaction.py) to restore locality.
+Efficiency is governed by how many clusters a ray *block* touches, so
+callers keep blocks coherent: the integrator renders pixels in 32x32
+swizzled blocks and the wavefront sorter (ops/compaction.py) reorders
+bounce rays by direction octant + origin cell.
 """
 
 from __future__ import annotations
@@ -36,26 +32,32 @@ from .intersect import Hit, T_MAX, varying_like
 
 LANES = 128
 BLOCK_SUBLANES = 8
-RAY_BLOCK = BLOCK_SUBLANES * LANES  # 1024 rays per culling/stream block
-TRI_CHUNK = 128                     # == scene/gpu TRI_PAD (cluster size)
+RAY_BLOCK = BLOCK_SUBLANES * LANES  # 1024 rays per stream block
+TRI_CHUNK = 128                     # == scene/gpu TRI_PAD (DMA block size)
+# AABB/culling granularity. Measured on the sponza_like frame: 32 makes
+# the 4x extra slab tests cost more than the finer leaves save (1.49 vs
+# 1.60 Mrays/s), so culling stays at DMA-block granularity.
+SUB_CLUSTER = 128
+SUBS_PER_CHUNK = TRI_CHUNK // SUB_CLUSTER
 _EPS = 1.0e-7
 _T_MIN = 1.0e-4
 
 
 class CullResult(NamedTuple):
-    ids: jnp.ndarray      # (nb, k_max) i32 — candidate clusters, clamp-filled
-    counts: jnp.ndarray   # (nb,) i32
-    overflow: jnp.ndarray  # () f32 — fraction of blocks whose list clipped
+    """Diagnostic per-block candidate statistics (cull_clusters)."""
+
+    ids: jnp.ndarray
+    counts: jnp.ndarray
+    overflow: jnp.ndarray
 
 
 def cull_clusters(
     o, d, t_max, cluster_min, cluster_max, k_max: int
 ) -> CullResult:
-    """Per-block candidate cluster lists. o, d: (N, 3) with N a multiple
-    of RAY_BLOCK; t_max: (N,)."""
+    """Reference (jnp) block-level culling, kept as the test oracle for
+    the in-kernel AABB test and as a block-coherence diagnostic."""
     n = o.shape[0]
     nb = n // RAY_BLOCK
-    c = cluster_min.shape[0]
     safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d)
     inv_d = 1.0 / safe_d
 
@@ -67,15 +69,12 @@ def cull_clusters(
         ob, invb, tmb = args
         t0 = (cluster_min[None, :, :] - ob[:, None, :]) * invb[:, None, :]
         t1 = (cluster_max[None, :, :] - ob[:, None, :]) * invb[:, None, :]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (R, C)
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         hit = (tn <= tf) & (tf > 0.0) & (tn < tmb[:, None])
-        m = jnp.any(hit, axis=0)  # (C,)
+        m = jnp.any(hit, axis=0)
         count = jnp.sum(m.astype(jnp.int32))
-        # Selected clusters first, preserving Morton order.
         ids = jnp.argsort(~m, stable=True).astype(jnp.int32)[:k_max]
-        # Clamp-fill the tail with the last valid id so consecutive grid
-        # steps see an unchanged block index (no wasted DMA).
         fill = ids[jnp.maximum(jnp.minimum(count, k_max) - 1, 0)]
         pos = jnp.arange(k_max, dtype=jnp.int32)
         ids = jnp.where(pos < count, ids, fill)
@@ -88,87 +87,125 @@ def cull_clusters(
     )
 
 
-def _stream_kernel(
-    ids_ref,      # SMEM (nb, k_max) i32 (scalar prefetch)
-    counts_ref,   # SMEM (nb,) i32 (scalar prefetch)
+def _make_stream_kernel(num_clusters: int):
+    return functools.partial(_stream_kernel_body, num_clusters)
+
+
+def _stream_kernel_body(
+    num_clusters,
+    cmin_ref,     # VMEM (C, 3) cluster AABB mins
+    cmax_ref,     # VMEM (C, 3)
     ox, oy, oz, dx, dy, dz, tmax,   # VMEM (BLOCK_SUBLANES, LANES)
-    tri_ref,      # VMEM (1, TRI_CHUNK, 12) — current cluster block
+    tri_hbm,      # ANY/HBM (C, TRI_CHUNK, 12)
     t_out, tri_out, u_out, v_out,
+    tri_smem,     # scratch SMEM (16, TRI_CHUNK) cluster block
+    last_ref,     # scratch SMEM (1,) i32 — id of the resident DMA block
+    sem,          # DMA semaphore
 ):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    last_ref[0] = -1
+    t_out[:] = tmax[:]
+    tri_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
+    u_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+    v_out[:] = jnp.zeros(t_out.shape, jnp.float32)
 
-    @pl.when(j == 0)
-    def _init():
-        t_out[:] = tmax[:]
-        tri_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
-        u_out[:] = jnp.zeros(t_out.shape, jnp.float32)
-        v_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+    rox, roy, roz = ox[:], oy[:], oz[:]
+    rdx, rdy, rdz = dx[:], dy[:], dz[:]
+    big = jnp.float32(1e12)
+    invx = jnp.where(jnp.abs(rdx) < 1e-12, big, 1.0 / rdx)
+    invy = jnp.where(jnp.abs(rdy) < 1e-12, big, 1.0 / rdy)
+    invz = jnp.where(jnp.abs(rdz) < 1e-12, big, 1.0 / rdz)
 
-    @pl.when(j < counts_ref[i])
-    def _process():
-        cid = ids_ref[i, j]
-        base = cid * TRI_CHUNK
-        rox, roy, roz = ox[:], oy[:], oz[:]
-        rdx, rdy, rdz = dx[:], dy[:], dz[:]
+    def cluster_body(c, _):
+        # Lockstep slab test of cluster c against the whole ray tile.
+        t0x = (cmin_ref[c, 0] - rox) * invx
+        t1x = (cmax_ref[c, 0] - rox) * invx
+        t0y = (cmin_ref[c, 1] - roy) * invy
+        t1y = (cmax_ref[c, 1] - roy) * invy
+        t0z = (cmin_ref[c, 2] - roz) * invz
+        t1z = (cmax_ref[c, 2] - roz) * invz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        any_hit = jnp.any((tn <= tf) & (tf > 0.0) & (tn < t_out[:]))
 
-        def body(t, _):
-            av0x = tri_ref[0, t, 0]
-            av0y = tri_ref[0, t, 1]
-            av0z = tri_ref[0, t, 2]
-            ae1x = tri_ref[0, t, 3]
-            ae1y = tri_ref[0, t, 4]
-            ae1z = tri_ref[0, t, 5]
-            ae2x = tri_ref[0, t, 6]
-            ae2y = tri_ref[0, t, 7]
-            ae2z = tri_ref[0, t, 8]
+        @pl.when(any_hit)
+        def _leaf():
+            # c is a SUB_CLUSTER id; its geometry lives in DMA block p.
+            p = c // SUBS_PER_CHUNK
+            off = (c % SUBS_PER_CHUNK) * SUB_CLUSTER
 
-            px = rdy * ae2z - rdz * ae2y
-            py = rdz * ae2x - rdx * ae2z
-            pz = rdx * ae2y - rdy * ae2x
-            det = px * ae1x + py * ae1y + pz * ae1z
-            inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
-            tx = rox - av0x
-            ty = roy - av0y
-            tz = roz - av0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * ae1z - tz * ae1y
-            qy = tz * ae1x - tx * ae1z
-            qz = tx * ae1y - ty * ae1x
-            v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
-            tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
+            @pl.when(last_ref[0] != p)
+            def _fetch():
+                cp = pltpu.make_async_copy(tri_hbm.at[p], tri_smem, sem)
+                cp.start()
+                cp.wait()
+                last_ref[0] = p
 
-            t_cur = t_out[:]
-            ok = (
-                (jnp.abs(det) > _EPS)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (tt > _T_MIN)
-                & (tt < t_cur)
-            )
-            t_out[:] = jnp.where(ok, tt, t_cur)
-            tri_out[:] = jnp.where(ok, base + t, tri_out[:])
-            u_out[:] = jnp.where(ok, u, u_out[:])
-            v_out[:] = jnp.where(ok, v, v_out[:])
-            return 0
+            base = p * TRI_CHUNK + off
 
-        jax.lax.fori_loop(0, TRI_CHUNK, body, 0)
+            def tri_body(k, _):
+                t = off + k
+                av0x = tri_smem[0, t]
+                av0y = tri_smem[1, t]
+                av0z = tri_smem[2, t]
+                ae1x = tri_smem[3, t]
+                ae1y = tri_smem[4, t]
+                ae1z = tri_smem[5, t]
+                ae2x = tri_smem[6, t]
+                ae2y = tri_smem[7, t]
+                ae2z = tri_smem[8, t]
+
+                px = rdy * ae2z - rdz * ae2y
+                py = rdz * ae2x - rdx * ae2z
+                pz = rdx * ae2y - rdy * ae2x
+                det = px * ae1x + py * ae1y + pz * ae1z
+                inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
+                tx = rox - av0x
+                ty = roy - av0y
+                tz = roz - av0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * ae1z - tz * ae1y
+                qy = tz * ae1x - tx * ae1z
+                qz = tx * ae1y - ty * ae1x
+                v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+                tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
+
+                t_cur = t_out[:]
+                ok = (
+                    (jnp.abs(det) > _EPS)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (tt > _T_MIN)
+                    & (tt < t_cur)
+                )
+                t_out[:] = jnp.where(ok, tt, t_cur)
+                tri_out[:] = jnp.where(ok, base + k, tri_out[:])
+                u_out[:] = jnp.where(ok, u, u_out[:])
+                v_out[:] = jnp.where(ok, v, v_out[:])
+                return 0
+
+            jax.lax.fori_loop(0, SUB_CLUSTER, tri_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, num_clusters, cluster_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("k_max", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def intersect_clustered(
     o: jnp.ndarray,
     d: jnp.ndarray,
     geometry,
     t_max=None,
-    k_max: int = 64,
     interpret: bool = False,
-) -> tuple[Hit, jnp.ndarray]:
-    """Closest hit through cull + stream. Returns (Hit, overflow_frac).
-
-    overflow_frac > 0 means some block's candidate list was clipped at
-    k_max and hits may be missed — raise k_max (it is a static arg)."""
+) -> Hit:
+    """Closest hit through the fused cull+stream kernel."""
     n = o.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
 
@@ -181,10 +218,8 @@ def intersect_clustered(
         d = jnp.pad(d, ((0, n_pad - n), (0, 0)), constant_values=1.0)
         tm = jnp.pad(tm, (0, n_pad - n))
 
-    cull = cull_clusters(
-        o, d, tm, geometry.cluster_min, geometry.cluster_max, k_max
-    )
     nb = n_pad // RAY_BLOCK
+    c = geometry.cluster_min.shape[0]  # sub-cluster count
 
     def comp(a, i):
         return a[:, i].reshape(n_pad // LANES, LANES)
@@ -193,47 +228,40 @@ def intersect_clustered(
             comp(d, 0), comp(d, 1), comp(d, 2),
             tm.reshape(n_pad // LANES, LANES)]
 
+    aabb_spec = pl.BlockSpec((c, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec(
-        (BLOCK_SUBLANES, LANES),
-        lambda i, j, ids, counts: (i, 0),
-        memory_space=pltpu.VMEM,
+        (BLOCK_SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    tri_spec = pl.BlockSpec(
-        (1, TRI_CHUNK, 12),
-        lambda i, j, ids, counts: (ids[i, j], 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec(
-        (BLOCK_SUBLANES, LANES),
-        lambda i, j, ids, counts: (i, 0),
-        memory_space=pltpu.VMEM,
+        (BLOCK_SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     shape2 = (n_pad // LANES, LANES)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb, k_max),
-        in_specs=[ray_spec] * 7 + [tri_spec],
-        out_specs=[out_spec] * 4,
-    )
     t_best, tri_best, u_best, v_best = pl.pallas_call(
-        _stream_kernel,
-        grid_spec=grid_spec,
+        _make_stream_kernel(c),
+        grid=(nb,),
+        in_specs=[aabb_spec, aabb_spec] + [ray_spec] * 7 + [tri_spec],
+        out_specs=[out_spec] * 4,
         out_shape=[
             jax.ShapeDtypeStruct(shape2, jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.int32),
             jax.ShapeDtypeStruct(shape2, jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(cull.ids, cull.counts, *rays, geometry.tri_packed)
+    )(geometry.cluster_min, geometry.cluster_max, *rays, geometry.tri_packed)
 
-    hit = Hit(
+    return Hit(
         t=t_best.reshape(-1)[:n],
         tri=tri_best.reshape(-1)[:n],
         u=u_best.reshape(-1)[:n],
         v=v_best.reshape(-1)[:n],
     )
-    return hit, cull.overflow

@@ -24,13 +24,23 @@ from ..scene.meshlet import (
 
 
 def build_meshlets(
-    indices: np.ndarray, positions: np.ndarray
+    indices: np.ndarray, positions: np.ndarray, use_native: bool = True
 ) -> tuple[list[Meshlet], np.ndarray, np.ndarray]:
     """Cluster triangles into meshlets.
 
     Returns (meshlets, meshlet_vertices (u32), meshlet_primitives (u32,
-    3 x u8 packed per triangle)).
+    3 x u8 packed per triangle)). Uses the C++ builder
+    (native/meshopt.cpp) when available; this Python path is the
+    fallback and the test oracle.
     """
+    if use_native:
+        from ..native import build_meshlets_native
+
+        native = build_meshlets_native(
+            indices, positions, MESHLET_MAX_VERTICES, MESHLET_MAX_PRIMITIVES
+        )
+        if native is not None:
+            return native
     tris = indices.reshape(-1, 3)
     meshlets: list[Meshlet] = []
     mv: list[int] = []  # global vertex ids, grouped per meshlet

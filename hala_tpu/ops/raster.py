@@ -134,3 +134,81 @@ def rasterize(
 
     out, _ = jax.lax.scan(body, init, jnp.arange(t // chunk))
     return out
+
+
+def rasterize_tiled(
+    tri_screen: jnp.ndarray,   # (T, 3, 2)
+    tri_depth: jnp.ndarray,    # (T, 3)
+    tri_inv_w: jnp.ndarray,    # (T, 3)
+    tri_valid: jnp.ndarray,    # (T,)
+    width: int,
+    height: int,
+    tile: int = 64,
+    k_max: int = 256,
+) -> tuple[FragmentBuffer, jnp.ndarray]:
+    """Tile-binned rasterization (BASELINE config[5]): triangles are
+    binned to screen tiles by their screen AABB; each tile tests only its
+    candidate list. Same cull+stream shape as the ray-tracing cluster
+    intersector — bins replace per-pixel full scans, cutting work from
+    O(pixels x triangles) to O(pixels x bin occupancy).
+
+    Returns (FragmentBuffer flat over pixels, overflow fraction of tiles
+    whose candidate list clipped at k_max). Meshlets are the natural
+    binning granularity upstream (SURVEY.md section 7 stage 7)."""
+    t = tri_screen.shape[0]
+    tw = -(-width // tile)
+    th = -(-height // tile)
+
+    # Triangle screen AABBs.
+    smin = jnp.min(tri_screen, axis=1)  # (T, 2)
+    smax = jnp.max(tri_screen, axis=1)
+
+    tile_ids = jnp.arange(tw * th, dtype=jnp.int32)
+
+    def per_tile(tid):
+        tx = (tid % tw) * tile
+        ty = (tid // tw) * tile
+        x0, y0 = jnp.float32(0) + tx, jnp.float32(0) + ty
+        overlap = (
+            tri_valid
+            & (smax[:, 0] >= x0)
+            & (smin[:, 0] <= x0 + tile)
+            & (smax[:, 1] >= y0)
+            & (smin[:, 1] <= y0 + tile)
+        )
+        count = jnp.sum(overlap.astype(jnp.int32))
+        ids = jnp.argsort(~overlap, stable=True).astype(jnp.int32)[:k_max]
+        sel = jnp.arange(k_max) < count
+
+        s = jnp.take(tri_screen, ids, axis=0)
+        dz = jnp.take(tri_depth, ids, axis=0)
+        iw = jnp.take(tri_inv_w, ids, axis=0)
+        pix = jnp.arange(tile * tile, dtype=jnp.int32)
+        px = (pix % tile + tx).astype(jnp.float32) + 0.5
+        py = (pix // tile + ty).astype(jnp.float32) + 0.5
+        frag = rasterize(s, dz, iw, sel, px, py, chunk=k_max)
+        # remap local candidate index -> global triangle id
+        tri_global = jnp.where(
+            frag.tri >= 0, jnp.take(ids, jnp.maximum(frag.tri, 0)), -1
+        )
+        return (
+            FragmentBuffer(
+                depth=frag.depth, tri=tri_global, u=frag.u, v=frag.v
+            ),
+            count > k_max,
+        )
+
+    frags, over = jax.lax.map(per_tile, tile_ids)
+    # Reassemble tiles -> (H_pad, W_pad) -> crop
+    def untile(a):
+        a = a.reshape(th, tw, tile, tile)
+        a = a.transpose(0, 2, 1, 3).reshape(th * tile, tw * tile)
+        return a[:height, :width].reshape(-1)
+
+    out = FragmentBuffer(
+        depth=untile(frags.depth),
+        tri=untile(frags.tri),
+        u=untile(frags.u),
+        v=untile(frags.v),
+    )
+    return out, jnp.mean(over.astype(jnp.float32))

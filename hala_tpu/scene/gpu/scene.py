@@ -68,11 +68,13 @@ class DeviceGeometry:
     shade_table: jax.Array | None = None
     # Cluster tables (triangles are Morton-ordered at upload, so each
     # TRI_PAD chunk is a spatial cluster): per-cluster AABBs for the
-    # culling pass and the (C, TRI_PAD, 12) packed [v0|e1|e2|pad]
-    # geometry blocks the streaming kernel DMAs (ops/cluster.py).
+    # culling pass and the (C, 16, TRI_PAD) packed geometry blocks the
+    # streaming kernel DMAs (ops/cluster.py): sublanes = components
+    # [v0.xyz | e1.xyz | e2.xyz | 7 pad], lanes = the cluster's triangles
+    # (last dim must be 128-aligned for Mosaic DMA slicing).
     cluster_min: jax.Array | None = None   # (C, 3)
     cluster_max: jax.Array | None = None   # (C, 3)
-    tri_packed: jax.Array | None = None    # (C, TRI_PAD, 12)
+    tri_packed: jax.Array | None = None    # (C, 16, TRI_PAD)
     num_triangles: int = 0   # un-padded count (static)
     num_primitives: int = 0  # instance count (static)
 

@@ -376,22 +376,30 @@ class SceneUploader:
         v0p = pad_rows(v0, total, far)
         e1p = pad_rows(e1, total, 0)
         e2p = pad_rows(e2, total, 0)
+        from ...ops.cluster import SUB_CLUSTER
+
         n_clusters = total // TRI_PAD
         t_min = np.minimum(np.minimum(v0p, v0p + e1p), v0p + e2p)
         t_max = np.maximum(np.maximum(v0p, v0p + e1p), v0p + e2p)
         real = (np.arange(total) < n_tris)[:, None]
         t_min = np.where(real, t_min, np.float32(np.inf))
         t_max = np.where(real, t_max, np.float32(-np.inf))
-        cluster_min = t_min.reshape(n_clusters, TRI_PAD, 3).min(axis=1)
-        cluster_max = t_max.reshape(n_clusters, TRI_PAD, 3).max(axis=1)
+        # AABBs at sub-cluster granularity (SUB_CLUSTER triangles): finer
+        # boxes -> fewer leaf visits, while DMA stays at TRI_PAD blocks.
+        n_sub = total // SUB_CLUSTER
+        cluster_min = t_min.reshape(n_sub, SUB_CLUSTER, 3).min(axis=1)
+        cluster_max = t_max.reshape(n_sub, SUB_CLUSTER, 3).max(axis=1)
         # all-padding clusters: empty AABB that never intersects
         empty = ~np.isfinite(cluster_min[:, 0])
         cluster_min[empty] = far
         cluster_max[empty] = far
-        tri_packed = np.zeros((n_clusters, TRI_PAD, 12), np.float32)
-        tri_packed[..., 0:3] = v0p.reshape(n_clusters, TRI_PAD, 3)
-        tri_packed[..., 3:6] = e1p.reshape(n_clusters, TRI_PAD, 3)
-        tri_packed[..., 6:9] = e2p.reshape(n_clusters, TRI_PAD, 3)
+        # Lane-aligned layout (C, 16, TRI_PAD): components on sublanes
+        # (12 used + 4 pad), triangles on lanes — DMA slices must be
+        # 128-aligned in the last dim (Mosaic tiling constraint).
+        tri_packed = np.zeros((n_clusters, 16, TRI_PAD), np.float32)
+        tri_packed[:, 0:3] = v0p.reshape(n_clusters, TRI_PAD, 3).transpose(0, 2, 1)
+        tri_packed[:, 3:6] = e1p.reshape(n_clusters, TRI_PAD, 3).transpose(0, 2, 1)
+        tri_packed[:, 6:9] = e2p.reshape(n_clusters, TRI_PAD, 3).transpose(0, 2, 1)
 
         return DeviceGeometry(
             shade_table=jnp.asarray(pad_rows(shade, total, 0)),

@@ -1,0 +1,170 @@
+"""Cluster-streaming intersector tests (interpret mode on CPU) against
+brute force, on the structured sponza_like scene."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hala_tpu.ops.cluster import SUB_CLUSTER, cull_clusters, intersect_clustered
+from hala_tpu.ops.compaction import permute, sort_rays
+from hala_tpu.ops.intersect import T_MAX, intersect_bruteforce
+from hala_tpu.ops.morton import morton3d_np
+from hala_tpu.scene.loader.uploader import SceneUploader
+from hala_tpu.scene.procedural import cornell_box, sponza_like
+
+
+@pytest.fixture(scope="module")
+def sponza_geom():
+    scene = sponza_like(rooms=(2, 2), columns_per_room=4, boxes_per_room=2)
+    return SceneUploader.upload(scene, use_ray_tracing=False).geometry
+
+
+def _camera_rays(n, rs, origin=(4.0, 1.5, 4.0)):
+    o = np.tile(np.asarray(origin, np.float32), (n, 1))
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestMorton:
+    def test_codes_order_locality(self):
+        pts = np.array(
+            [[0, 0, 0], [0.01, 0, 0], [1, 1, 1], [0.02, 0, 0]], np.float32
+        )
+        codes = morton3d_np(pts, pts.min(0), pts.max(0))
+        assert codes[0] <= codes[1] <= codes[3] or codes[1] <= codes[3]
+        assert codes[2] == codes.max()
+
+    def test_cluster_tables_built(self, sponza_geom):
+        g = sponza_geom
+        assert g.tri_packed is not None
+        c = g.tri_v0.shape[0] // SUB_CLUSTER
+        assert g.cluster_min.shape == (c, 3)
+        # cluster AABBs contain their triangles
+        v0 = np.asarray(g.tri_v0[: g.num_triangles])
+        cm = np.asarray(g.cluster_min)
+        assert np.isfinite(cm[: g.num_triangles // SUB_CLUSTER]).all()
+
+
+class TestCull:
+    def test_candidates_cover_bruteforce_hits(self, sponza_geom, rs):
+        g = sponza_geom
+        o, d = _camera_rays(1024, rs)
+        t_max = jnp.full((1024,), T_MAX)
+        cull = cull_clusters(
+            o, d, t_max, g.cluster_min, g.cluster_max, k_max=g.cluster_min.shape[0]
+        )
+        assert float(cull.overflow) == 0.0
+        # the brute-force hit's cluster must appear in the block's list
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128)
+        tri = np.asarray(bf.tri)
+        ids = np.asarray(cull.ids)
+        counts = np.asarray(cull.counts)
+        for r in np.nonzero(tri >= 0)[0][:200]:
+            cid = tri[r] // SUB_CLUSTER
+            b = r // 1024
+            assert cid in ids[b, : counts[b]]
+
+
+class TestClusteredIntersect:
+    def test_matches_bruteforce(self, sponza_geom, rs):
+        g = sponza_geom
+        o, d = _camera_rays(2048, rs)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128)
+        hit = intersect_clustered(o, d, g, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(hit.t), np.asarray(bf.t), rtol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(hit.tri), np.asarray(bf.tri))
+
+    def test_t_max_and_padding(self, sponza_geom, rs):
+        g = sponza_geom
+        o, d = _camera_rays(300, rs)  # non-multiple of RAY_BLOCK
+        t_far = jnp.full((300,), 2.0)
+        hit = intersect_clustered(o, d, g, t_max=t_far, interpret=True)
+        valid = np.asarray(hit.tri) >= 0
+        assert (np.asarray(hit.t)[valid] < 2.0).all()
+
+    def test_cornell_matches(self, cornell_device_scene, rs):
+        g = cornell_device_scene.geometry
+        o = jnp.asarray(rs.uniform(-0.9, 0.9, (512, 3)).astype(np.float32))
+        dn = rs.normal(size=(512, 3)).astype(np.float32)
+        dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+        d = jnp.asarray(dn)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128)
+        hit = intersect_clustered(o, d, g, interpret=True)
+        np.testing.assert_array_equal(np.asarray(hit.tri), np.asarray(bf.tri))
+
+
+class TestRaySort:
+    def test_permutation_roundtrip(self, rs):
+        o = jnp.asarray(rs.uniform(-1, 1, (256, 3)).astype(np.float32))
+        dn = rs.normal(size=(256, 3)).astype(np.float32)
+        dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+        d = jnp.asarray(dn)
+        active = jnp.asarray(rs.rand(256) > 0.3)
+        ro = sort_rays(o, d, active, jnp.asarray([-1.0, -1, -1]), jnp.asarray([1.0, 1, 1]))
+        o_sorted = permute(ro.order, o)
+        o_back = permute(ro.inverse, o_sorted)
+        np.testing.assert_array_equal(np.asarray(o_back), np.asarray(o))
+        # dead rays sink to the end
+        act_sorted = np.asarray(permute(ro.order, active))
+        first_dead = np.argmin(act_sorted) if (~act_sorted).any() else len(act_sorted)
+        assert act_sorted[:int(np.asarray(ro.num_alive))].all()
+
+
+class TestIntegratorClusterPath:
+    def test_sponza_render_cluster_vs_bruteforce(self):
+        """End-to-end frame through the cluster backend == brute force."""
+        from hala_tpu.models.integrator import (
+            Film,
+            RenderSettings,
+            Uniforms,
+            render_frame,
+        )
+
+        scene = SceneUploader.upload(
+            sponza_like(rooms=(2, 2), boxes_per_room=2),
+            use_ray_tracing=False,
+        )
+        uni = Uniforms.default()
+        sA = RenderSettings(
+            width=16, height=16, max_depth=2, tile_size=256,
+            intersector="cluster", interpret_pallas=True,
+        )
+        sB = RenderSettings(
+            width=16, height=16, max_depth=2, tile_size=256,
+            intersector="bruteforce",
+        )
+        fa, ra = render_frame(scene, None, uni, Film.create(16, 16), 0, sA)
+        fb, rb = render_frame(scene, None, uni, Film.create(16, 16), 0, sB)
+        np.testing.assert_allclose(
+            np.asarray(fa.accum), np.asarray(fb.accum), atol=1e-3
+        )
+
+    def test_sorted_cluster_matches(self):
+        from hala_tpu.models.integrator import (
+            Film,
+            RenderSettings,
+            Uniforms,
+            render_frame,
+        )
+
+        scene = SceneUploader.upload(
+            sponza_like(rooms=(2, 2), boxes_per_room=2),
+            use_ray_tracing=False,
+        )
+        uni = Uniforms.default()
+        sA = RenderSettings(
+            width=16, height=16, max_depth=2, tile_size=256,
+            intersector="cluster", interpret_pallas=True, sort_rays=True,
+        )
+        sB = RenderSettings(
+            width=16, height=16, max_depth=2, tile_size=256,
+            intersector="bruteforce",
+        )
+        fa, _ = render_frame(scene, None, uni, Film.create(16, 16), 0, sA)
+        fb, _ = render_frame(scene, None, uni, Film.create(16, 16), 0, sB)
+        np.testing.assert_allclose(
+            np.asarray(fa.accum), np.asarray(fb.accum), atol=1e-3
+        )

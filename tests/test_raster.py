@@ -73,3 +73,42 @@ class TestRaster:
         # (images are HDR with >1 values near the light, hence the loose cap)
         diff = np.abs(i1 - i2).mean()
         assert 0 < diff < 1.0
+
+
+class TestTileBinned:
+    def test_binned_matches_full(self):
+        """Tile-binned rasterization == full-scan rasterization."""
+        from hala_tpu.models.rz_renderer import RasterizationRenderer
+
+        scene = cornell_box()
+        rf = RasterizationRenderer("full", 40, 40, chunk=128)
+        rf.set_scene(scene); rf.commit(); rf.update()
+        rb = RasterizationRenderer(
+            "binned", 40, 40, binned=True, tile=16, bin_k_max=64
+        )
+        rb.set_scene(scene); rb.commit(); rb.update()
+        np.testing.assert_allclose(
+            rf.get_final_image(), rb.get_final_image(), atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rf.gbuffer["depth"] > 0),
+            np.asarray(rb.gbuffer["depth"] > 0),
+        )
+
+    def test_post_program(self):
+        """config[5]: compute_program post pass over the raster output."""
+        from hala_tpu.models.rz_renderer import RasterizationRenderer
+        from hala_tpu.programs import ComputeProgram, ComputeProgramDesc
+
+        post = ComputeProgram(
+            ComputeProgramDesc(
+                shader_file_path="hala_tpu.ops.tonemap:tonemap_aces_simple"
+            )
+        )
+        r = RasterizationRenderer(
+            "p", 24, 24, chunk=128, post_program=post
+        )
+        r.set_scene(cornell_box()); r.commit(); r.update()
+        img = r.get_final_image()
+        assert img.max() <= 1.0  # tonemapped by the post pass
+        assert img.max() > 0.0
