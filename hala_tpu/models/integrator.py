@@ -380,6 +380,15 @@ def trace_paths(
             ior=jnp.where(entering, mp.ior, 1.0 / jnp.maximum(mp.ior, 1e-3))
         )
 
+        # Beer-Lambert absorption (cpu/material.rs ABSORB medium): a
+        # backface hit means the segment just traversed was interior.
+        if scene.materials.has_absorb_medium:
+            interior = (~entering) & active
+            atten = jnp.exp(-mp.medium_sigma * hit.t[:, None])
+            throughput = jnp.where(
+                interior[:, None], throughput * atten, throughput
+            )
+
         # --- AOVs on first hit ------------------------------------------
         first = bounce == 0
         st_albedo = jnp.where(

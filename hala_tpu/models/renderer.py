@@ -55,26 +55,33 @@ class RendererStatistics:
         self._cpu_since_log = 0.0
         self.last_metrics: dict = {}
 
-    def record_frame(self, gpu_time: float, cpu_time: float) -> None:
+    def record_frame(
+        self, gpu_time: float, cpu_time: float, rays: float = 0.0
+    ) -> None:
         self.total_frames += 1
         self.total_gpu_frame_time += gpu_time
         self.total_cpu_frame_time += cpu_time
         self._frames_since_log += 1
         self._gpu_since_log += gpu_time
         self._cpu_since_log += cpu_time
+        self._rays_since_log = getattr(self, "_rays_since_log", 0.0) + rays
         now = time.monotonic()
         if now - self._last_log_time >= 1.0:
-            fps = self._frames_since_log / (now - self._last_log_time)
+            dt = now - self._last_log_time
+            fps = self._frames_since_log / dt
             gpu_ms = 1000.0 * self._gpu_since_log / self._frames_since_log
             cpu_ms = 1000.0 * self._cpu_since_log / self._frames_since_log
+            mrays = self._rays_since_log / dt / 1e6
             self.last_metrics = {
                 "fps": fps, "gpu_ms": gpu_ms, "cpu_ms": cpu_ms,
-                "total_frames": self.total_frames,
+                "mrays_per_s": mrays, "total_frames": self.total_frames,
             }
             logger.info(
                 "FPS: %.2f, GPU Time: %.3fms, CPU Time: %.3fms, "
-                "Total Frames: %d", fps, gpu_ms, cpu_ms, self.total_frames,
+                "Rays: %.2f Mrays/s, Total Frames: %d",
+                fps, gpu_ms, cpu_ms, mrays, self.total_frames,
             )
+            self._rays_since_log = 0.0
             self._last_log_time = now
             self._frames_since_log = 0
             self._gpu_since_log = 0.0
@@ -112,7 +119,14 @@ class BaseRenderer:
                 self._pending = None
             gpu_time = time.monotonic() - t0
             cpu_time = getattr(self, "_last_cpu_time", 0.0)
-            self.statistics.record_frame(gpu_time, cpu_time)
+            rays = 0.0
+            lr = getattr(self, "_last_rays", None)
+            if lr is not None:
+                try:
+                    rays = float(lr)
+                except (TypeError, ValueError):
+                    pass
+            self.statistics.record_frame(gpu_time, cpu_time, rays)
         except jax.errors.JaxRuntimeError as err:  # device lost analog
             logger.warning("Device error during render: %s", err)
             self.is_device_lost = True

@@ -61,6 +61,10 @@ class MatParams(NamedTuple):
     ax: jnp.ndarray
     ay: jnp.ndarray
     mat_type: jnp.ndarray         # (N,) i32
+    # Premultiplied absorption coefficient color*density for ABSORB
+    # media (zero otherwise) — Beer-Lambert attenuation of interior
+    # segments; scatter/emissive media are plumbed but deferred.
+    medium_sigma: jnp.ndarray = None      # (N, 3)
     base_color_map: jnp.ndarray = None       # (N,) i32, -1 = none
     metallic_roughness_map: jnp.ndarray = None
     emission_map: jnp.ndarray = None
@@ -96,6 +100,7 @@ def gather_materials(materials, mat_idx: jnp.ndarray) -> MatParams:
             ax=rows[:, 20],
             ay=rows[:, 21],
             mat_type=rows[:, 22].astype(jnp.int32),
+            medium_sigma=rows[:, 28:31],
             base_color_map=rows[:, 23].astype(jnp.int32),
             metallic_roughness_map=rows[:, 24].astype(jnp.int32),
             emission_map=rows[:, 25].astype(jnp.int32),
@@ -120,6 +125,9 @@ def gather_materials(materials, mat_idx: jnp.ndarray) -> MatParams:
         ax=g(materials.ax),
         ay=g(materials.ay),
         mat_type=g(materials.mat_type),
+        medium_sigma=g(materials.medium_color)
+        * g(materials.medium_density)[:, None]
+        * (g(materials.medium_type) == 1)[:, None],
         base_color_map=g(materials.base_color_map),
         metallic_roughness_map=g(materials.metallic_roughness_map),
         emission_map=g(materials.emission_map),

@@ -79,7 +79,10 @@ class DeviceGeometry:
     num_primitives: int = 0  # instance count (static)
 
 
-@partial(_register, meta_fields=("has_disney", "has_transmission"))
+@partial(
+    _register,
+    meta_fields=("has_disney", "has_transmission", "has_absorb_medium"),
+)
 @dataclasses.dataclass
 class DeviceMaterials:
     """Material table (gpu/material.rs:16-48 layout, SoA).
@@ -132,6 +135,7 @@ class DeviceMaterials:
     # compiles out BSDF lobes no material in the scene uses.
     has_disney: bool = True
     has_transmission: bool = True
+    has_absorb_medium: bool = False
 
 
 @partial(_register, meta_fields=("num_lights",))

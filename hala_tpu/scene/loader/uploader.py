@@ -258,12 +258,20 @@ class SceneUploader:
             packed[i, 25] = _map_idx(m.emission_map_index)
             packed[i, 26] = _map_idx(m.normal_map_index)
             packed[i, 27] = m.anisotropic
+            # [28:31] premultiplied absorption sigma (ABSORB media only;
+            # Beer-Lambert in the integrator)
+            if int(m.medium.type) == 1:
+                packed[i, 28:31] = m.medium.color * m.medium.density
 
         return DeviceMaterials(
             packed=jnp.asarray(packed),
             has_disney=any(m.type == MaterialType.DISNEY for m in mats),
             has_transmission=any(
                 m.type == MaterialType.DISNEY and m.specular_transmission > 0
+                for m in mats
+            ),
+            has_absorb_medium=any(
+                int(m.medium.type) == 1 and m.medium.density > 0
                 for m in mats
             ),
             base_color=f(lambda m: m.base_color),

@@ -1,0 +1,321 @@
+"""Feature-coverage tests: all five light types, orthographic camera,
+envmap-lit rendering with MIS, Disney energy sanity, ABSORB media,
+profiling hooks."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hala_tpu.envmap import EnvMap
+from hala_tpu.models.integrator import (
+    ENV_MAP,
+    Film,
+    RenderSettings,
+    Uniforms,
+    render_frame,
+)
+from hala_tpu.scene.cpu.camera import OrthographicCamera, orthographic_rh
+from hala_tpu.scene.cpu.light import Light, LightType
+from hala_tpu.scene.cpu.material import Material, MaterialType, Medium, MediumType
+from hala_tpu.scene.cpu.mesh import Mesh
+from hala_tpu.scene.cpu.node import Node
+from hala_tpu.scene.cpu.scene import Scene
+from hala_tpu.scene.loader.uploader import SceneUploader
+from hala_tpu.scene.procedural import cornell_box, make_quad
+
+
+def _floor_scene(light: Light, light_transform=None, material=None):
+    """A single lit floor quad seen from above."""
+    scene = Scene()
+    scene.materials = [
+        material
+        or Material(
+            type=MaterialType.DIFFUSE,
+            base_color=np.array([0.8, 0.8, 0.8], np.float32),
+        )
+    ]
+    scene.meshes = [
+        Mesh([make_quad([-5, 0, -5], [0, 0, 10], [10, 0, 0], 0)])
+    ]
+    n = Node(name="floor")
+    n.mesh_index = 0
+    scene.nodes.append(n)
+
+    ln = Node(name="light")
+    m = np.eye(4, dtype=np.float32)
+    if light_transform is not None:
+        m = light_transform
+    ln.local_transform = m
+    ln.light_index = 0
+    scene.nodes.append(ln)
+    scene.lights = [light]
+
+    cn = Node(name="cam")
+    cm = np.eye(4, dtype=np.float32)
+    cm[:3, 0] = [1, 0, 0]
+    cm[:3, 1] = [0, 0, -1]
+    cm[:3, 2] = [0, 1, 0]  # forward = -y (look down)
+    cm[:3, 3] = [0, 4, 0]
+    cn.local_transform = cm
+    cn.camera_index = 0
+    scene.nodes.append(cn)
+    from hala_tpu.scene.cpu.camera import PerspectiveCamera
+
+    scene.cameras = [PerspectiveCamera(aspect=1.0, yfov=0.6)]
+    scene.update_node_hierarchies()
+    return scene
+
+
+def _render_mean(scene, frames=4, size=16, env=None, env_type=0, depth=2):
+    dev = SceneUploader.upload(scene, use_ray_tracing=False)
+    settings = RenderSettings(
+        width=size, height=size, max_depth=depth, rr_depth=2,
+        env_type=env_type, tile_size=size * size, intersector="bruteforce",
+    )
+    uni = Uniforms.default()
+    uni.ground_color = jnp.zeros(3)
+    uni.sky_color = jnp.zeros(3)
+    film = Film.create(size, size)
+    for f in range(frames):
+        film, _ = render_frame(dev, env, uni, film, f, settings)
+    return np.asarray(film.accum)[..., :3]
+
+
+def _down_light_transform(directional: bool = False):
+    """Quad lights emit along the node +Z axis (cross(u, v)); directional
+    and spot lights travel along -Z (gpu_uploader.rs:183-222). Both
+    variants point the emission straight down at the floor."""
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 0] = [1, 0, 0]
+    if directional:
+        m[:3, 1] = [0, 0, -1]
+        m[:3, 2] = [0, 1, 0]   # -Z = down
+    else:
+        m[:3, 1] = [0, 0, 1]
+        m[:3, 2] = [0, -1, 0]  # +Z = down
+    m[:3, 3] = [0, 3, 0]
+    return m
+
+
+class TestLightTypes:
+    def test_point(self):
+        img = _render_mean(
+            _floor_scene(
+                Light(intensity=20.0, light_type=LightType.POINT),
+                _down_light_transform(),
+            )
+        )
+        assert img.mean() > 0.05
+        assert np.isfinite(img).all()
+
+    def test_directional(self):
+        img = _render_mean(
+            _floor_scene(
+                Light(
+                    intensity=2.0,
+                    light_type=LightType.DIRECTIONAL,
+                    params=(0.0, 0.0),
+                ),
+                _down_light_transform(directional=True),
+            )
+        )
+        # L = I * albedo/pi * cos = 2 * 0.8/pi -> about 0.5
+        assert 0.2 < img.mean() < 1.0
+
+    def test_spot(self):
+        # narrow cone: fully inside the camera frame (light at y=3 ->
+        # outer radius ~0.64 on the floor vs visible half-extent ~1.24)
+        inner, outer = np.radians(5.0), np.radians(12.0)
+        img = _render_mean(
+            _floor_scene(
+                Light(
+                    intensity=30.0,
+                    light_type=LightType.SPOT,
+                    params=(inner, outer),
+                ),
+                _down_light_transform(directional=True),
+            ),
+            size=24,
+        )
+        # lit in the cone center, dark at the image corners
+        c = img[12, 12].mean()
+        corner = img[1, 1].mean()
+        assert c > 5 * max(corner, 1e-6)
+
+    def test_sphere(self):
+        img = _render_mean(
+            _floor_scene(
+                Light(
+                    intensity=8.0,
+                    light_type=LightType.SPHERE,
+                    params=(0.5, 0.0),
+                ),
+                _down_light_transform(),
+            )
+        )
+        assert img.mean() > 0.05
+
+    def test_quad(self):
+        img = _render_mean(
+            _floor_scene(
+                Light(
+                    intensity=10.0,
+                    light_type=LightType.QUAD,
+                    params=(1.0, 1.0),
+                ),
+                _down_light_transform(),
+            )
+        )
+        assert img.mean() > 0.05
+
+
+class TestOrthographicCamera:
+    def test_ortho_render(self):
+        scene = _floor_scene(
+            Light(intensity=20.0, light_type=LightType.POINT),
+            _down_light_transform(),
+        )
+        cam = OrthographicCamera(xmag=3.0, ymag=3.0)
+        cam.orthography = orthographic_rh(-3, 3, -3, 3, 0.1, 100.0)
+        scene.cameras = [cam]
+        img = _render_mean(scene)
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01  # parallel rays hit the floor
+
+
+class TestEnvmapLighting:
+    def test_env_map_render_with_mis(self, rs):
+        rgb = rs.uniform(0.2, 1.0, (16, 32, 3)).astype(np.float32)
+        rgb[4:6, 10:14] = 30.0  # bright patch to exercise importance sampling
+        env = EnvMap.from_array(rgb)
+        scene = cornell_box(light_intensity=0.0)
+        dev = SceneUploader.upload(scene, use_ray_tracing=False)
+        settings = RenderSettings(
+            width=16, height=16, max_depth=3, rr_depth=2,
+            env_type=ENV_MAP, tile_size=256, intersector="bruteforce",
+        )
+        uni = Uniforms.default()
+        film = Film.create(16, 16)
+        for f in range(4):
+            film, _ = render_frame(dev, env, uni, film, f, settings)
+        img = np.asarray(film.accum)[..., :3]
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01  # env light reaches the closed box? (open front)
+
+    def test_sky_vs_map_differ(self):
+        scene = _floor_scene(
+            Light(intensity=0.001, light_type=LightType.POINT),
+            _down_light_transform(),
+        )
+        img_sky = _render_mean(scene)
+        env = EnvMap.from_array(np.full((8, 16, 3), 2.0, np.float32))
+        img_map = _render_mean(scene, env=env, env_type=ENV_MAP)
+        assert img_map.mean() > img_sky.mean() + 0.1
+
+
+class TestDisneyEnergy:
+    @pytest.mark.parametrize("rough,metal", [(0.1, 1.0), (0.5, 0.0), (0.9, 0.5)])
+    def test_ggx_furnace_bounded(self, rough, metal):
+        """Disney surface under unit environment: no energy gain."""
+        mat = Material(
+            type=MaterialType.DISNEY,
+            base_color=np.ones(3, np.float32),
+            roughness=rough,
+            metallic=metal,
+        )
+        scene = _floor_scene(
+            Light(intensity=0.0, light_type=LightType.POINT),
+            _down_light_transform(),
+            material=mat,
+        )
+        dev = SceneUploader.upload(scene, use_ray_tracing=False)
+        settings = RenderSettings(
+            width=16, height=16, max_depth=6, rr_depth=3,
+            tile_size=256, intersector="bruteforce",
+        )
+        uni = Uniforms.default()
+        uni.ground_color = jnp.ones(3)
+        uni.sky_color = jnp.ones(3)
+        film = Film.create(16, 16)
+        for f in range(16):
+            film, _ = render_frame(dev, None, uni, film, f, settings)
+        img = np.asarray(film.accum)[..., :3]
+        assert np.isfinite(img).all()
+        assert img.mean() < 1.15  # allow MC noise, forbid energy explosion
+        assert img.mean() > 0.3
+
+
+class TestAbsorbMedium:
+    def test_glass_absorbs(self):
+        """An emissive floor seen through a transmissive slab darkens as
+        the slab's ABSORB medium densifies (Beer-Lambert inside the
+        glass; emission transport needs no NEE, so the comparison
+        isolates interior attenuation)."""
+
+        def scene_with(density):
+            glass = Material(
+                type=MaterialType.DISNEY,
+                base_color=np.ones(3, np.float32),
+                roughness=0.05,
+                specular_transmission=1.0,
+                ior=1.5,
+                medium=Medium(
+                    type=MediumType.ABSORB,
+                    color=np.array([1.0, 1.0, 1.0], np.float32),
+                    density=density,
+                ),
+            )
+            emissive_floor = Material(
+                type=MaterialType.DIFFUSE,
+                base_color=np.ones(3, np.float32),
+                emission=np.full(3, 5.0, np.float32),
+            )
+            scene = _floor_scene(
+                Light(intensity=0.0, light_type=LightType.POINT),
+                _down_light_transform(),
+                material=emissive_floor,
+            )
+            # slab between camera and floor
+            scene.materials.append(glass)
+            prim_top = make_quad([-5, 2.0, -5], [0, 0, 10], [10, 0, 0], 1)
+            prim_bot = make_quad([-5, 1.0, -5], [10, 0, 0], [0, 0, 10], 1)
+            scene.meshes[0].primitives += [prim_top, prim_bot]
+            scene.update_node_hierarchies()
+            return scene
+
+        clear = _render_mean(scene_with(0.0), frames=8, depth=8)
+        dense = _render_mean(scene_with(3.0), frames=8, depth=8)
+        assert np.isfinite(dense).all()
+        assert clear.mean() > 0.2  # emissive floor visible through glass
+        assert dense.mean() < clear.mean() * 0.5
+
+
+class TestProfiling:
+    def test_frame_timer_and_annotation(self, cornell_device_scene):
+        from hala_tpu.utils.profiling import FrameTimer, annotate
+
+        timer = FrameTimer()
+        settings = RenderSettings(
+            width=8, height=8, max_depth=1, tile_size=64,
+            intersector="bruteforce",
+        )
+        film = Film.create(8, 8)
+        with annotate("frame"):
+            with timer.section("render") as h:
+                film, rays = render_frame(
+                    cornell_device_scene, None, Uniforms.default(), film, 0,
+                    settings,
+                )
+                h["result"] = film.accum
+        assert timer.times["render"] > 0
+        assert "render" in timer.report()
+
+    def test_statistics_rays_metric(self):
+        from hala_tpu.models.renderer import RendererStatistics
+
+        st = RendererStatistics()
+        st._last_log_time -= 2.0  # force the 1 Hz log to fire
+        st.record_frame(0.01, 0.005, rays=2_000_000)
+        assert st.last_metrics["mrays_per_s"] > 0
