@@ -402,6 +402,8 @@ def trace_paths(
         )
 
         # --- opacity stochastic pass-through ----------------------------
+        # One RNG call serves both the alpha test ([0]) and Russian
+        # roulette ([1]) — pcg4d calls are per-bounce fixed cost.
         r_alpha = rng.sample4(pixel_idx, frame_index, bounce, seed=11)
         pass_through = active & (r_alpha[:, 0] > mp.opacity)
 
@@ -470,10 +472,9 @@ def trace_paths(
         active = active & (pass_through | valid_s)
 
         # --- Russian roulette (from rr_depth, rt_renderer.rs:572-573) ---
-        r_rr = rng.sample4(pixel_idx, frame_index, bounce, seed=23)
         q = jnp.clip(jnp.max(next_tp, axis=-1), 0.05, 0.95)
         do_rr = bounce >= settings.rr_depth
-        survive = jnp.where(do_rr, r_rr[:, 0] < q, True)
+        survive = jnp.where(do_rr, r_alpha[:, 1] < q, True)
         next_tp = jnp.where(do_rr, next_tp / q[:, None], next_tp)
         active = active & survive
 
