@@ -32,7 +32,7 @@ def main() -> None:
     from hala_tpu.scene.procedural import cornell_box
 
     width = height = 512
-    spp_timed = 8
+    spp_timed = 16
 
     scene = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
     settings = RenderSettings(
@@ -50,13 +50,17 @@ def main() -> None:
     film, rays = render_frame(scene, None, uniforms, film, 0, settings)
     jax.block_until_ready(rays)
 
-    total_rays = 0.0
+    # Pipeline the timed frames: no host sync inside the loop (a per-
+    # frame readback costs a full tunnel round trip and was measured to
+    # dominate the frame time); fetch the ray totals once at the end.
+    rays_acc = []
     t0 = time.perf_counter()
     for f in range(1, 1 + spp_timed):
         film, rays = render_frame(scene, None, uniforms, film, f, settings)
-        total_rays += float(rays)
+        rays_acc.append(rays)
     jax.block_until_ready(film.accum)
     dt = time.perf_counter() - t0
+    total_rays = float(sum(rays_acc))
 
     mrays = total_rays / dt / 1e6
     print(

