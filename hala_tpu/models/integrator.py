@@ -346,15 +346,52 @@ def trace_paths(
         ng = jnp.where(dot(ng, ns)[:, None] < 0, -ng, ng)
         hit_p = o + hit.t[:, None] * d
 
+        mat_idx = rows[:, 18].astype(jnp.int32)
+        mp = gather_materials(scene.materials, mat_idx)
+
+        # Interpolated tangent, Gram-Schmidt-orthonormalized against ns:
+        # the UV-aligned shading frame (anisotropy + normal mapping).
+        tan_raw = (
+            w0[:, None] * rows[:, 20:23]
+            + u[:, None] * rows[:, 23:26]
+            + v[:, None] * rows[:, 26:29]
+        )
+        tan_proj = tan_raw - ns * dot(tan_raw, ns)[:, None]
+        tan_len = jnp.linalg.norm(tan_proj, axis=-1, keepdims=True)
+        has_tan = tan_len[:, 0] > 1e-4
+
+        # Normal mapping (material normal_map, tangent-space +Z up).
+        if scene.textures is not None and scene.materials.has_normal_map:
+            n_t = sample_texture(scene.textures, mp.normal_map, uv)[:, :3]
+            n_ts = normalize(n_t * 2.0 - 1.0)
+            tb0 = jnp.where(
+                has_tan[:, None], tan_proj / jnp.maximum(tan_len, 1e-12), 0.0
+            )
+            bt0 = jnp.cross(ns, tb0)
+            mapped = normalize(
+                n_ts[:, 0:1] * tb0 + n_ts[:, 1:2] * bt0 + n_ts[:, 2:3] * ns
+            )
+            use_map = has_tan & (mp.normal_map >= 0)
+            ns = jnp.where(use_map[:, None], mapped, ns)
+
         entering = dot(ns, -d) >= 0.0
         ns_f = jnp.where(entering[:, None], ns, -ns)  # two-sided frame
         ng_f = jnp.where(entering[:, None], ng, -ng)
-        t_b, b_b = build_basis(ns_f)
+        # UV-aligned tangent frame where a valid tangent exists (so
+        # anisotropic ax/ay align with the surface parameterization);
+        # branchless fallback basis otherwise.
+        t_fb, b_fb = build_basis(ns_f)
+        tan_f = tan_raw - ns_f * dot(tan_raw, ns_f)[:, None]
+        tan_fl = jnp.linalg.norm(tan_f, axis=-1, keepdims=True)
+        has_tan_f = tan_fl[:, 0] > 1e-4
+        t_b = jnp.where(
+            has_tan_f[:, None], tan_f / jnp.maximum(tan_fl, 1e-12), t_fb
+        )
+        b_b = jnp.where(
+            has_tan_f[:, None], jnp.cross(ns_f, t_b), b_fb
+        )
         wo_l = to_local(-d, t_b, b_b, ns_f)
         wo_l = wo_l.at[:, 2].set(jnp.maximum(wo_l[:, 2], 1e-5))
-
-        mat_idx = rows[:, 18].astype(jnp.int32)
-        mp = gather_materials(scene.materials, mat_idx)
         if scene.textures is not None:
             base_map = mp.base_color_map
             mr_map = mp.metallic_roughness_map

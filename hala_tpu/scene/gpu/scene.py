@@ -81,7 +81,10 @@ class DeviceGeometry:
 
 @partial(
     _register,
-    meta_fields=("has_disney", "has_transmission", "has_absorb_medium"),
+    meta_fields=(
+        "has_disney", "has_transmission", "has_absorb_medium",
+        "has_normal_map",
+    ),
 )
 @dataclasses.dataclass
 class DeviceMaterials:
@@ -136,6 +139,7 @@ class DeviceMaterials:
     has_disney: bool = True
     has_transmission: bool = True
     has_absorb_medium: bool = False
+    has_normal_map: bool = False
 
 
 @partial(_register, meta_fields=("num_lights",))

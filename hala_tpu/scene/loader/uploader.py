@@ -274,6 +274,9 @@ class SceneUploader:
                 int(m.medium.type) == 1 and m.medium.density > 0
                 for m in mats
             ),
+            has_normal_map=any(
+                m.normal_map_index != 0xFFFFFFFF for m in mats
+            ),
             base_color=f(lambda m: m.base_color),
             opacity=f(lambda m: m.opacity),
             emission=f(lambda m: m.emission),
@@ -373,12 +376,14 @@ class SceneUploader:
         ng = np.cross(e1, e2)
         ng_len = np.linalg.norm(ng, axis=1, keepdims=True)
         ng = np.where(ng_len > 0, ng / ng_len, ng).astype(np.float32)
+        tan = np.concatenate(ts).astype(np.float32)[order]
         shade = np.zeros((n_tris, 32), np.float32)
         shade[:, 0:9] = nrm.reshape(n_tris, 9)
         shade[:, 9:15] = uv.reshape(n_tris, 6)
         shade[:, 15:18] = ng
         shade[:, 18] = mat.astype(np.float32)
         shade[:, 19] = prim.astype(np.float32)
+        shade[:, 20:29] = tan.reshape(n_tris, 9)  # per-corner tangents
 
         # Cluster AABBs + packed geometry blocks over the padded soup.
         v0p = pad_rows(v0, total, far)
@@ -417,21 +422,13 @@ class SceneUploader:
             tri_v0=jnp.asarray(pad_rows(v0, total, far)),
             tri_e1=jnp.asarray(pad_rows(e1, total, 0)),
             tri_e2=jnp.asarray(pad_rows(e2, total, 0)),
-            normals=jnp.asarray(
-                pad_rows(np.concatenate(ns).astype(np.float32), total, 0)
-            ),
-            tangents=jnp.asarray(
-                pad_rows(np.concatenate(ts).astype(np.float32), total, 0)
-            ),
-            uvs=jnp.asarray(
-                pad_rows(np.concatenate(uvs).astype(np.float32), total, 0)
-            ),
-            tri_mat=jnp.asarray(
-                pad_rows(np.concatenate(mats), total, -1)
-            ),
-            tri_prim=jnp.asarray(
-                pad_rows(np.concatenate(prims), total, -1)
-            ),
+            # NOTE: all attribute arrays carry the same Morton ordering
+            # as tri_v0/e1/e2 (a mismatch here silently mis-shades).
+            normals=jnp.asarray(pad_rows(nrm, total, 0)),
+            tangents=jnp.asarray(pad_rows(tan, total, 0)),
+            uvs=jnp.asarray(pad_rows(uv, total, 0)),
+            tri_mat=jnp.asarray(pad_rows(mat, total, -1)),
+            tri_prim=jnp.asarray(pad_rows(prim, total, -1)),
             num_triangles=n_tris,
             num_primitives=prim_id,
         )

@@ -319,3 +319,64 @@ class TestProfiling:
         st._last_log_time -= 2.0  # force the 1 Hz log to fire
         st.record_frame(0.01, 0.005, rays=2_000_000)
         assert st.last_metrics["mrays_per_s"] > 0
+
+
+class TestNormalMapping:
+    def test_normal_map_perturbs_shading(self, rs):
+        """A bumpy normal map changes the render vs a flat one."""
+        from hala_tpu.scene.cpu.image_data import ImageData, ImageFormat
+
+        def scene_with(bumpy):
+            scene = _floor_scene(
+                Light(intensity=25.0, light_type=LightType.POINT),
+                _down_light_transform(),
+            )
+            scene.materials[0].normal_map_index = 0
+            if bumpy:
+                n = rs.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+                n[..., 2] = np.abs(n[..., 2]) + 0.5
+                n /= np.linalg.norm(n, axis=-1, keepdims=True)
+                tex = (n * 0.5 + 0.5)
+            else:
+                tex = np.tile(
+                    np.array([0.5, 0.5, 1.0], np.float32), (16, 16, 1)
+                )
+            rgba = np.concatenate(
+                [tex, np.ones((16, 16, 1), np.float32)], -1
+            )
+            scene.image_data = [
+                ImageData(16, 16, ImageFormat.R32G32B32A32_SFLOAT, rgba)
+            ]
+            scene.texture2image_mapping = {0: 0}
+            scene.image2data_mapping = {0: 0}
+            return scene
+
+        flat = _render_mean(scene_with(False), frames=2)
+        bump = _render_mean(scene_with(True), frames=2)
+        assert np.isfinite(bump).all()
+        assert np.abs(flat - bump).mean() > 1e-3
+
+    def test_flat_map_matches_no_map(self):
+        """A flat (0.5, 0.5, 1) normal map is a no-op."""
+        from hala_tpu.scene.cpu.image_data import ImageData, ImageFormat
+
+        base = _floor_scene(
+            Light(intensity=25.0, light_type=LightType.POINT),
+            _down_light_transform(),
+        )
+        img_plain = _render_mean(base, frames=2)
+
+        mapped = _floor_scene(
+            Light(intensity=25.0, light_type=LightType.POINT),
+            _down_light_transform(),
+        )
+        mapped.materials[0].normal_map_index = 0
+        tex = np.tile(np.array([0.5, 0.5, 1.0], np.float32), (8, 8, 1))
+        rgba = np.concatenate([tex, np.ones((8, 8, 1), np.float32)], -1)
+        mapped.image_data = [
+            ImageData(8, 8, ImageFormat.R32G32B32A32_SFLOAT, rgba)
+        ]
+        mapped.texture2image_mapping = {0: 0}
+        mapped.image2data_mapping = {0: 0}
+        img_mapped = _render_mean(mapped, frames=2)
+        np.testing.assert_allclose(img_plain, img_mapped, atol=2e-3)

@@ -112,3 +112,17 @@ class TestTileBinned:
         img = r.get_final_image()
         assert img.max() <= 1.0  # tonemapped by the post pass
         assert img.max() > 0.0
+
+
+class TestAttributeOrdering:
+    def test_wall_albedos_match_positions(self):
+        """Regression: attribute arrays must carry the Morton ordering of
+        the triangle soup (a mismatch mis-colors the walls)."""
+        r = RasterizationRenderer("rz", 48, 48, chunk=128)
+        r.set_scene(cornell_box())
+        r.commit(); r.update()
+        albedo = np.asarray(r.gbuffer["albedo"])
+        left = albedo[20:28, 0:4].mean(axis=(0, 1))
+        right = albedo[20:28, -4:].mean(axis=(0, 1))
+        assert left[0] > left[1]    # left wall red
+        assert right[1] > right[0]  # right wall green
