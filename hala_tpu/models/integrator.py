@@ -279,7 +279,12 @@ def trace_paths(
         albedo=zeros3,
         normal=zeros3,
         rays=zeros + 1.0,  # the primary ray
+        path_dist=zeros,   # accumulated path length (mip LOD cone)
     )
+
+    # Per-pixel cone angle for mip LOD (texture footprint ~ dist * angle).
+    cam_yfov = scene.cameras.yfov[uniforms.camera_index]
+    pixel_angle = 2.0 * jnp.tan(0.5 * jnp.maximum(cam_yfov, 1e-3)) / settings.height
 
     from ..ops.intersect import Hit as _Hit
 
@@ -348,6 +353,7 @@ def trace_paths(
 
         mat_idx = rows[:, 18].astype(jnp.int32)
         mp = gather_materials(scene.materials, mat_idx)
+        path_dist = st["path_dist"] + hit.t * active.astype(jnp.float32)
 
         # Interpolated tangent, Gram-Schmidt-orthonormalized against ns:
         # the UV-aligned shading frame (anisotropy + normal mapping).
@@ -396,9 +402,13 @@ def trace_paths(
             base_map = mp.base_color_map
             mr_map = mp.metallic_roughness_map
             em_map = mp.emission_map
-            base_t = sample_texture(scene.textures, base_map, uv)
-            mr_t = sample_texture(scene.textures, mr_map, uv)
-            em_t = sample_texture(scene.textures, em_map, uv)
+            # mip LOD: log2(path cone footprint x per-triangle uv density)
+            lod_uv = jnp.log2(
+                jnp.clip(path_dist * pixel_angle * rows[:, 29], 1e-6, 1e6)
+            )
+            base_t = sample_texture(scene.textures, base_map, uv, lod_uv)
+            mr_t = sample_texture(scene.textures, mr_map, uv, lod_uv)
+            em_t = sample_texture(scene.textures, em_map, uv, lod_uv)
             new_rough_raw = mr_t[:, 1]  # glTF: G=roughness, B=metallic
             new_metal = mp.metallic * mr_t[:, 2]
             # re-apply the Disney alpha precompute for textured roughness
@@ -558,6 +568,7 @@ def trace_paths(
             albedo=st_albedo,
             normal=st_normal,
             rays=rays + active.astype(jnp.float32),
+            path_dist=path_dist,
         )
 
     state = jax.lax.fori_loop(0, settings.max_depth, bounce_body, state)

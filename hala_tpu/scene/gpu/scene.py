@@ -181,22 +181,24 @@ class DeviceCameras:
     num_cameras: int = 0
 
 
-@partial(_register, meta_fields=("num_textures",))
+@partial(_register, meta_fields=("num_textures", "num_levels"))
 @dataclasses.dataclass
 class TextureStack:
-    """Padded texture array with mip chain.
+    """Padded texture array with a packed mip pyramid.
 
     The reference uploads per-texture Vulkan images with full mip chains
-    and LINEAR/REPEAT samplers (gpu_uploader.rs:334-403). On TPU there is
-    no texture unit: all textures are padded to one (NT, H, W, 4) f32
-    stack; `ops.texture` does manual mip selection + bilinear filtering.
-    Mips are stored in a second stack of half resolution per level packed
-    along a flattened axis (built lazily; level 0 always present).
+    and LINEAR/REPEAT samplers (gpu_uploader.rs:334-403, gen_mipmaps).
+    On TPU there is no texture unit: all textures are padded into one
+    (NT, 2H, W, 4) f32 canvas where mip level l occupies rows
+    [H*(2 - 2^(1-l)) ...) at width W/2^l — per-ray LOD selection is then
+    just a computed row/col offset into one bilinear fetch
+    (`ops.texture`), no per-level branching.
     """
 
-    data: jax.Array    # (NT, H, W, 4) f32, level 0
-    sizes: jax.Array   # (NT, 2) i32 — (height, width) actually used
+    data: jax.Array    # (NT, 2H, W, 4) f32 packed pyramid
+    sizes: jax.Array   # (NT, 2) i32 — level-0 (height, width) used
     num_textures: int = 0
+    num_levels: int = 1
 
 
 @partial(_register, meta_fields=("name",))

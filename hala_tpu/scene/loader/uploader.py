@@ -384,6 +384,17 @@ class SceneUploader:
         shade[:, 18] = mat.astype(np.float32)
         shade[:, 19] = prim.astype(np.float32)
         shade[:, 20:29] = tan.reshape(n_tris, 9)  # per-corner tangents
+        # [29] uv texel density sqrt(uv_area / world_area): the
+        # triangle-constant term of mip LOD selection (ops/texture.py).
+        uv3 = uv.reshape(n_tris, 3, 2)
+        uv_area = 0.5 * np.abs(
+            (uv3[:, 1, 0] - uv3[:, 0, 0]) * (uv3[:, 2, 1] - uv3[:, 0, 1])
+            - (uv3[:, 1, 1] - uv3[:, 0, 1]) * (uv3[:, 2, 0] - uv3[:, 0, 0])
+        )
+        world_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+        shade[:, 29] = np.sqrt(
+            uv_area / np.maximum(world_area, 1e-12)
+        ).astype(np.float32)
 
         # Cluster AABBs + packed geometry blocks over the padded soup.
         v0p = pad_rows(v0, total, far)
@@ -449,11 +460,28 @@ class SceneUploader:
             imgs.append(scene.image_data[data_idx].as_float_rgba())
         max_h = max(im.shape[0] for im in imgs)
         max_w = max(im.shape[1] for im in imgs)
-        stack = np.zeros((n, max_h, max_w, 4), np.float32)
+        # Full mip chain (gen_mipmaps parity, gpu_uploader.rs:366-401):
+        # box-filter pyramid packed vertically — level l occupies rows
+        # [row_off(l), row_off(l) + H/2^l) at width W/2^l.
+        n_levels = max(1, min(int(np.log2(max(max_h, max_w))) + 1, 12))
+        stack = np.zeros((n, 2 * max_h, max_w, 4), np.float32)
         sizes = np.zeros((n, 2), np.int32)
         for i, im in enumerate(imgs):
-            stack[i, : im.shape[0], : im.shape[1]] = im
+            # row offsets follow the padded canvas height so all textures
+            # share the same per-level offsets: row_off(l) = sum max_h/2^k
+            row = 0
+            level = im
+            for l in range(n_levels):
+                stack[i, row : row + level.shape[0], : level.shape[1]] = level
+                row += max(max_h >> l, 1)
+                if level.shape[0] > 1 or level.shape[1] > 1:
+                    h2 = max(1, level.shape[0] // 2)
+                    w2 = max(1, level.shape[1] // 2)
+                    level = level[: h2 * 2, : w2 * 2].reshape(
+                        h2, 2, w2, 2, 4
+                    ).mean(axis=(1, 3))
             sizes[i] = (im.shape[0], im.shape[1])
         return TextureStack(
-            data=jnp.asarray(stack), sizes=jnp.asarray(sizes), num_textures=n
+            data=jnp.asarray(stack), sizes=jnp.asarray(sizes),
+            num_textures=n, num_levels=n_levels,
         )

