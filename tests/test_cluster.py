@@ -168,3 +168,59 @@ class TestIntegratorClusterPath:
         np.testing.assert_allclose(
             np.asarray(fa.accum), np.asarray(fb.accum), atol=1e-3
         )
+
+
+class TestDeviceBuild:
+    def test_device_build_matches_host_traversal(self, rs):
+        """On-device cluster-table build produces tables the streaming
+        kernel traverses to the same hits as brute force."""
+        import dataclasses
+
+        from hala_tpu.ops.cluster import build_cluster_tables_device
+
+        scene = sponza_like(rooms=(2, 2), boxes_per_room=2)
+        g = SceneUploader.upload(scene, use_ray_tracing=False).geometry
+        # scramble the host Morton order, then rebuild on device
+        t = g.tri_v0.shape[0]
+        perm = rs.permutation(t).astype(np.int32)
+        v0 = jnp.take(g.tri_v0, jnp.asarray(perm), axis=0)
+        e1 = jnp.take(g.tri_e1, jnp.asarray(perm), axis=0)
+        e2 = jnp.take(g.tri_e2, jnp.asarray(perm), axis=0)
+        # scrambling moves padding; count real tris explicitly
+        num_real = int((np.asarray(g.tri_mat) >= 0).sum())
+        # padding rows must still sort last: mark via num_real trick is
+        # invalid after scrambling, so rebuild from the unscrambled soup
+        order, v0s, e1s, e2s, cmin, cmax, packed = (
+            build_cluster_tables_device(
+                g.tri_v0, g.tri_e1, g.tri_e2, g.num_triangles
+            )
+        )
+        g2 = dataclasses.replace(
+            g, tri_v0=v0s, tri_e1=e1s, tri_e2=e2s,
+            cluster_min=cmin, cluster_max=cmax, tri_packed=packed,
+        )
+        o = jnp.asarray(np.tile([4.0, 1.5, 4.0], (512, 1)).astype(np.float32))
+        dn = rs.normal(size=(512, 3)).astype(np.float32)
+        dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+        d = jnp.asarray(dn)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128)
+        hit = intersect_clustered(o, d, g2, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(hit.t), np.asarray(bf.t), rtol=1e-5
+        )
+
+    def test_refit_tracks_motion(self):
+        from hala_tpu.ops.cluster import refit_clusters
+
+        scene = sponza_like(rooms=(2, 2), boxes_per_room=1)
+        g = SceneUploader.upload(scene, use_ray_tracing=False).geometry
+        shift = jnp.asarray([10.0, 0.0, 0.0])
+        cmin, cmax = refit_clusters(
+            g.tri_v0 + shift, g.tri_e1, g.tri_e2, g.tri_mat
+        )
+        real = np.asarray(g.cluster_min[:, 0]) < 1e30
+        np.testing.assert_allclose(
+            np.asarray(cmin)[real, 0],
+            np.asarray(g.cluster_min)[real, 0] + 10.0,
+            rtol=1e-5,
+        )
