@@ -156,6 +156,24 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings):
     screen, depth, inv_w = clip_to_screen(clip, rw, rh)
     valid = (geom.tri_mat >= 0) & jnp.all(clip[..., 3] > 1e-6, axis=-1)
 
+    # Mesh-shader-style meshlet cone culling (the task-shader role,
+    # rz_renderer.rs draw_mesh_tasks + meshopt cone test): a meshlet is
+    # culled when the camera lies inside its backfacing cone.
+    if scene.meshlets is not None:
+        ml = scene.meshlets
+        eye = scene.cameras.position[camera_index]
+        to_c = ml.center - eye[None, :]
+        dist = jnp.linalg.norm(to_c, axis=-1)
+        facing_away = jnp.sum(to_c * ml.cone_axis, axis=-1) >= (
+            ml.cone_cutoff * dist + ml.radius
+        )
+        visible = ~facing_away
+        tri_vis = jnp.take(
+            jnp.concatenate([visible, jnp.ones((1,), bool)]),
+            jnp.where(ml.tri_meshlet >= 0, ml.tri_meshlet, visible.shape[0]),
+        )
+        valid = valid & tri_vis
+
     if settings.binned:
         from ..ops.raster import rasterize_tiled
 

@@ -201,6 +201,23 @@ class TextureStack:
     num_levels: int = 1
 
 
+@partial(_register, meta_fields=("num_meshlets",))
+@dataclasses.dataclass
+class DeviceMeshlets:
+    """Meshlet cull tables for the mesh-shader-style raster path
+    (reference meshlet pipeline, gpu_uploader.rs:555-765 + the task
+    shader's cone culling). `tri_meshlet` maps every triangle of the
+    Morton-ordered soup to its meshlet."""
+
+    cone_apex: jax.Array    # (M, 3)
+    cone_axis: jax.Array    # (M, 3)
+    cone_cutoff: jax.Array  # (M,)
+    center: jax.Array       # (M, 3)
+    radius: jax.Array       # (M,)
+    tri_meshlet: jax.Array  # (T,) i32, -1 for padding
+    num_meshlets: int = 0
+
+
 @partial(_register, meta_fields=("name",))
 @dataclasses.dataclass
 class DeviceScene:
@@ -211,6 +228,7 @@ class DeviceScene:
     lights: DeviceLights
     cameras: DeviceCameras
     textures: TextureStack | None = None
+    meshlets: "DeviceMeshlets | None" = None
     # LBVH node table (ops/bvh.py), the TLAS/BLAS replacement. None until
     # built; the brute-force intersector works without it.
     bvh: "object | None" = None

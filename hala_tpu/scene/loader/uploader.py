@@ -90,6 +90,9 @@ class SceneUploader:
             from ...ops.meshlets import build_scene_meshlets
 
             build_scene_meshlets(scene, global_meshlets=use_global_meshlets)
+            device_scene.meshlets = SceneUploader._upload_meshlets(
+                scene, device_scene.geometry
+            )
 
         if use_ray_tracing:
             from ...ops.bvh import build_bvh
@@ -395,6 +398,9 @@ class SceneUploader:
         shade[:, 29] = np.sqrt(
             uv_area / np.maximum(world_area, 1e-12)
         ).astype(np.float32)
+        # [30] pre-Morton (enumeration-order) triangle index, for host
+        # tables built in (node, primitive) order (e.g. meshlet ids).
+        shade[:, 30] = order.astype(np.float32)
 
         # Cluster AABBs + packed geometry blocks over the padded soup.
         v0p = pad_rows(v0, total, far)
@@ -442,6 +448,64 @@ class SceneUploader:
             tri_prim=jnp.asarray(pad_rows(prim, total, -1)),
             num_triangles=n_tris,
             num_primitives=prim_id,
+        )
+
+    # -- meshlets ----------------------------------------------------------
+
+    @staticmethod
+    def _upload_meshlets(scene: Scene, geometry):
+        """World-space meshlet cone/sphere tables + the per-triangle
+        meshlet map over the Morton-ordered soup (the task-shader cone
+        culling data of the reference's meshlet pipeline)."""
+        from ..gpu.scene import DeviceMeshlets
+
+        apexes, axes, cuts, centers, radii = [], [], [], [], []
+        orig_mids = []
+        m_off = 0
+        for node in scene.nodes:
+            if node.mesh_index is None:
+                continue
+            w = node.world_transform
+            rot = w[:3, :3]
+            for prim in scene.meshes[node.mesh_index].primitives:
+                for m in prim.meshlets:
+                    apexes.append(rot @ m.cone_apex + w[:3, 3])
+                    ax = rot @ m.cone_axis
+                    ln = np.linalg.norm(ax)
+                    axes.append(ax / ln if ln > 0 else np.float32([0, 0, 1]))
+                    cuts.append(m.cone_cutoff)
+                    centers.append(rot @ m.center + w[:3, 3])
+                    # conservative world radius under (possibly scaled) rot
+                    scale = max(np.linalg.norm(rot, axis=0).max(), 1e-6)
+                    radii.append(m.radius * scale)
+                counts = np.array(
+                    [m.num_of_primitives for m in prim.meshlets], np.int64
+                )
+                ends = np.cumsum(counts)
+                local = np.searchsorted(
+                    ends, np.arange(prim.triangle_count), side="right"
+                )
+                orig_mids.append(local.astype(np.int32) + m_off)
+                m_off += len(prim.meshlets)
+
+        if m_off == 0:
+            return None
+        orig_mids = np.concatenate(orig_mids)
+        # map through the Morton order recorded in shade slot 30
+        shade = np.asarray(geometry.shade_table)
+        orig_idx = shade[:, 30].astype(np.int64)
+        tri_mat = np.asarray(geometry.tri_mat)
+        tri_meshlet = np.where(
+            tri_mat >= 0, orig_mids[np.clip(orig_idx, 0, len(orig_mids) - 1)], -1
+        ).astype(np.int32)
+        return DeviceMeshlets(
+            cone_apex=jnp.asarray(np.stack(apexes).astype(np.float32)),
+            cone_axis=jnp.asarray(np.stack(axes).astype(np.float32)),
+            cone_cutoff=jnp.asarray(np.array(cuts, np.float32)),
+            center=jnp.asarray(np.stack(centers).astype(np.float32)),
+            radius=jnp.asarray(np.array(radii, np.float32)),
+            tri_meshlet=jnp.asarray(tri_meshlet),
+            num_meshlets=m_off,
         )
 
     # -- textures --------------------------------------------------------

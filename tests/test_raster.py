@@ -126,3 +126,39 @@ class TestAttributeOrdering:
         right = albedo[20:28, -4:].mean(axis=(0, 1))
         assert left[0] > left[1]    # left wall red
         assert right[1] > right[0]  # right wall green
+
+
+class TestMeshletCulling:
+    def test_mesh_shader_mode_renders_and_culls(self):
+        """Mesh-shader mode: meshlet cone culling drops back-facing
+        clusters without changing the visible image."""
+        scene = cornell_box()
+        r_plain = RasterizationRenderer("p", 32, 32, chunk=128)
+        r_plain.set_scene(scene)
+        r_plain.commit(); r_plain.update()
+
+        r_mesh = RasterizationRenderer(
+            "m", 32, 32, chunk=128, use_mesh_shader=True
+        )
+        r_mesh.set_scene(cornell_box())
+        assert r_mesh.scene.meshlets is not None
+        assert r_mesh.scene.meshlets.num_meshlets > 0
+        r_mesh.commit(); r_mesh.update()
+
+        a = r_plain.get_final_image()
+        b = r_mesh.get_final_image()
+        # Two-sided shading means culled backfaces were never visible:
+        # images match (cone culling is a perf filter, not a look change)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_tri_meshlet_mapping_valid(self):
+        from hala_tpu.scene.loader.uploader import SceneUploader
+
+        dev = SceneUploader.upload(
+            cornell_box(), use_mesh_shader=True, use_ray_tracing=False
+        )
+        tm = np.asarray(dev.meshlets.tri_meshlet)
+        mats = np.asarray(dev.geometry.tri_mat)
+        assert (tm[mats >= 0] >= 0).all()
+        assert tm.max() < dev.meshlets.num_meshlets
+        assert (tm[mats < 0] == -1).all()
