@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .sampling import dot  # noqa: F401  (re-exported convenience)
 
 _EPS = 1e-6
 TWO_PI = jnp.float32(2.0 * jnp.pi)

@@ -13,12 +13,10 @@ from __future__ import annotations
 
 import dataclasses
 
-import numpy as np
-
 from ...error import HalaRendererError
 from .node import Node
 from .mesh import Mesh
-from .material import Material, MaterialType, MediumType
+from .material import Material, MediumType
 from .light import Light
 from .camera import Camera
 from .image_data import ImageData
