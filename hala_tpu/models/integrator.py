@@ -540,7 +540,17 @@ def trace_paths(
             settings,
             t_max=jnp.concatenate(q_t),
         )
-        blocked = qhit.tri[n : 2 * n] >= 0
+        sh_tri = qhit.tri[n : 2 * n]
+        blocked = sh_tri >= 0
+        if scene.materials.has_alpha:
+            # Stochastic transparent shadows (single-blocker alpha test):
+            # the shadow ray passes its first blocker with probability
+            # 1 - opacity. Multi-surface transmittance is round-2 work.
+            sh_mat = jnp.take(geom.tri_mat, jnp.maximum(sh_tri, 0))
+            sh_opacity = jnp.take(
+                scene.materials.packed[:, 3], jnp.maximum(sh_mat, 0)
+            )
+            blocked = blocked & (r_alpha[:, 2] < sh_opacity)
         radiance = radiance + jnp.where(
             (candidate & ~blocked)[:, None], nee_contrib, 0.0
         )

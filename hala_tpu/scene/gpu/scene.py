@@ -83,7 +83,7 @@ class DeviceGeometry:
     _register,
     meta_fields=(
         "has_disney", "has_transmission", "has_absorb_medium",
-        "has_normal_map",
+        "has_normal_map", "has_alpha",
     ),
 )
 @dataclasses.dataclass
@@ -140,6 +140,7 @@ class DeviceMaterials:
     has_transmission: bool = True
     has_absorb_medium: bool = False
     has_normal_map: bool = False
+    has_alpha: bool = False  # any opacity < 1 (cpu/scene.rs has_transparent)
 
 
 @partial(_register, meta_fields=("num_lights",))

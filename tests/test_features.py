@@ -440,3 +440,39 @@ class TestMipmaps:
         img = _render_mean(self._textured_scene(rs), frames=2)
         assert np.isfinite(img).all()
         assert img.mean() > 0.01
+
+
+class TestTransparentShadows:
+    def test_alpha_blocker_leaks_light(self):
+        """A half-transparent pane between light and floor passes ~half
+        the direct light (stochastic single-blocker alpha shadows)."""
+
+        def scene_with(opacity):
+            scene = _floor_scene(
+                Light(intensity=25.0, light_type=LightType.POINT),
+                _down_light_transform(),
+            )
+            pane = Material(
+                type=MaterialType.DIFFUSE,
+                base_color=np.ones(3, np.float32),
+                opacity=opacity,
+            )
+            scene.materials.append(pane)
+            scene.meshes[0].primitives.append(
+                make_quad([-5, 2.5, -5], [10, 0, 0], [0, 0, 10], 1)
+            )
+            # camera below the pane: it sees the floor directly, and the
+            # floor's shadow rays to the light must cross the pane
+            scene.nodes[2].local_transform[1, 3] = 1.2
+            scene.update_node_hierarchies()
+            return scene
+
+        opaque = _render_mean(scene_with(1.0), frames=8)
+        half = _render_mean(scene_with(0.5), frames=8)
+        open_ = _render_mean(scene_with(0.0), frames=8)
+        # floor centers: opaque pane blocks NEE entirely; alpha=0 passes all
+        c_opq = opaque[6:10, 6:10].mean()
+        c_half = half[6:10, 6:10].mean()
+        c_open = open_[6:10, 6:10].mean()
+        assert c_open > 4 * max(c_opq, 1e-5)
+        assert c_opq < c_half < c_open
