@@ -270,6 +270,14 @@ class RayTracingRenderer(BaseRenderer):
         n = max(len(rays_acc), 1)
         for _ in range(len(rays_acc)):
             self.statistics.record_frame(dt / n, dt / n, total / n)
+        # aggregate metrics are always available after a pipelined loop
+        self.statistics.last_metrics = {
+            "fps": n / dt,
+            "gpu_ms": 1000.0 * dt / n,
+            "cpu_ms": 1000.0 * dt / n,
+            "mrays_per_s": total / dt / 1e6,
+            "total_frames": self.statistics.total_frames,
+        }
 
     # -- output ----------------------------------------------------------
 
