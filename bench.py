@@ -11,6 +11,7 @@ Baseline target (BASELINE.md): >= 100 Mrays/s per chip on Cornell Box.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -18,6 +19,10 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    config = sys.argv[1].lstrip("-") if len(sys.argv) > 1 else "cornell"
+    if config == "sponza":
+        _bench_sponza()
+        return
     from hala_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -67,6 +72,55 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "cornell_512_pathtrace_throughput",
+                "value": round(mrays, 3),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 100.0, 4),
+            }
+        )
+    )
+
+
+
+def _bench_sponza() -> None:
+    """Secondary config (BASELINE config[4] scale): sponza_like through
+    the cluster-streaming intersector. Run manually:
+    `python bench.py sponza`."""
+    from hala_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from hala_tpu.models.integrator import (
+        Film,
+        RenderSettings,
+        Uniforms,
+        render_frame,
+    )
+    from hala_tpu.scene.loader.uploader import SceneUploader
+    from hala_tpu.scene.procedural import sponza_like
+
+    scene = SceneUploader.upload(
+        sponza_like(rooms=(8, 8), columns_per_room=4, boxes_per_room=20),
+        use_ray_tracing=False,
+    )
+    settings = RenderSettings(
+        width=512, height=512, max_depth=4, rr_depth=2,
+        tile_size=65536, intersector="cluster", sort_rays=True,
+    )
+    uniforms = Uniforms.default()
+    film = Film.create(512, 512)
+    film, rays = render_frame(scene, None, uniforms, film, 0, settings)
+    jax.block_until_ready(rays)
+    rays_acc = []
+    t0 = time.perf_counter()
+    for f in range(1, 9):
+        film, rays = render_frame(scene, None, uniforms, film, f, settings)
+        rays_acc.append(rays)
+    jax.block_until_ready(film.accum)
+    dt = time.perf_counter() - t0
+    mrays = float(sum(rays_acc)) / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "sponza20k_pathtrace_throughput",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 4),

@@ -211,3 +211,63 @@ class TestLoader:
 
         assert project_depth(-0.1) == pytest.approx(1.0, abs=1e-5)
         assert project_depth(-1e6) == pytest.approx(0.0, abs=1e-3)
+
+
+class TestGLB:
+    def test_glb_container_roundtrip(self, tmp_path):
+        """GLB binary container: JSON chunk + BIN chunk buffers."""
+        import struct
+
+        # build the same triangle scene as a .glb with a BIN chunk
+        positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        normals = np.array([[0, 0, 1]] * 3, np.float32)
+        uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+        indices = np.array([0, 1, 2], np.uint16)
+        blob = (
+            positions.tobytes() + normals.tobytes() + uvs.tobytes()
+            + indices.tobytes()
+        )
+        blob += b"\0" * (-len(blob) % 4)
+        doc = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0, 1]}],
+            "nodes": [
+                {"mesh": 0},
+                {"camera": 0, "translation": [0, 0, 5]},
+            ],
+            "cameras": [
+                {"type": "perspective",
+                 "perspective": {"yfov": 0.7, "znear": 0.1}}
+            ],
+            "meshes": [{"primitives": [{
+                "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+                "indices": 3,
+            }]}],
+            "buffers": [{"byteLength": len(blob)}],  # no uri -> GLB chunk
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 72, "byteLength": 24},
+                {"buffer": 0, "byteOffset": 96, "byteLength": 6},
+            ],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+                {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
+                {"bufferView": 2, "componentType": 5126, "count": 3, "type": "VEC2"},
+                {"bufferView": 3, "componentType": 5123, "count": 3, "type": "SCALAR"},
+            ],
+        }
+        jchunk = json.dumps(doc).encode()
+        jchunk += b" " * (-len(jchunk) % 4)
+        glb = struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(jchunk) + 8 + len(blob))
+        glb += struct.pack("<II", len(jchunk), 0x4E4F534A) + jchunk
+        glb += struct.pack("<II", len(blob), 0x004E4942) + blob
+        path = tmp_path / "scene.glb"
+        path.write_bytes(glb)
+
+        scene = Scene.load(str(path))
+        prim = scene.meshes[0].primitives[0]
+        assert prim.triangle_count == 1
+        np.testing.assert_allclose(prim.positions[1], [1, 0, 0])
+        assert scene.cameras[0].yfov == pytest.approx(0.7)
