@@ -252,6 +252,7 @@ def trace_paths(
     # lobes unused by every material compile out of the megakernel.
     w_disney = bool(scene.materials.has_disney)
     w_trans = bool(scene.materials.has_transmission)
+    w_scatter = bool(getattr(scene.materials, "has_scatter_medium", False))
 
     # Carries derived from `o` so their varying-axes type survives
     # shard_map (see ops/intersect.varying_like).
@@ -278,6 +279,9 @@ def trace_paths(
         normal=zeros3,
         rays=zeros + 1.0,  # the primary ray
         path_dist=zeros,   # accumulated path length (mip LOD cone)
+        med_density=zeros,     # >0 while inside a SCATTER medium
+        med_g=zeros,           # phase anisotropy of the current medium
+        med_color=zeros3,      # single-scatter albedo
     )
 
     # Per-pixel cone angle for mip LOD (texture footprint ~ dist * angle).
@@ -297,7 +301,25 @@ def trace_paths(
         hit = _Hit(t=st["hit_t"], tri=st["hit_tri"], u=st["hit_u"], v=st["hit_v"])
         lhit = intersect_lights(scene.lights, o, d)
 
-        light_first = lhit.t < hit.t
+        # --- SCATTER media: free-flight distance sampling ----------------
+        # Rays inside a scattering medium may scatter before reaching the
+        # surface hit; the surviving-to-surface case needs no weight (the
+        # transmittance cancels against the sampling pdf). Single-scatter
+        # v1: no NEE from the scatter point (area/env lights are reached
+        # via phase-sampled continuation + MIS).
+        if w_scatter:
+            r_med = rng.sample4(pixel_idx, frame_index, bounce, seed=29)
+            med_density = st["med_density"]
+            t_free = -jnp.log(jnp.maximum(1.0 - r_med[:, 0], 1e-7)) / (
+                jnp.maximum(med_density, 1e-7)
+            )
+            scatter = active & (med_density > 0.0) & (t_free < hit.t)
+            effective_t = jnp.where(scatter, t_free, hit.t)
+        else:
+            scatter = zeros > 1.0
+            effective_t = hit.t
+
+        light_first = lhit.t < effective_t
         # --- emissive light hit (MIS vs the NEE strategy) ---------------
         w_light = jnp.where(
             prev_pdf > 0.0, power_heuristic(prev_pdf, lhit.pdf), 1.0
@@ -308,8 +330,8 @@ def trace_paths(
             0.0,
         )
 
-        # --- miss: environment ------------------------------------------
-        miss = hit.tri < 0
+        # --- miss: environment (not if the ray scattered first) ----------
+        miss = (hit.tri < 0) & ~scatter
         env_rad = _env_miss_radiance(env, uniforms, d, settings)
         if has_env_map:
             pdf_e = env_pdf(env, d, uniforms.env_rotation)
@@ -325,6 +347,7 @@ def trace_paths(
         )
 
         active = active & ~miss & ~light_first
+        on_surface = active & ~scatter
 
         # --- shading point ----------------------------------------------
         # One row-gather of the packed shade table per hit (shade_table
@@ -351,7 +374,7 @@ def trace_paths(
 
         mat_idx = rows[:, 18].astype(jnp.int32)
         mp = gather_materials(scene.materials, mat_idx)
-        path_dist = st["path_dist"] + hit.t * active.astype(jnp.float32)
+        path_dist = st["path_dist"] + effective_t * active.astype(jnp.float32)
 
         # Interpolated tangent, Gram-Schmidt-orthonormalized against ns:
         # the UV-aligned shading frame (anisotropy + normal mapping).
@@ -428,7 +451,7 @@ def trace_paths(
         # Beer-Lambert absorption (cpu/material.rs ABSORB medium): a
         # backface hit means the segment just traversed was interior.
         if scene.materials.has_absorb_medium:
-            interior = (~entering) & active
+            interior = (~entering) & on_surface
             atten = jnp.exp(-mp.medium_sigma * hit.t[:, None])
             throughput = jnp.where(
                 interior[:, None], throughput * atten, throughput
@@ -437,20 +460,20 @@ def trace_paths(
         # --- AOVs on first hit ------------------------------------------
         first = bounce == 0
         st_albedo = jnp.where(
-            (first & active)[:, None], mp.base_color, st["albedo"]
+            (first & on_surface)[:, None], mp.base_color, st["albedo"]
         )
-        st_normal = jnp.where((first & active)[:, None], ns, st["normal"])
+        st_normal = jnp.where((first & on_surface)[:, None], ns, st["normal"])
 
         # --- surface emission (no NEE over emissive triangles) ----------
         radiance = radiance + jnp.where(
-            active[:, None], throughput * mp.emission, 0.0
+            on_surface[:, None], throughput * mp.emission, 0.0
         )
 
         # --- opacity stochastic pass-through ----------------------------
         # One RNG call serves both the alpha test ([0]) and Russian
         # roulette ([1]) — pcg4d calls are per-bounce fixed cost.
         r_alpha = rng.sample4(pixel_idx, frame_index, bounce, seed=11)
-        pass_through = active & (r_alpha[:, 0] > mp.opacity)
+        pass_through = on_surface & (r_alpha[:, 0] > mp.opacity)
 
         # --- NEE: analytic lights (occlusion deferred to the batched
         # visibility query below) -----------------------------------------
@@ -461,7 +484,7 @@ def trace_paths(
             wi_l = to_local(ls.wi, t_b, b_b, ns_f)
             f_l, pdf_b = bsdf_eval(mp, wo_l, wi_l, w_disney, w_trans)
             cos_l = jnp.abs(wi_l[:, 2])
-            candidate = active & ~pass_through & (ls.pdf > 0) & (cos_l > 1e-6)
+            candidate = on_surface & ~pass_through & (ls.pdf > 0) & (cos_l > 1e-6)
             w_mis = jnp.where(
                 ls.is_delta, 1.0, power_heuristic(ls.pdf, pdf_b)
             )
@@ -488,7 +511,7 @@ def trace_paths(
             wi_el = to_local(wi_e, t_b, b_b, ns_f)
             f_e, pdf_be = bsdf_eval(mp, wo_l, wi_el, w_disney, w_trans)
             cos_e = jnp.abs(wi_el[:, 2])
-            cand_e = active & ~pass_through & (pdf_e > 0) & (cos_e > 1e-6)
+            cand_e = on_surface & ~pass_through & (pdf_e > 0) & (cos_e > 1e-6)
             w_mis_e = power_heuristic(pdf_e, pdf_be)
             env_contrib = (
                 throughput
@@ -514,7 +537,57 @@ def trace_paths(
         next_o = hit_p + offset_n * _RAY_EPS + next_d * _RAY_EPS
         next_tp = jnp.where(pass_through[:, None], throughput, new_tp)
         next_pdf = jnp.where(pass_through, jnp.zeros_like(pdf_s), pdf_s)
-        active = active & (pass_through | valid_s)
+        active = active & (pass_through | valid_s | scatter)
+
+        # --- SCATTER continuation + medium boundary tracking -------------
+        if w_scatter:
+            from ..ops.sampling import sample_henyey_greenstein
+
+            med_g = st["med_g"]
+            med_color = st["med_color"]
+            wi_hg, pdf_hg = sample_henyey_greenstein(
+                d, med_g, r_med[:, 1], r_med[:, 2]
+            )
+            scat_o = o + effective_t[:, None] * d + wi_hg * _RAY_EPS
+            next_d = jnp.where(scatter[:, None], wi_hg, next_d)
+            next_o = jnp.where(scatter[:, None], scat_o, next_o)
+            next_tp = jnp.where(
+                scatter[:, None], throughput * med_color, next_tp
+            )
+            next_pdf = jnp.where(scatter, pdf_hg, next_pdf)
+
+            # Medium boundary crossings: a transmitted surface ray enters
+            # (or exits) the hit material's medium.
+            mm_type = jnp.take(
+                scene.materials.medium_type, jnp.maximum(mat_idx, 0)
+            )
+            mm_density = jnp.take(
+                scene.materials.medium_density, jnp.maximum(mat_idx, 0)
+            )
+            mm_g = jnp.take(
+                scene.materials.medium_anisotropy, jnp.maximum(mat_idx, 0)
+            )
+            mm_color = jnp.take(
+                scene.materials.medium_color, jnp.maximum(mat_idx, 0), axis=0
+            )
+            crossed = on_surface & ~pass_through & (dot(next_d, ng_f) < 0)
+            enter_med = crossed & entering & (mm_type == 2) & (mm_density > 0)
+            exit_med = crossed & ~entering
+            new_density = jnp.where(
+                enter_med, mm_density,
+                jnp.where(exit_med, 0.0, st["med_density"]),
+            )
+            new_g = jnp.where(
+                enter_med, mm_g, jnp.where(exit_med, 0.0, st["med_g"])
+            )
+            new_color = jnp.where(
+                enter_med[:, None], mm_color,
+                jnp.where(exit_med[:, None], 0.0, st["med_color"]),
+            )
+        else:
+            new_density = st["med_density"]
+            new_g = st["med_g"]
+            new_color = st["med_color"]
 
         # --- Russian roulette (from rr_depth, rt_renderer.rs:572-573) ---
         q = jnp.clip(jnp.max(next_tp, axis=-1), 0.05, 0.95)
@@ -577,6 +650,9 @@ def trace_paths(
             normal=st_normal,
             rays=rays + active.astype(jnp.float32),
             path_dist=path_dist,
+            med_density=new_density,
+            med_g=new_g,
+            med_color=new_color,
         )
 
     state = jax.lax.fori_loop(0, settings.max_depth, bounce_body, state)

@@ -154,6 +154,33 @@ def sample_gtr1(a, u1, u2):
     )
 
 
+def sample_henyey_greenstein(d: jnp.ndarray, g: jnp.ndarray, u1, u2):
+    """Sample a scattering direction around `d` from the HG phase
+    function with anisotropy g (g=0 -> isotropic). Returns (wi, pdf)."""
+    g = jnp.clip(g, -0.999, 0.999)
+    safe_g = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
+    sq = (1.0 - safe_g * safe_g) / (1.0 - safe_g + 2.0 * safe_g * u1)
+    cos_hg = (1.0 + safe_g * safe_g - sq * sq) / (2.0 * safe_g)
+    cos_t = jnp.where(jnp.abs(g) < 1e-3, 1.0 - 2.0 * u1, cos_hg)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = TWO_PI * u2
+    t, b = build_basis(d)
+    wi = (
+        (sin_t * jnp.cos(phi))[..., None] * t
+        + (sin_t * jnp.sin(phi))[..., None] * b
+        + cos_t[..., None] * d
+    )
+    return normalize(wi), hg_pdf(cos_t, g)
+
+
+def hg_pdf(cos_t, g):
+    """Henyey-Greenstein phase pdf over solid angle."""
+    g = jnp.clip(g, -0.999, 0.999)
+    denom = jnp.maximum(1.0 + g * g - 2.0 * g * cos_t, 1e-6)
+    return (1.0 - g * g) / (4.0 * jnp.pi * denom * jnp.sqrt(denom))
+
+
 def fresnel_schlick(f0, cos_theta):
     m = jnp.clip(1.0 - cos_theta, 0.0, 1.0)
     return f0 + (1.0 - f0) * (m ** 2) ** 2 * m

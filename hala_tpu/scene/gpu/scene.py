@@ -83,7 +83,7 @@ class DeviceGeometry:
     _register,
     meta_fields=(
         "has_disney", "has_transmission", "has_absorb_medium",
-        "has_normal_map", "has_alpha",
+        "has_normal_map", "has_alpha", "has_scatter_medium",
     ),
 )
 @dataclasses.dataclass
@@ -141,6 +141,7 @@ class DeviceMaterials:
     has_absorb_medium: bool = False
     has_normal_map: bool = False
     has_alpha: bool = False  # any opacity < 1 (cpu/scene.rs has_transparent)
+    has_scatter_medium: bool = False  # any SCATTER medium (has_medium_with)
 
 
 @partial(_register, meta_fields=("num_lights",))

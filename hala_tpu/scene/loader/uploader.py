@@ -281,6 +281,10 @@ class SceneUploader:
                 m.normal_map_index != 0xFFFFFFFF for m in mats
             ),
             has_alpha=any(m.opacity < 1.0 for m in mats),
+            has_scatter_medium=any(
+                int(m.medium.type) == 2 and m.medium.density > 0
+                for m in mats
+            ),
             base_color=f(lambda m: m.base_color),
             opacity=f(lambda m: m.opacity),
             emission=f(lambda m: m.emission),

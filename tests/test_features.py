@@ -476,3 +476,58 @@ class TestTransparentShadows:
         c_open = open_[6:10, 6:10].mean()
         assert c_open > 4 * max(c_opq, 1e-5)
         assert c_opq < c_half < c_open
+
+
+class TestScatterMedium:
+    def test_fog_cube_scatters_light(self):
+        """A SCATTER-medium box over an emissive floor: the fog picks up
+        and redistributes light (image changes, energy stays bounded)."""
+        from hala_tpu.scene.procedural import make_box
+
+        def scene_with(density):
+            fog = Material(
+                type=MaterialType.DISNEY,
+                base_color=np.ones(3, np.float32),
+                roughness=0.1,
+                specular_transmission=1.0,
+                ior=1.1,  # near-matched boundary (exactly 1.0 degenerates h)
+                medium=Medium(
+                    type=MediumType.SCATTER,
+                    color=np.array([0.9, 0.9, 0.9], np.float32),
+                    density=density,
+                    anisotropy=0.3,
+                ),
+            )
+            emissive_floor = Material(
+                type=MaterialType.DIFFUSE,
+                base_color=np.ones(3, np.float32),
+                emission=np.full(3, 4.0, np.float32),
+            )
+            scene = _floor_scene(
+                Light(intensity=0.0, light_type=LightType.POINT),
+                _down_light_transform(),
+                material=emissive_floor,
+            )
+            scene.materials.append(fog)
+            scene.meshes[0].primitives += make_box(
+                [0, 1.5, 0], [8.0, 2.0, 8.0], 1
+            )
+            scene.update_node_hierarchies()
+            return scene
+
+        clear = _render_mean(scene_with(0.0), frames=8, depth=8)
+        foggy = _render_mean(scene_with(1.5), frames=8, depth=8)
+        assert np.isfinite(foggy).all()
+        # scattering redistributes (and with albedo 0.9 slightly absorbs)
+        diff = np.abs(clear - foggy).mean()
+        assert diff > 0.02
+        assert foggy.mean() < clear.mean() * 1.1  # no energy explosion
+        assert foggy.mean() > 0.05  # light still gets through
+
+    def test_no_medium_unchanged(self):
+        """Scenes without SCATTER media compile the volume code out and
+        render identically to before (golden harness also covers this)."""
+        from hala_tpu.scene.loader.uploader import SceneUploader
+
+        dev = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
+        assert dev.materials.has_scatter_medium is False
