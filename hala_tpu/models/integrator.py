@@ -70,8 +70,9 @@ class RenderSettings:
     chunk: int = 2048  # brute-force triangle chunk
     intersector: str = "legacy"  # "legacy" honors use_bvh
     interpret_pallas: bool = False
-    cluster_k_max: int = 64      # candidate clusters per 1024-ray block
+    cluster_k_max: int = 64      # candidate clusters per ray ("expand")
     sort_rays: bool = False      # wavefront coherence sort before queries
+    expand_max_runs: int = 96    # distinct clusters per 1024-item tile
 
 
 def resolve_intersector(preference: str = "auto") -> str:
@@ -136,6 +137,8 @@ class Film:
 
 
 def _backend(settings: RenderSettings, scene) -> str:
+    if settings.intersector == "expand":
+        return "expand"
     if settings.intersector == "cluster":
         return "cluster"
     if settings.intersector == "pallas":
@@ -153,6 +156,18 @@ def _backend(settings: RenderSettings, scene) -> str:
 def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
     g = scene.geometry
     backend = _backend(settings, scene)
+    if backend == "expand":
+        from ..ops.expand import intersect_expanded
+
+        max_runs = min(
+            g.cluster_min.shape[0] + 1, settings.expand_max_runs
+        )
+        return intersect_expanded(
+            o, d, g, t_max=t_max,
+            k_per_ray=min(settings.cluster_k_max, g.cluster_min.shape[0]),
+            max_runs=max_runs,
+            interpret=settings.interpret_pallas,
+        )
     if backend == "cluster":
         from ..ops.cluster import intersect_clustered
         from ..ops.compaction import permute, sort_rays
@@ -198,7 +213,7 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
 def _occluded(scene, o, d, t_far, settings: RenderSettings):
     g = scene.geometry
     backend = _backend(settings, scene)
-    if backend == "cluster":
+    if backend in ("cluster", "expand"):
         hit = _intersect(
             scene, o, d, settings, t_max=t_far * (1.0 - 1e-4)
         )
