@@ -251,8 +251,14 @@ def trace_paths(
     pixel_idx: jnp.ndarray,
     frame_index,
     settings: RenderSettings,
+    full_height: int | None = None,
 ):
     """Trace full paths for a flat ray batch.
+
+    `full_height` is the height of the WHOLE film; under multi-chip film
+    tiling `settings.height` is the per-shard row count, and the mip-LOD
+    pixel cone angle must use the global height or textured shards pick
+    different mip levels per device count (breaking bit-identity).
 
     Returns (radiance (N,3), albedo_aov (N,3), normal_aov (N,3),
     rays_traced (N,) f32 — counting extension + shadow rays for the
@@ -301,7 +307,8 @@ def trace_paths(
 
     # Per-pixel cone angle for mip LOD (texture footprint ~ dist * angle).
     cam_yfov = scene.cameras.yfov[uniforms.camera_index]
-    pixel_angle = 2.0 * jnp.tan(0.5 * jnp.maximum(cam_yfov, 1e-3)) / settings.height
+    fh = full_height if full_height is not None else settings.height
+    pixel_angle = 2.0 * jnp.tan(0.5 * jnp.maximum(cam_yfov, 1e-3)) / fh
 
     from ..ops.intersect import Hit as _Hit
 
@@ -569,7 +576,13 @@ def trace_paths(
             next_tp = jnp.where(
                 scatter[:, None], throughput * med_color, next_tp
             )
-            next_pdf = jnp.where(scatter, pdf_hg, next_pdf)
+            # No NEE is performed from scatter vertices, so the emissive
+            # hit after a phase bounce must carry FULL weight — a pdf of
+            # 0 marks "previous bounce was delta/unmatched" for the MIS
+            # power heuristic (otherwise volumes near lights go dark:
+            # the NEE share of the energy would be discarded unsampled).
+            del pdf_hg
+            next_pdf = jnp.where(scatter, 0.0, next_pdf)
 
             # Medium boundary crossings: a transmitted surface ray enters
             # (or exits) the hit material's medium.
@@ -789,7 +802,8 @@ def render_frame(
             r_jit[:, :2], r_jit[:, 2:],
         )
         L, alb, nrm, rays = trace_paths(
-            scene, env, uniforms, o, d, gpix, fidx, settings
+            scene, env, uniforms, o, d, gpix, fidx, settings,
+            full_height=cam_h,
         )
         L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
         old = jax.lax.dynamic_slice_in_dim(accum, start, tile)

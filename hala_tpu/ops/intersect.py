@@ -16,6 +16,7 @@ analytically so emissive lights are visible to BSDF rays (needed for MIS).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -81,8 +82,10 @@ def intersect_bruteforce(
     """
     n = o.shape[0]
     num_tris = tri_v0.shape[0]
-    chunk = min(chunk, num_tris)
-    assert num_tris % chunk == 0, "triangle buffer must be chunk-padded"
+    # Geometry is only padded to TRI_PAD (128); pick the largest chunk
+    # that divides the buffer rather than asserting (gcd keeps it a
+    # multiple of the pad granularity for typical pow2 chunks).
+    chunk = math.gcd(min(chunk, num_tris), num_tris)
     zeros = varying_like(o[:, 0], 0.0)
     t_best = zeros + (T_MAX if t_max is None else t_max)
     init = Hit(
@@ -118,8 +121,7 @@ def occluded_bruteforce(
 ) -> jnp.ndarray:
     """Any-hit shadow query: True where something lies in (t_min, t_far)."""
     num_tris = tri_v0.shape[0]
-    chunk = min(chunk, num_tris)
-    assert num_tris % chunk == 0
+    chunk = math.gcd(min(chunk, num_tris), num_tris)
 
     def body(blocked, idx):
         start = idx * chunk

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_INV_U32 = jnp.float32(2.3283064365386963e-10)  # 1 / 2^32
+_INV_U24 = jnp.float32(1.0 / (1 << 24))  # exact in f32
 
 
 def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
@@ -55,4 +55,8 @@ def sample4(
         axis=-1,
     )
     bits = pcg4d(ctr)
-    return bits.astype(jnp.float32) * _INV_U32
+    # 24-bit construction: the top 24 bits convert to f32 exactly, so the
+    # result is uniform on [0, 1) with no rounding to 1.0 (a raw
+    # u32 * 2^-32 rounds values >= 2^32-128 up to exactly 1.0, which can
+    # push pixel jitter into the neighboring pixel).
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * _INV_U24

@@ -527,7 +527,11 @@ class SceneUploader:
             img_idx = scene.texture2image_mapping.get(t)
             data_idx = scene.image2data_mapping.get(img_idx, img_idx)
             imgs.append(scene.image_data[data_idx].as_float_rgba())
-        max_h = max(im.shape[0] for im in imgs)
+        # Canvas height rounded UP to a power of two: the sampler computes
+        # level row offsets in closed form (2*max_h - (2*max_h >> l),
+        # ops/texture.py) which only equals the iterative packing sum
+        # (row += max_h >> l) when max_h is a power of two.
+        max_h = 1 << (max(im.shape[0] for im in imgs) - 1).bit_length()
         max_w = max(im.shape[1] for im in imgs)
         # Full mip chain (gen_mipmaps parity, gpu_uploader.rs:366-401):
         # box-filter pyramid packed vertically — level l occupies rows
