@@ -73,6 +73,7 @@ class RenderSettings:
     cluster_k_max: int = 64      # candidate clusters per ray ("expand")
     sort_rays: bool = False      # wavefront coherence sort before queries
     expand_max_runs: int = 96    # distinct clusters per 1024-item tile
+    traverse_k: int = 12         # candidate clusters per ray ("traverse")
 
 
 def resolve_intersector(preference: str = "auto") -> str:
@@ -137,6 +138,10 @@ class Film:
 
 
 def _backend(settings: RenderSettings, scene) -> str:
+    if settings.intersector == "matrix":
+        return "matrix"
+    if settings.intersector == "traverse":
+        return "traverse"
     if settings.intersector == "expand":
         return "expand"
     if settings.intersector == "cluster":
@@ -153,9 +158,63 @@ def _backend(settings: RenderSettings, scene) -> str:
     return "bruteforce"
 
 
+def _sorted_dispatch(scene, o, d, settings, t_max, query):
+    """Run `query(o, d, t_max) -> Hit` under the wavefront coherence
+    sort (ops/compaction.py) and undo the permutation."""
+    from ..ops.compaction import permute, sort_rays
+    from ..ops.intersect import Hit as _H
+
+    g = scene.geometry
+    tm = (
+        jnp.broadcast_to(t_max, (o.shape[0],)).astype(jnp.float32)
+        if t_max is not None
+        else jnp.full((o.shape[0],), T_MAX)
+    )
+    smin = jnp.min(g.cluster_min, axis=0)
+    smax = jnp.max(
+        jnp.where(g.cluster_max < 1e30, g.cluster_max, -jnp.inf), axis=0
+    )
+    ro = sort_rays(o, d, tm > 0, smin, smax)
+    o_s, d_s, t_s = permute(ro.order, o, d, tm)
+    hit = query(o_s, d_s, t_s)
+    return _H(*(permute(ro.inverse, x) for x in hit))
+
+
 def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
     g = scene.geometry
     backend = _backend(settings, scene)
+    if backend == "matrix":
+        from ..ops.traverse import intersect_matrix
+
+        def query_m(o_q, d_q, t_q):
+            return intersect_matrix(
+                o_q, d_q, g, t_max=t_q,
+                interpret=settings.interpret_pallas,
+            )
+
+        if settings.sort_rays:
+            return _sorted_dispatch(scene, o, d, settings, t_max, query_m)
+        return intersect_matrix(
+            o, d, g, t_max=t_max, interpret=settings.interpret_pallas
+        )
+    if backend == "traverse":
+        from ..ops.traverse import intersect_traversed
+
+        def query(o_q, d_q, t_q):
+            return intersect_traversed(
+                o_q, d_q, g, t_max=t_q,
+                k_per_ray=settings.traverse_k,
+                interpret=settings.interpret_pallas,
+            )
+
+        if settings.sort_rays:
+            return _sorted_dispatch(scene, o, d, settings, t_max, query)
+        tm = (
+            jnp.broadcast_to(t_max, (o.shape[0],)).astype(jnp.float32)
+            if t_max is not None
+            else jnp.full((o.shape[0],), T_MAX)
+        )
+        return query(o, d, tm)
     if backend == "expand":
         from ..ops.expand import intersect_expanded
 
@@ -170,26 +229,15 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
         )
     if backend == "cluster":
         from ..ops.cluster import intersect_clustered
-        from ..ops.compaction import permute, sort_rays
-        from ..ops.intersect import Hit as _H
 
-        if settings.sort_rays:
-            tm = (
-                jnp.broadcast_to(t_max, (o.shape[0],)).astype(jnp.float32)
-                if t_max is not None
-                else jnp.full((o.shape[0],), T_MAX)
-            )
-            smin = jnp.min(g.cluster_min, axis=0)
-            smax = jnp.max(
-                jnp.where(g.cluster_max < 1e30, g.cluster_max, -jnp.inf), axis=0
-            )
-            ro = sort_rays(o, d, tm > 0, smin, smax)
-            o_s, d_s, t_s = permute(ro.order, o, d, tm)
-            hit = intersect_clustered(
-                o_s, d_s, g, t_max=t_s,
+        def query_c(o_q, d_q, t_q):
+            return intersect_clustered(
+                o_q, d_q, g, t_max=t_q,
                 interpret=settings.interpret_pallas,
             )
-            return _H(*(permute(ro.inverse, x) for x in hit))
+
+        if settings.sort_rays:
+            return _sorted_dispatch(scene, o, d, settings, t_max, query_c)
         return intersect_clustered(
             o, d, g, t_max=t_max,
             interpret=settings.interpret_pallas,
@@ -213,7 +261,7 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
 def _occluded(scene, o, d, t_far, settings: RenderSettings):
     g = scene.geometry
     backend = _backend(settings, scene)
-    if backend in ("cluster", "expand"):
+    if backend in ("cluster", "expand", "traverse", "matrix"):
         hit = _intersect(
             scene, o, d, settings, t_max=t_far * (1.0 - 1e-4)
         )

@@ -1,0 +1,696 @@
+"""Per-ray ordered cluster traversal — the large-scene intersector.
+
+Replaces the hardware BVH role (reference BLAS/TLAS + trace_rays,
+/root/reference/src/scene/loader/gpu_uploader.rs:774-967) for scenes too
+big for SMEM residency, fixing the two round-1 failure modes measured in
+DESIGN.md:
+
+- the lockstep block kernel (ops/cluster.py) pays for the UNION of
+  clusters any ray in a 1024-ray block touches (~100 clusters/block on
+  incoherent bounce rays -> 2.2 Mrays/s on 20k triangles);
+- (ray, cluster) item expansion (ops/expand.py) needs the items grouped
+  by cluster, and a global lax.sort of ~1M items is ~10x the cost of the
+  intersection itself on TPU (bitonic).
+
+Here nothing is ever sorted or expanded. The dense cull emits, PER RAY,
+the K nearest candidate clusters ordered by slab entry distance tn (a
+top_k over the (rays, clusters) slab matrix — regular VPU work). One
+Pallas kernel then walks each 1024-ray tile:
+
+1. every lane exposes its nearest unconsumed candidate (tn below the
+   lane's current best hit, else "done");
+2. the tile picks the minimum candidate id, DMAs that cluster's packed
+   geometry block HBM->SMEM once, and Moller-Trumbore's the whole tile
+   masked to lanes holding that cluster ANYWHERE in their list (one DMA
+   serves every lane that wants the cluster, at any position);
+3. consumed candidates are retired; a lane whose best hit is closer
+   than its nearest remaining tn stops contributing (per-ray
+   front-to-back early termination — the thing a per-block sweep can
+   never do);
+4. the loop ends when every lane is done.
+
+Exactness under truncation: candidate lists keep the K SMALLEST tn, so
+any truncated cluster has tn >= the last kept one. A lane is "resolved"
+iff its best hit t <= its smallest remaining/truncated tn; unresolved
+lanes (rare: deep overflow without an early hit) are re-dispatched
+through the block kernel with t_max preset to their current best — for
+resolved lanes t_max=0 makes every slab test fail, so the fallback
+costs only the AABB sweep. The combined result is exact (tests compare
+against brute force with K forced tiny).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import Hit, T_MAX, varying_like
+
+LANES = 128
+# 4096-ray tiles: the per-run fixed cost (selection folds + scalar
+# reductions + DMA wait, ~3 us) is paid per tile-visit, and the measured
+# sweet spot on sponza_like trades a slightly looser per-tile cluster
+# union for 2.8x fewer runs (18.9 -> 13.5 ms at 64k rays vs 1024-tiles).
+BLOCK_SUBLANES = 32
+RAY_BLOCK = BLOCK_SUBLANES * LANES
+TRI_CHUNK = 128
+BIG_CLUSTER = 0x3FFFFFFF  # "no candidate" sentinel (Python int: Pallas
+# kernels must not close over jnp array constants)
+_INF = 3.0e38
+_EPS = 1.0e-7
+_T_MIN = 1.0e-4
+_MT_ITERS = TRI_CHUNK  # ablation knob: triangle iterations per run
+
+
+def cull_ordered(o, d, t_max, cluster_min, cluster_max, k_per_ray: int,
+                 row_chunk: int = 8192):
+    """Per-ray candidates ordered by slab entry distance.
+
+    Returns (ids (N, K) i32 BIG_CLUSTER-padded, tn (N, K) f32 INF-padded,
+    overflow (N,) bool — ray had more than K candidate clusters).
+    Candidate k holds the k-th SMALLEST tn, so truncated clusters all
+    have tn >= tn[:, -1]; lax.top_k breaks ties by lowest index, keeping
+    the result independent of tiling/device count (multi-chip
+    bit-identity invariant).
+    """
+    n = o.shape[0]
+    c = cluster_min.shape[0]
+    k = min(k_per_ray, c)
+    safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d)
+    inv_d = 1.0 / safe_d
+
+    n_chunks = -(-n // row_chunk)
+    n_pad = n_chunks * row_chunk
+    if n_pad != n:
+        o = jnp.pad(o, ((0, n_pad - n), (0, 0)))
+        inv_d = jnp.pad(inv_d, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+        t_max = jnp.pad(t_max, (0, n_pad - n))
+
+    o_c = o.reshape(n_chunks, row_chunk, 3)
+    i_c = inv_d.reshape(n_chunks, row_chunk, 3)
+    t_c = t_max.reshape(n_chunks, row_chunk)
+
+    def per_chunk(args):
+        oc, ic, tc = args
+        t0 = (cluster_min[None, :, :] - oc[:, None, :]) * ic[:, None, :]
+        t1 = (cluster_max[None, :, :] - oc[:, None, :]) * ic[:, None, :]
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tn <= tf) & (tf > 0.0) & (tn < tc[:, None])  # (R, C)
+        key = jnp.where(hit, tn, jnp.float32(_INF))
+        neg_tn, idx = jax.lax.top_k(-key, k)  # k smallest tn first
+        valid = neg_tn > jnp.float32(-_INF)
+        ids = jnp.where(valid, idx.astype(jnp.int32), jnp.int32(BIG_CLUSTER))
+        tns = jnp.where(valid, -neg_tn, jnp.float32(_INF))
+        count = jnp.sum(hit.astype(jnp.int32), axis=1)
+        return ids, tns, count > k
+
+    ids, tns, ovf = jax.lax.map(per_chunk, (o_c, i_c, t_c))
+    return (
+        ids.reshape(n_pad, k)[:n],
+        tns.reshape(n_pad, k)[:n],
+        ovf.reshape(n_pad)[:n],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_per_ray", "exact", "interpret")
+)
+def traverse_query(
+    o, d, geometry, t_max=None, k_per_ray: int = 12,
+    exact: bool = True, interpret: bool = False,
+) -> Hit:
+    """Full sorted traversal query: cull, then sort rays by their
+    NEAREST candidate cluster (plus direction octant), so kernel tiles
+    group rays that will fetch the same geometry blocks — a much denser
+    grouping than an origin-cell Morton key, because it is derived from
+    what each ray will actually intersect. Dead rays (no candidates)
+    key to the sentinel and sink to the tail tiles, which exit after a
+    single selection round (free wavefront compaction)."""
+    n = o.shape[0]
+    if t_max is None:
+        tm = varying_like(o[:, 0], 0.0) + T_MAX
+    else:
+        tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+
+    ids, tns, ovf = cull_ordered(
+        o, d, tm, geometry.cluster_min, geometry.cluster_max,
+        min(k_per_ray, geometry.cluster_min.shape[0]),
+    )
+    octant = (
+        (d[:, 0] >= 0).astype(jnp.uint32)
+        | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+        | ((d[:, 2] >= 0).astype(jnp.uint32) << 2)
+    )
+    key = (ids[:, 0].astype(jnp.uint32) << jnp.uint32(3)) | octant
+    order = jnp.argsort(key).astype(jnp.int32)
+    inverse = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
+    o_s = jnp.take(o, order, axis=0)
+    d_s = jnp.take(d, order, axis=0)
+    tm_s = jnp.take(tm, order)
+    ids_s = jnp.take(ids, order, axis=0)
+    tns_s = jnp.take(tns, order, axis=0)
+    ovf_s = jnp.take(ovf, order)
+    hit = _traverse_core(
+        o_s, d_s, geometry, tm_s, ids_s, tns_s, ovf_s,
+        exact=exact, interpret=interpret,
+    )
+    return Hit(
+        t=jnp.take(hit.t, inverse),
+        tri=jnp.take(hit.tri, inverse),
+        u=jnp.take(hit.u, inverse),
+        v=jnp.take(hit.v, inverse),
+    )
+
+
+def _make_traverse_kernel(k_per_ray: int):
+    return functools.partial(_traverse_kernel_body, k_per_ray)
+
+
+def _traverse_kernel_body(
+    k_per_ray,
+    ox, oy, oz, dx, dy, dz, tmax,   # VMEM (BLOCK_SUBLANES, LANES)
+    cid_ref,                        # VMEM (K*BLOCK_SUBLANES, LANES) i32
+    tn_ref,                         # VMEM (K*BLOCK_SUBLANES, LANES) f32
+    ovf_ref,                        # VMEM (BLOCK_SUBLANES, LANES) i32
+    tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
+    t_out, tri_out, u_out, v_out, unres_out, runs_out,
+    cons,                           # scratch VMEM (K*BLOCK_SUBLANES, LANES)
+    tri_smem,                       # scratch SMEM (16, TRI_CHUNK)
+    sem,
+):
+    big = jnp.int32(BIG_CLUSTER)
+    inf = jnp.float32(_INF)
+    cons[:] = cid_ref[:]
+    t_out[:] = tmax[:]
+    tri_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
+    u_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+    v_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+
+    rox, roy, roz = ox[:], oy[:], oz[:]
+    rdx, rdy, rdz = dx[:], dy[:], dz[:]
+
+    def _plane(ref, kk):
+        s = kk * BLOCK_SUBLANES
+        return ref[s : s + BLOCK_SUBLANES, :]
+
+    def next_cid():
+        # Tile-level front-to-back selection: pick the cluster with the
+        # smallest entry distance among candidates still LIVE (tn below
+        # the owning lane's current best hit). Processing in tn order is
+        # what makes per-ray early termination actually fire — the first
+        # few runs resolve most lanes' hits, after which their remaining
+        # candidates fail the live test and are never fetched. (Id-order
+        # selection measured ~all clusters/tile on this step; tn-order
+        # collapses it to the clusters some lane truly needs.)
+        m = jnp.full((BLOCK_SUBLANES, LANES), _INF, jnp.float32)
+        tb = t_out[:]
+        for kk in range(k_per_ray):
+            live = (_plane(cons, kk) < big) & (_plane(tn_ref, kk) < tb)
+            m = jnp.minimum(m, jnp.where(live, _plane(tn_ref, kk), inf))
+        tn_min = jnp.min(m)
+        # the (a) cluster achieving that tn; min id breaks exact ties
+        cur = jnp.full((BLOCK_SUBLANES, LANES), BIG_CLUSTER, jnp.int32)
+        for kk in range(k_per_ray):
+            pick = (_plane(cons, kk) < big) & (_plane(tn_ref, kk) == tn_min)
+            cur = jnp.minimum(cur, jnp.where(pick, _plane(cons, kk), big))
+        return jnp.min(cur)
+
+    def run(cid):
+        cp = pltpu.make_async_copy(tri_hbm.at[cid], tri_smem, sem)
+        cp.start()
+        cp.wait()
+        in_run = _plane(cons, 0) == cid
+        for kk in range(1, k_per_ray):
+            in_run = in_run | (_plane(cons, kk) == cid)
+        base = cid * TRI_CHUNK
+
+        def tri_body(t, _):
+            av0x = tri_smem[0, t]
+            av0y = tri_smem[1, t]
+            av0z = tri_smem[2, t]
+            ae1x = tri_smem[3, t]
+            ae1y = tri_smem[4, t]
+            ae1z = tri_smem[5, t]
+            ae2x = tri_smem[6, t]
+            ae2y = tri_smem[7, t]
+            ae2z = tri_smem[8, t]
+
+            px = rdy * ae2z - rdz * ae2y
+            py = rdz * ae2x - rdx * ae2z
+            pz = rdx * ae2y - rdy * ae2x
+            det = px * ae1x + py * ae1y + pz * ae1z
+            inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
+            tx = rox - av0x
+            ty = roy - av0y
+            tz = roz - av0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * ae1z - tz * ae1y
+            qy = tz * ae1x - tx * ae1z
+            qz = tx * ae1y - ty * ae1x
+            v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
+
+            t_cur = t_out[:]
+            ok = (
+                in_run
+                & (jnp.abs(det) > _EPS)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (tt > _T_MIN)
+                & (tt < t_cur)
+            )
+            t_out[:] = jnp.where(ok, tt, t_cur)
+            tri_out[:] = jnp.where(ok, base + t, tri_out[:])
+            u_out[:] = jnp.where(ok, u, u_out[:])
+            v_out[:] = jnp.where(ok, v, v_out[:])
+            return 0
+
+        jax.lax.fori_loop(0, _MT_ITERS, tri_body, 0)
+
+        for kk in range(k_per_ray):
+            ck = _plane(cons, kk)
+            cons[kk * BLOCK_SUBLANES : (kk + 1) * BLOCK_SUBLANES, :] = (
+                jnp.where(ck == cid, big, ck)
+            )
+        return next_cid()
+
+    def run_counted(carry):
+        cid, cnt = carry
+        return run(cid), cnt + 1
+
+    _, n_runs = jax.lax.while_loop(
+        lambda c: c[0] < big, run_counted, (next_cid(), jnp.int32(0))
+    )
+    # Diagnostic: clusters fetched by this tile (same value in every lane).
+    runs_out[:] = jnp.full(t_out.shape, 1, jnp.int32) * n_runs
+
+    # A lane is unresolved iff its list overflowed AND its best hit is
+    # not provably ahead of every truncated cluster (all truncated tn >=
+    # the last kept tn because the list keeps the K smallest).
+    last_tn = _plane(tn_ref, k_per_ray - 1)
+    unres_out[:] = (
+        (ovf_ref[:] != 0) & (t_out[:] > last_tn)
+    ).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_per_ray", "exact", "interpret", "with_stats")
+)
+def intersect_traversed(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    geometry,
+    t_max=None,
+    k_per_ray: int = 12,
+    exact: bool = True,
+    interpret: bool = False,
+    with_stats: bool = False,
+) -> Hit:
+    """Closest hit via per-ray ordered traversal (+ exact fallback).
+
+    `k_per_ray` bounds the per-ray candidate list; `exact=True` (the
+    default) re-dispatches overflowed-and-unresolved lanes through the
+    block kernel so the result matches brute force regardless of K.
+    """
+    n = o.shape[0]
+    c = geometry.cluster_min.shape[0]
+    k = min(k_per_ray, c)
+    if t_max is None:
+        tm = varying_like(o[:, 0], 0.0) + T_MAX
+    else:
+        tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+
+    ids, tns, ovf = cull_ordered(
+        o, d, tm, geometry.cluster_min, geometry.cluster_max, k
+    )
+    return _traverse_core(
+        o, d, geometry, tm, ids, tns, ovf,
+        exact=exact, interpret=interpret, with_stats=with_stats,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("exact", "interpret", "with_stats")
+)
+def _traverse_core(
+    o, d, geometry, tm, ids, tns, ovf,
+    exact: bool = True, interpret: bool = False, with_stats: bool = False,
+):
+    n = o.shape[0]
+    k = ids.shape[1]
+    n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
+    if n_pad != n:
+        pad = n_pad - n
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        tm_p = jnp.pad(tm, (0, pad))
+        ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=BIG_CLUSTER)
+        tns = jnp.pad(tns, ((0, pad), (0, 0)), constant_values=_INF)
+        ovf = jnp.pad(ovf, (0, pad))
+    else:
+        tm_p = tm
+
+    nb = n_pad // RAY_BLOCK
+    shape2 = (n_pad // LANES, LANES)
+
+    def comp(a):
+        return a.reshape(shape2)
+
+    # Candidate planes: tile b, plane k = rows [b*K*8 + k*8, ...+8).
+    def planes(a):
+        return (
+            a.reshape(nb, BLOCK_SUBLANES, LANES, k)
+            .transpose(0, 3, 1, 2)
+            .reshape(nb * k * BLOCK_SUBLANES, LANES)
+        )
+
+    cid_in = planes(ids)
+    tn_in = planes(tns)
+    ovf_in = ovf.astype(jnp.int32).reshape(shape2)
+
+    ray_spec = pl.BlockSpec(
+        (BLOCK_SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    cand_spec = pl.BlockSpec(
+        (k * BLOCK_SUBLANES, LANES), lambda i: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    t_b, tri_b, u_b, v_b, unres_b, runs_b = pl.pallas_call(
+        _make_traverse_kernel(k),
+        grid=(nb,),
+        in_specs=[ray_spec] * 7 + [cand_spec, cand_spec, ray_spec, tri_spec],
+        out_specs=[ray_spec] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k * BLOCK_SUBLANES, LANES), jnp.int32),
+            pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
+        comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
+        comp(tm_p), cid_in, tn_in, ovf_in, geometry.tri_packed,
+    )
+
+    hit = Hit(
+        t=t_b.reshape(-1)[:n],
+        tri=tri_b.reshape(-1)[:n],
+        u=u_b.reshape(-1)[:n],
+        v=v_b.reshape(-1)[:n],
+    )
+    runs = runs_b.reshape(nb, RAY_BLOCK)[:, 0]  # clusters fetched per tile
+    if not exact:
+        return (hit, runs) if with_stats else hit
+
+    # Exact fallback: unresolved lanes sweep every cluster through the
+    # block kernel, t-bounded by their current best; resolved lanes get
+    # t_max=0 so every slab test fails (no DMA, no leaf work).
+    from .cluster import intersect_clustered
+
+    # Resolved lanes get t_max=-INF, NOT 0: a ray whose origin sits
+    # inside a cluster AABB has NEGATIVE slab tn, so tn < 0 would still
+    # trigger the leaf (measured +20 ms on sponza_like from exactly
+    # this — every interior ray re-ran its block's full cluster list).
+    unres = unres_b.reshape(-1)[:n] != 0
+    fb = intersect_clustered(
+        o[:n], d[:n], geometry,
+        t_max=jnp.where(unres, hit.t, -_INF),
+        interpret=interpret,
+    )
+    better = (fb.tri >= 0) & (fb.t < hit.t)
+    merged = Hit(
+        t=jnp.where(better, fb.t, hit.t),
+        tri=jnp.where(better, fb.tri, hit.tri),
+        u=jnp.where(better, fb.u, hit.u),
+        v=jnp.where(better, fb.v, hit.v),
+    )
+    return (merged, runs) if with_stats else merged
+
+
+# ---------------------------------------------------------------------------
+# Matrix traversal: the whole (cluster x ray-tile) slab matrix lives in
+# VMEM and there is NO host-side glue at all — no cull, no top-k, no ray
+# sort, no candidate truncation, no fallback. Exact by construction.
+# ---------------------------------------------------------------------------
+
+# Packed traversal keys: (slab-entry-tn bits | cluster id). Positive f32
+# bit patterns compare monotonically as int32, so one i32 min over the
+# matrix simultaneously finds the nearest live cluster AND its id (ties
+# break to the smaller id). The low 12 mantissa bits are sacrificed to
+# the id, rounding each tn DOWN — conservative: a cluster can only look
+# slightly NEARER than it is, never farther, so no live cluster is
+# ever skipped.
+_ID_BITS = 12
+_ID_MASK = (1 << _ID_BITS) - 1
+_INF_KEY = 0x7FFFFFFF
+MATRIX_MAX_CLUSTERS = 1 << _ID_BITS
+# 8192-ray tiles for the matrix kernel: per-run fixed costs (selection
+# fold, scalar reduction, DMA wait) are tile-count-bound, and the wider
+# tile measured best (BS sweep on sponza_like: 8/16/32/64 ->
+# 42.3/28.0/22.1/20.6 ms unsorted, 15.1 ms sorted at 64).
+MATRIX_SUBLANES = 64
+MATRIX_BLOCK = MATRIX_SUBLANES * LANES
+
+
+def _make_matrix_kernel(num_clusters: int):
+    return functools.partial(_matrix_kernel_body, num_clusters)
+
+
+def _matrix_kernel_body(
+    num_clusters,
+    cmin_ref, cmax_ref,             # VMEM (C, 3)
+    ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
+    tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
+    t_out, tri_out, u_out, v_out, runs_out,
+    keys,                           # scratch VMEM (C*MATRIX_SUBLANES, LANES) i32
+    tri_smem,                       # scratch SMEM (16, TRI_CHUNK)
+    sem,
+):
+    bs = MATRIX_SUBLANES
+    inf_key = jnp.int32(_INF_KEY)
+    t_out[:] = tmax[:]
+    tri_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
+    u_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+    v_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+
+    rox, roy, roz = ox[:], oy[:], oz[:]
+    rdx, rdy, rdz = dx[:], dy[:], dz[:]
+    big = jnp.float32(1e12)
+    invx = jnp.where(jnp.abs(rdx) < 1e-12, big, 1.0 / rdx)
+    invy = jnp.where(jnp.abs(rdy) < 1e-12, big, 1.0 / rdy)
+    invz = jnp.where(jnp.abs(rdz) < 1e-12, big, 1.0 / rdz)
+
+    def _pack_t(t):
+        bits = jax.lax.bitcast_convert_type(jnp.maximum(t, 0.0), jnp.int32)
+        return bits | jnp.int32(_ID_MASK)
+
+    tm0 = tmax[:]
+
+    def fill_row(c, _):
+        t0x = (cmin_ref[c, 0] - rox) * invx
+        t1x = (cmax_ref[c, 0] - rox) * invx
+        t0y = (cmin_ref[c, 1] - roy) * invy
+        t1y = (cmax_ref[c, 1] - roy) * invy
+        t0z = (cmin_ref[c, 2] - roz) * invz
+        t1z = (cmax_ref[c, 2] - roz) * invz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit = (tn <= tf) & (tf > 0.0) & (tn < tm0)
+        bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(tn, 0.0), jnp.int32
+        )
+        key = (bits & jnp.int32(~_ID_MASK)) | c
+        keys[pl.ds(c * bs, bs), :] = jnp.where(hit, key, inf_key)
+        return 0
+
+    jax.lax.fori_loop(0, num_clusters, fill_row, 0)
+
+    def next_key():
+        # Nearest live cluster over the whole matrix: i32 min of packed
+        # keys masked by per-lane t_best (one scalar reduction total).
+        def fold(c, m):
+            return jnp.minimum(m, keys[pl.ds(c * bs, bs), :])
+
+        m = jax.lax.fori_loop(
+            0, num_clusters,
+            fold, jnp.full((bs, LANES), _INF_KEY, jnp.int32),
+        )
+        live = m < _pack_t(t_out[:])
+        return jnp.min(jnp.where(live, m, inf_key))
+
+    def run_counted(carry):
+        skey, cnt = carry
+        cid = skey & jnp.int32(_ID_MASK)
+        key_row = keys[pl.ds(cid * bs, bs), :]
+        in_run = key_row < _pack_t(t_out[:])
+        keys[pl.ds(cid * bs, bs), :] = jnp.full(
+            (bs, LANES), _INF_KEY, jnp.int32
+        )
+
+        cp = pltpu.make_async_copy(tri_hbm.at[cid], tri_smem, sem)
+        cp.start()
+        cp.wait()
+        base = cid * TRI_CHUNK
+
+        def tri_body(t, _):
+            av0x = tri_smem[0, t]
+            av0y = tri_smem[1, t]
+            av0z = tri_smem[2, t]
+            ae1x = tri_smem[3, t]
+            ae1y = tri_smem[4, t]
+            ae1z = tri_smem[5, t]
+            ae2x = tri_smem[6, t]
+            ae2y = tri_smem[7, t]
+            ae2z = tri_smem[8, t]
+
+            px = rdy * ae2z - rdz * ae2y
+            py = rdz * ae2x - rdx * ae2z
+            pz = rdx * ae2y - rdy * ae2x
+            det = px * ae1x + py * ae1y + pz * ae1z
+            inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
+            tx = rox - av0x
+            ty = roy - av0y
+            tz = roz - av0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * ae1z - tz * ae1y
+            qy = tz * ae1x - tx * ae1z
+            qz = tx * ae1y - ty * ae1x
+            v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
+
+            t_cur = t_out[:]
+            ok = (
+                in_run
+                & (jnp.abs(det) > _EPS)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (tt > _T_MIN)
+                & (tt < t_cur)
+            )
+            t_out[:] = jnp.where(ok, tt, t_cur)
+            tri_out[:] = jnp.where(ok, base + t, tri_out[:])
+            u_out[:] = jnp.where(ok, u, u_out[:])
+            v_out[:] = jnp.where(ok, v, v_out[:])
+            return 0
+
+        jax.lax.fori_loop(0, _MT_ITERS, tri_body, 0)
+        return next_key(), cnt + 1
+
+    _, n_runs = jax.lax.while_loop(
+        lambda c: c[0] < inf_key, run_counted, (next_key(), jnp.int32(0))
+    )
+    runs_out[:] = jnp.full(t_out.shape, 1, jnp.int32) * n_runs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "with_stats")
+)
+def intersect_matrix(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    geometry,
+    t_max=None,
+    interpret: bool = False,
+    with_stats: bool = False,
+) -> Hit:
+    """Exact closest hit via the VMEM-resident matrix traversal.
+
+    Scales to MATRIX_MAX_CLUSTERS and ~VMEM/16KB clusters per tile; the
+    integrator falls back to traverse_query beyond that.
+    """
+    n = o.shape[0]
+    c = geometry.cluster_min.shape[0]
+    assert c <= MATRIX_MAX_CLUSTERS, "cluster id must fit the key's low bits"
+    if t_max is None:
+        tm = varying_like(o[:, 0], 0.0) + T_MAX
+    else:
+        tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+
+    n_pad = -(-n // MATRIX_BLOCK) * MATRIX_BLOCK
+    if n_pad != n:
+        pad = n_pad - n
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        tm_p = jnp.pad(tm, (0, pad))
+    else:
+        tm_p = tm
+
+    nb = n_pad // MATRIX_BLOCK
+    shape2 = (n_pad // LANES, LANES)
+
+    def comp(a):
+        return a.reshape(shape2)
+
+    aabb_spec = pl.BlockSpec((c, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec(
+        (MATRIX_SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    t_b, tri_b, u_b, v_b, runs_b = pl.pallas_call(
+        _make_matrix_kernel(c),
+        grid=(nb,),
+        in_specs=[aabb_spec, aabb_spec] + [ray_spec] * 7 + [tri_spec],
+        out_specs=[ray_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c * MATRIX_SUBLANES, LANES), jnp.int32),
+            pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        geometry.cluster_min, geometry.cluster_max,
+        comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
+        comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
+        comp(tm_p), geometry.tri_packed,
+    )
+
+    hit = Hit(
+        t=t_b.reshape(-1)[:n],
+        tri=tri_b.reshape(-1)[:n],
+        u=u_b.reshape(-1)[:n],
+        v=v_b.reshape(-1)[:n],
+    )
+    if with_stats:
+        return hit, runs_b.reshape(nb, MATRIX_BLOCK)[:, 0]
+    return hit

@@ -1,0 +1,124 @@
+"""Per-ray ordered traversal + matrix traversal vs brute force.
+
+Both kernels replace the reference's hardware BVH role
+(/root/reference/src/scene/loader/gpu_uploader.rs:774-967) and must be
+EXACT: every test compares t/tri/u/v against the chunked brute force.
+Run in interpret mode on CPU.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hala_tpu.ops.intersect import T_MAX, intersect_bruteforce
+from hala_tpu.ops.traverse import (
+    cull_ordered,
+    intersect_matrix,
+    intersect_traversed,
+    traverse_query,
+)
+from hala_tpu.scene.loader.uploader import SceneUploader
+from hala_tpu.scene.procedural import sponza_like
+
+
+@pytest.fixture(scope="module")
+def geom():
+    scene = sponza_like(rooms=(2, 2), columns_per_room=4, boxes_per_room=2)
+    return SceneUploader.upload(scene, use_ray_tracing=False).geometry
+
+
+def _rays(n, rs):
+    o = np.tile(np.asarray([4.0, 1.5, 4.0], np.float32), (n, 1))
+    o += rs.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _assert_hits_equal(hit, bf):
+    np.testing.assert_allclose(np.asarray(hit.t), np.asarray(bf.t), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(hit.tri), np.asarray(bf.tri))
+    m = np.asarray(bf.tri) >= 0
+    np.testing.assert_allclose(np.asarray(hit.u)[m], np.asarray(bf.u)[m], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hit.v)[m], np.asarray(bf.v)[m], atol=1e-5)
+
+
+class TestCullOrdered:
+    def test_tn_sorted_and_overflow(self, geom, rs):
+        g = geom
+        o, d = _rays(256, rs)
+        tm = jnp.full((256,), T_MAX)
+        ids, tns, ovf = cull_ordered(
+            o, d, tm, g.cluster_min, g.cluster_max, 8
+        )
+        tn_np = np.asarray(tns)
+        # tn ascending per ray (padding is INF so stays ascending)
+        assert (np.diff(tn_np, axis=1) >= 0).all()
+        # overflow flags rays with more than K slab hits
+        ids_full, _, ovf_full = cull_ordered(
+            o, d, tm, g.cluster_min, g.cluster_max,
+            g.cluster_min.shape[0],
+        )
+        counts = (np.asarray(ids_full) < 0x3FFFFFFF).sum(axis=1)
+        np.testing.assert_array_equal(np.asarray(ovf), counts > 8)
+
+
+class TestTraversed:
+    @pytest.mark.parametrize("k", [4, 12])
+    def test_exact_vs_bruteforce(self, geom, rs, k):
+        """K=4 forces heavy candidate overflow, exercising the block-
+        kernel fallback; the merged result must still be exact."""
+        g = geom
+        o, d = _rays(2048, rs)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128)
+        hit = intersect_traversed(o, d, g, k_per_ray=k, interpret=True)
+        _assert_hits_equal(hit, bf)
+
+    def test_sorted_query_unsorts_correctly(self, geom, rs):
+        g = geom
+        o, d = _rays(1024, rs)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128)
+        hit = traverse_query(o, d, g, k_per_ray=8, interpret=True)
+        _assert_hits_equal(hit, bf)
+
+    def test_t_max_shadow_semantics(self, geom, rs):
+        g = geom
+        o, d = _rays(512, rs)
+        tmx = jnp.full((512,), 2.5)
+        bf = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=2.5, chunk=128
+        )
+        hit = intersect_traversed(o, d, g, t_max=tmx, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(hit.tri) >= 0, np.asarray(bf.tri) >= 0
+        )
+
+
+class TestMatrix:
+    def test_exact_vs_bruteforce(self, geom, rs):
+        g = geom
+        o, d = _rays(2048, rs)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128)
+        hit = intersect_matrix(o, d, g, interpret=True)
+        _assert_hits_equal(hit, bf)
+
+    def test_t_max(self, geom, rs):
+        g = geom
+        o, d = _rays(512, rs)
+        tmx = jnp.full((512,), 2.5)
+        bf = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=2.5, chunk=128
+        )
+        hit = intersect_matrix(o, d, g, t_max=tmx, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(hit.tri) >= 0, np.asarray(bf.tri) >= 0
+        )
+
+    def test_dead_rays_zero_tmax(self, geom, rs):
+        """tmax=0 lanes (dead/compacted rays) must produce no hits."""
+        g = geom
+        o, d = _rays(256, rs)
+        hit = intersect_matrix(
+            o, d, g, t_max=jnp.zeros((256,)), interpret=True
+        )
+        assert (np.asarray(hit.tri) == -1).all()
