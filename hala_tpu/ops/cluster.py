@@ -228,7 +228,20 @@ def intersect_clustered(
             comp(d, 0), comp(d, 1), comp(d, 2),
             tm.reshape(n_pad // LANES, LANES)]
 
-    aabb_spec = pl.BlockSpec((c, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    # AABBs padded to 128 lanes: a (C, 3) operand hits XLA/Mosaic layout
+    # disagreements at some C (f32[384] chose tiling T(512) vs Mosaic's
+    # T(128)); the canonical lane-padded shape always verifies. Kernel
+    # reads (cmin_ref[c, 0..2], dynamic sublane index) are unchanged.
+    c_rows = c + (-c) % BLOCK_SUBLANES  # full (8,128) tiles
+    cmin_in = jnp.pad(
+        geometry.cluster_min, ((0, c_rows - c), (0, LANES - 3))
+    )
+    cmax_in = jnp.pad(
+        geometry.cluster_max, ((0, c_rows - c), (0, LANES - 3))
+    )
+    aabb_spec = pl.BlockSpec(
+        (c_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
     ray_spec = pl.BlockSpec(
         (BLOCK_SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -257,7 +270,7 @@ def intersect_clustered(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(geometry.cluster_min, geometry.cluster_max, *rays, geometry.tri_packed)
+    )(cmin_in, cmax_in, *rays, geometry.tri_packed)
 
     return Hit(
         t=t_best.reshape(-1)[:n],

@@ -35,6 +35,7 @@ from ..intersect import Hit, T_MAX
 LANES = 128
 RAY_SUBLANES = 16          # rays per program = RAY_SUBLANES * LANES = 2048
 TRI_CHUNK = 128            # triangles per SMEM-resident chunk
+SMEM_BLOCK = 512  # rank-1 SMEM operand block; matches XLA T(512) tiling
 _EPS = 1.0e-7
 _T_MIN = 1.0e-4
 
@@ -65,7 +66,7 @@ def _kernel_body(
 
     rdx, rdy, rdz = dx[:], dy[:], dz[:]
     rox, roy, roz = ox[:], oy[:], oz[:]
-    base = j * TRI_CHUNK
+    base = j * SMEM_BLOCK
 
     def body(t, _):
         av0x = v0x[t]
@@ -110,7 +111,7 @@ def _kernel_body(
         v_out[:] = jnp.where(ok, v, v_out[:])
         return 0
 
-    count = jnp.clip(num_real - base, 0, TRI_CHUNK)
+    count = jnp.clip(num_real - base, 0, SMEM_BLOCK)
     jax.lax.fori_loop(0, count, body, 0)
 
 
@@ -153,15 +154,23 @@ def intersect_pallas(
         tmax = tm.reshape(n_pad // LANES, LANES)
     rays.append(tmax)
 
+    # Rank-1 SMEM triangle tables padded to a 512-element multiple:
+    # XLA lays out f32[n] with tiling T(512), and Mosaic verifies block
+    # tiling T(128) against it — they only agree when n % 512 == 0
+    # (observed verifier failure at n=384; n=128 Cornell passed).
+    t_pad = -(-num_tris // 512) * 512 - num_tris
+    def col(a):
+        return jnp.pad(a, (0, t_pad)) if t_pad else a
     tris = [
-        tri_v0[:, 0], tri_v0[:, 1], tri_v0[:, 2],
-        tri_e1[:, 0], tri_e1[:, 1], tri_e1[:, 2],
-        tri_e2[:, 0], tri_e2[:, 1], tri_e2[:, 2],
+        col(tri_v0[:, 0]), col(tri_v0[:, 1]), col(tri_v0[:, 2]),
+        col(tri_e1[:, 0]), col(tri_e1[:, 1]), col(tri_e1[:, 2]),
+        col(tri_e2[:, 0]), col(tri_e2[:, 1]), col(tri_e2[:, 2]),
     ]
+    num_tris_pad = num_tris + t_pad
 
-    grid = (n_pad // block, num_tris // TRI_CHUNK)
+    grid = (n_pad // block, num_tris_pad // SMEM_BLOCK)
     tri_spec = pl.BlockSpec(
-        (TRI_CHUNK,), lambda i, j: (j,), memory_space=pltpu.SMEM
+        (SMEM_BLOCK,), lambda i, j: (j,), memory_space=pltpu.SMEM
     )
     ray_spec = pl.BlockSpec(
         (RAY_SUBLANES, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM

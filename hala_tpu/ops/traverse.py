@@ -475,19 +475,67 @@ MATRIX_SUBLANES = 64
 MATRIX_BLOCK = MATRIX_SUBLANES * LANES
 
 
-def _make_matrix_kernel(num_clusters: int):
-    return functools.partial(_matrix_kernel_body, num_clusters)
+def _make_matrix_kernel(num_clusters: int, subs: int):
+    return functools.partial(_matrix_kernel_body, num_clusters, subs)
 
 
 def _matrix_kernel_body(
-    num_clusters,
+    num_clusters, subs,
     cmin_ref, cmax_ref,             # VMEM (C, 3)
     ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
     tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
     t_out, tri_out, u_out, v_out, runs_out,
-    keys,                           # scratch VMEM (C*MATRIX_SUBLANES, LANES) i32
+    keys,                           # scratch VMEM (C*MATRIX_SUBLANES, LANES)
     tri_smem,                       # scratch SMEM (16, TRI_CHUNK)
     sem,
+):
+    _matrix_traverse(
+        num_clusters, subs, cmin_ref, cmax_ref,
+        ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
+        t_out, tri_out, u_out, v_out, runs_out,
+        keys, tri_smem, sem, any_hit=False,
+    )
+
+
+def _make_matrix_occluded_kernel(num_clusters: int, subs: int):
+    return functools.partial(_matrix_occluded_body, num_clusters, subs)
+
+
+def _matrix_occluded_body(
+    num_clusters, subs,
+    cmin_ref, cmax_ref,
+    ox, oy, oz, dx, dy, dz, tmax,
+    tri_hbm,
+    t_out, tri_out, u_out, v_out, runs_out,
+    keys, tri_smem, sem,
+):
+    """Any-hit variant: a blocked lane zeroes its remaining range, so
+    its liveness collapses immediately — shadow queries touch far fewer
+    clusters than closest-hit (no need to ORDER hits, just find one)."""
+    _matrix_traverse(
+        num_clusters, subs, cmin_ref, cmax_ref,
+        ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
+        t_out, tri_out, u_out, v_out, runs_out,
+        keys, tri_smem, sem, any_hit=True,
+    )
+
+
+# 16-sublane MT groups: lanes wanting the selected cluster are CLUMPED
+# after any coherence ordering, so predicating the Moller-Trumbore loop
+# per 16-sublane group skips most of the tile for most runs (the
+# all-lanes loop measured ~9.4 us/run at 64 sublanes; typical runs only
+# serve 1-2 groups).
+_MT_GROUP = 16
+
+
+def _matrix_traverse(
+    num_clusters, subs,
+    cmin_ref, cmax_ref,
+    ox, oy, oz, dx, dy, dz, tmax,
+    tri_hbm,
+    t_out, tri_out, u_out, v_out, runs_out,
+    keys, tri_smem, sem,
+    any_hit: bool,
 ):
     bs = MATRIX_SUBLANES
     inf_key = jnp.int32(_INF_KEY)
@@ -504,8 +552,10 @@ def _matrix_kernel_body(
     invz = jnp.where(jnp.abs(rdz) < 1e-12, big, 1.0 / rdz)
 
     def _pack_t(t):
+        # Upper liveness bound per lane; non-positive range -> -1 so no
+        # key (all >= 0) can pass (dead or already-blocked lanes).
         bits = jax.lax.bitcast_convert_type(jnp.maximum(t, 0.0), jnp.int32)
-        return bits | jnp.int32(_ID_MASK)
+        return jnp.where(t > 0.0, bits | jnp.int32(_ID_MASK), jnp.int32(-1))
 
     tm0 = tmax[:]
 
@@ -556,54 +606,82 @@ def _matrix_kernel_body(
             (bs, LANES), _INF_KEY, jnp.int32
         )
 
-        cp = pltpu.make_async_copy(tri_hbm.at[cid], tri_smem, sem)
+        chunk = cid // subs
+        sub_off = (cid % subs) * (TRI_CHUNK // subs)
+        cp = pltpu.make_async_copy(tri_hbm.at[chunk], tri_smem, sem)
         cp.start()
         cp.wait()
-        base = cid * TRI_CHUNK
+        base = chunk * TRI_CHUNK + sub_off
 
-        def tri_body(t, _):
-            av0x = tri_smem[0, t]
-            av0y = tri_smem[1, t]
-            av0z = tri_smem[2, t]
-            ae1x = tri_smem[3, t]
-            ae1y = tri_smem[4, t]
-            ae1z = tri_smem[5, t]
-            ae2x = tri_smem[6, t]
-            ae2y = tri_smem[7, t]
-            ae2z = tri_smem[8, t]
+        for gi in range(bs // _MT_GROUP):
+            lo = gi * _MT_GROUP
+            hi = lo + _MT_GROUP
+            g_mask = in_run[lo:hi, :]
 
-            px = rdy * ae2z - rdz * ae2y
-            py = rdz * ae2x - rdx * ae2z
-            pz = rdx * ae2y - rdy * ae2x
-            det = px * ae1x + py * ae1y + pz * ae1z
-            inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
-            tx = rox - av0x
-            ty = roy - av0y
-            tz = roz - av0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * ae1z - tz * ae1y
-            qy = tz * ae1x - tx * ae1z
-            qz = tx * ae1y - ty * ae1x
-            v = (rdx * qx + rdy * qy + rdz * qz) * inv_det
-            tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
+            @pl.when(jnp.any(g_mask))
+            def _mt_group(lo=lo, hi=hi, g_mask=g_mask):
+                g_dx, g_dy, g_dz = rdx[lo:hi], rdy[lo:hi], rdz[lo:hi]
+                g_ox, g_oy, g_oz = rox[lo:hi], roy[lo:hi], roz[lo:hi]
 
-            t_cur = t_out[:]
-            ok = (
-                in_run
-                & (jnp.abs(det) > _EPS)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (tt > _T_MIN)
-                & (tt < t_cur)
-            )
-            t_out[:] = jnp.where(ok, tt, t_cur)
-            tri_out[:] = jnp.where(ok, base + t, tri_out[:])
-            u_out[:] = jnp.where(ok, u, u_out[:])
-            v_out[:] = jnp.where(ok, v, v_out[:])
-            return 0
+                def tri_body(k, _):
+                    t = sub_off + k
+                    av0x = tri_smem[0, t]
+                    av0y = tri_smem[1, t]
+                    av0z = tri_smem[2, t]
+                    ae1x = tri_smem[3, t]
+                    ae1y = tri_smem[4, t]
+                    ae1z = tri_smem[5, t]
+                    ae2x = tri_smem[6, t]
+                    ae2y = tri_smem[7, t]
+                    ae2z = tri_smem[8, t]
 
-        jax.lax.fori_loop(0, _MT_ITERS, tri_body, 0)
+                    px = g_dy * ae2z - g_dz * ae2y
+                    py = g_dz * ae2x - g_dx * ae2z
+                    pz = g_dx * ae2y - g_dy * ae2x
+                    det = px * ae1x + py * ae1y + pz * ae1z
+                    inv_det = jnp.where(
+                        jnp.abs(det) > _EPS, 1.0 / det, 0.0
+                    )
+                    tx = g_ox - av0x
+                    ty = g_oy - av0y
+                    tz = g_oz - av0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * ae1z - tz * ae1y
+                    qy = tz * ae1x - tx * ae1z
+                    qz = tx * ae1y - ty * ae1x
+                    v = (g_dx * qx + g_dy * qy + g_dz * qz) * inv_det
+                    tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
+
+                    t_cur = t_out[lo:hi, :]
+                    ok = (
+                        g_mask
+                        & (jnp.abs(det) > _EPS)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (tt > _T_MIN)
+                        & (tt < t_cur)
+                    )
+                    if any_hit:
+                        # Blocked: zero the remaining range; liveness
+                        # (t > 0) dies, ending this lane's traversal.
+                        t_out[lo:hi, :] = jnp.where(ok, 0.0, t_cur)
+                        tri_out[lo:hi, :] = jnp.where(
+                            ok, base + k, tri_out[lo:hi, :]
+                        )
+                    else:
+                        t_out[lo:hi, :] = jnp.where(ok, tt, t_cur)
+                        tri_out[lo:hi, :] = jnp.where(
+                            ok, base + k, tri_out[lo:hi, :]
+                        )
+                        u_out[lo:hi, :] = jnp.where(ok, u, u_out[lo:hi, :])
+                        v_out[lo:hi, :] = jnp.where(ok, v, v_out[lo:hi, :])
+                    return 0
+
+                jax.lax.fori_loop(
+                    0, min(_MT_ITERS, TRI_CHUNK // subs), tri_body, 0
+                )
+
         return next_key(), cnt + 1
 
     _, n_runs = jax.lax.while_loop(
@@ -613,7 +691,7 @@ def _matrix_kernel_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "with_stats")
+    jax.jit, static_argnames=("interpret", "with_stats", "any_hit", "subs")
 )
 def intersect_matrix(
     o: jnp.ndarray,
@@ -622,15 +700,41 @@ def intersect_matrix(
     t_max=None,
     interpret: bool = False,
     with_stats: bool = False,
+    any_hit: bool = False,
+    subs: int = 2,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
-    Scales to MATRIX_MAX_CLUSTERS and ~VMEM/16KB clusters per tile; the
-    integrator falls back to traverse_query beyond that.
+    `subs` splits each 128-triangle DMA chunk into finer traversal
+    clusters (64-tri AABBs by default): tighter entry distances, fewer
+    false in_run lanes, and half the Moller-Trumbore iterations per
+    run, at the cost of a 2x taller key matrix. The fine AABBs are a
+    cheap reshape-reduce over the (already Morton-ordered) triangle
+    soup, so no upload-side table change is needed.
+
+    Scales to MATRIX_MAX_CLUSTERS and ~VMEM/8KB fine clusters per tile;
+    the integrator falls back to traverse_query beyond that.
     """
     n = o.shape[0]
-    c = geometry.cluster_min.shape[0]
+    n_chunks = geometry.tri_packed.shape[0]
+    c = n_chunks * subs
     assert c <= MATRIX_MAX_CLUSTERS, "cluster id must fit the key's low bits"
+    if subs == 1:
+        cmin, cmax = geometry.cluster_min, geometry.cluster_max
+        assert cmin.shape[0] == c, "geometry tables are per 128-tri chunk"
+    else:
+        # Fine AABBs over the Morton-ordered soup; padding triangles
+        # carry far-away sentinel bounds (same convention as upload).
+        sub_sz = geometry.tri_v0.shape[0] // c
+        v0, e1, e2 = geometry.tri_v0, geometry.tri_e1, geometry.tri_e2
+        real = geometry.tri_mat >= 0
+        t_lo = jnp.minimum(jnp.minimum(v0, v0 + e1), v0 + e2)
+        t_hi = jnp.maximum(jnp.maximum(v0, v0 + e1), v0 + e2)
+        far = jnp.float32(3.0e37)
+        t_lo = jnp.where(real[:, None], t_lo, far)
+        t_hi = jnp.where(real[:, None], t_hi, far)
+        cmin = t_lo.reshape(c, sub_sz, 3).min(axis=1)
+        cmax = t_hi.reshape(c, sub_sz, 3).max(axis=1)
     if t_max is None:
         tm = varying_like(o[:, 0], 0.0) + T_MAX
     else:
@@ -651,14 +755,24 @@ def intersect_matrix(
     def comp(a):
         return a.reshape(shape2)
 
-    aabb_spec = pl.BlockSpec((c, 3), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    # Lane- and row-padded AABB operands (see ops/cluster.py note).
+    c_rows = c + (-c) % 8
+    cmin_in = jnp.pad(cmin, ((0, c_rows - c), (0, LANES - 3)))
+    cmax_in = jnp.pad(cmax, ((0, c_rows - c), (0, LANES - 3)))
+    aabb_spec = pl.BlockSpec(
+        (c_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
     ray_spec = pl.BlockSpec(
         (MATRIX_SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     tri_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    kern = (
+        _make_matrix_occluded_kernel(c, subs) if any_hit
+        else _make_matrix_kernel(c, subs)
+    )
     t_b, tri_b, u_b, v_b, runs_b = pl.pallas_call(
-        _make_matrix_kernel(c),
+        kern,
         grid=(nb,),
         in_specs=[aabb_spec, aabb_spec] + [ray_spec] * 7 + [tri_spec],
         out_specs=[ray_spec] * 5,
@@ -679,7 +793,7 @@ def intersect_matrix(
         ),
         interpret=interpret,
     )(
-        geometry.cluster_min, geometry.cluster_max,
+        cmin_in, cmax_in,
         comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
         comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
         comp(tm_p), geometry.tri_packed,
@@ -694,3 +808,72 @@ def intersect_matrix(
     if with_stats:
         return hit, runs_b.reshape(nb, MATRIX_BLOCK)[:, 0]
     return hit
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def occluded_matrix(o, d, t_far, geometry, interpret: bool = False):
+    """Any-hit shadow query: True where something lies in (T_MIN, t_far).
+    Uses the any-hit matrix kernel — a blocked lane stops traversing
+    immediately instead of ordering hits."""
+    hit = intersect_matrix(
+        o, d, geometry, t_max=t_far, interpret=interpret, any_hit=True
+    )
+    return hit.tri >= 0
+
+
+def _coherence_key(o, d, t_max, cluster_min, cluster_max):
+    """Octant + origin-Morton-cell coherence key (compaction.sort_rays
+    key), with dead rays (t_max<=0) keyed last."""
+    from .morton import morton3d
+
+    smin = jnp.min(cluster_min, axis=0)
+    smax = jnp.max(
+        jnp.where(cluster_max < 1e30, cluster_max, -jnp.inf), axis=0
+    )
+    octant = (
+        (d[:, 0] >= 0).astype(jnp.uint32)
+        | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+        | ((d[:, 2] >= 0).astype(jnp.uint32) << 2)
+    )
+    cell = morton3d(o, smin, smax) >> jnp.uint32(3)
+    return (
+        ((t_max <= 0).astype(jnp.uint32) << 31)
+        | (octant << 27)
+        | (cell & jnp.uint32((1 << 27) - 1))
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "any_hit", "subs")
+)
+def matrix_query(
+    o, d, geometry, t_max=None,
+    interpret: bool = False, any_hit: bool = False, subs: int = 1,
+) -> Hit:
+    """Coherence-sorted matrix traversal with FUSED payload sorts.
+
+    jnp.take row gathers measured ~6 ms for 64k x 7 columns on TPU
+    (element-wise), while lax.sort carrying the payload costs ~1.5 ms —
+    so both the sort-in and the unsort ride lax.sort directly and no
+    gather ever happens."""
+    n = o.shape[0]
+    if t_max is None:
+        tm = varying_like(o[:, 0], 0.0) + T_MAX
+    else:
+        tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+    key = _coherence_key(o, d, tm, geometry.cluster_min, geometry.cluster_max)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    (_, o0, o1, o2, d0, d1, d2, tm_s, idx_s) = jax.lax.sort(
+        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tm, idx),
+        num_keys=1,
+    )
+    hit = intersect_matrix(
+        jnp.stack([o0, o1, o2], axis=1),
+        jnp.stack([d0, d1, d2], axis=1),
+        geometry, t_max=tm_s, interpret=interpret, any_hit=any_hit,
+        subs=subs,
+    )
+    (_, t_o, tri_o, u_o, v_o) = jax.lax.sort(
+        (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1
+    )
+    return Hit(t=t_o, tri=tri_o, u=u_o, v=v_o)
