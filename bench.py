@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Benchmark harness: Cornell Box progressive path trace on real TPU.
+"""Benchmark harness: all BASELINE.md configs on real TPU.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+Prints ONE JSON line per config:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline target (BASELINE.md): >= 100 Mrays/s per chip on Cornell Box.
-`vs_baseline` is value / 100.
+The Cornell line comes FIRST (the driver parses the first line; target
+>= 100 Mrays/s per chip, BASELINE.md). `vs_baseline` is value/100 for
+throughput metrics and null for ms/frame metrics (no published ms
+target exists — BASELINE.md "published: none").
+
+Run a single config with `python bench.py <cornell|ggx|envmap|sponza|raster>`.
 """
 
 from __future__ import annotations
@@ -16,84 +20,117 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def main() -> None:
-    config = sys.argv[1].lstrip("-") if len(sys.argv) > 1 else "cornell"
-    if config == "sponza":
-        _bench_sponza()
-        return
-    from hala_tpu.utils.compile_cache import enable_compilation_cache
+def _emit(metric, value, unit="Mrays/s", vs=None):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 3),
+                "unit": unit,
+                "vs_baseline": (
+                    round(value / 100.0, 4) if vs == "throughput" else vs
+                ),
+            }
+        ),
+        flush=True,
+    )
 
-    enable_compilation_cache()
+
+def _trace_loop(scene, env, settings, frames):
+    """Pipelined progressive loop (no host sync inside — a per-frame
+    readback costs a full tunnel round trip, measured 6x throughput).
+    Returns (Mrays/s, ms/frame)."""
+    from hala_tpu.models.integrator import Film, Uniforms, render_frame
+
+    uniforms = Uniforms.default()
+    film = Film.create(settings.width, settings.height)
+    film, rays = render_frame(scene, env, uniforms, film, 0, settings)
+    jax.block_until_ready(rays)
+    rays_acc = []
+    t0 = time.perf_counter()
+    for f in range(1, 1 + frames):
+        film, rays = render_frame(scene, env, uniforms, film, f, settings)
+        rays_acc.append(rays)
+    jax.block_until_ready(film.accum)
+    dt = time.perf_counter() - t0
+    return float(sum(rays_acc)) / dt / 1e6, dt / frames * 1e3
+
+
+def bench_cornell():
+    """Config 1: Cornell Box path trace, 512x512, diffuse BSDF."""
+    from hala_tpu.models.integrator import RenderSettings, resolve_intersector
+    from hala_tpu.scene.loader.uploader import SceneUploader
+    from hala_tpu.scene.procedural import cornell_box
+
+    scene = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
+    settings = RenderSettings(
+        width=512, height=512, max_depth=4, rr_depth=2, tile_size=65536,
+        intersector=resolve_intersector("auto"),
+    )
+    mrays, ms = _trace_loop(scene, None, settings, 16)
+    _emit("cornell_512_pathtrace_throughput", mrays, vs="throughput")
+    return settings  # reused by the GGX config (same jit signature)
+
+
+def bench_ggx(settings):
+    """Config 2: multi-bounce GGX metallic-roughness + NEE, 4 spp."""
+    from hala_tpu.scene.cpu.material import Material, MaterialType
+    from hala_tpu.scene.loader.uploader import SceneUploader
+    from hala_tpu.scene.procedural import cornell_box
+
+    metal = Material(
+        type=MaterialType.DISNEY,
+        base_color=np.array([0.9, 0.75, 0.4], np.float32),
+        roughness=0.2, metallic=1.0,
+    )
+    glossy = Material(
+        type=MaterialType.DISNEY,
+        base_color=np.array([0.2, 0.4, 0.9], np.float32),
+        roughness=0.45, metallic=0.0,
+    )
+    scene = SceneUploader.upload(
+        cornell_box(tall_box_material=metal, short_box_material=glossy),
+        use_ray_tracing=False,
+    )
+    mrays, _ = _trace_loop(scene, None, settings, 4)
+    _emit("ggx_4spp_pathtrace_throughput", mrays, vs="throughput")
+
+
+def bench_envmap():
+    """Config 3: HDR environment lighting through the inverted-CDF
+    tables (envmap.rs parity)."""
+    from hala_tpu.envmap import EnvMap
     from hala_tpu.models.integrator import (
-        Film,
-        RenderSettings,
-        Uniforms,
-        render_frame,
-        resolve_intersector,
+        ENV_MAP, RenderSettings, resolve_intersector,
     )
     from hala_tpu.scene.loader.uploader import SceneUploader
     from hala_tpu.scene.procedural import cornell_box
 
-    width = height = 512
-    spp_timed = 16
-
-    scene = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
+    rs = np.random.RandomState(7)
+    rgb = rs.uniform(0.05, 0.3, (64, 128, 3)).astype(np.float32)
+    rgb[20:26, 40:48] = 60.0  # hot "sun" patch: CDF must find it
+    env = EnvMap.from_array(rgb)
+    # No ceiling light: all illumination arrives via env importance
+    # sampling + MIS through the open-top box geometry.
+    scene = SceneUploader.upload(
+        cornell_box(light_intensity=0.0), use_ray_tracing=False
+    )
     settings = RenderSettings(
-        width=width,
-        height=height,
-        max_depth=4,
-        rr_depth=2,
-        tile_size=65536,
-        intersector=resolve_intersector("auto"),
+        width=512, height=512, max_depth=4, rr_depth=2, tile_size=65536,
+        env_type=ENV_MAP, intersector=resolve_intersector("auto"),
     )
-    uniforms = Uniforms.default()
-    film = Film.create(width, height)
-
-    # Warmup / compile.
-    film, rays = render_frame(scene, None, uniforms, film, 0, settings)
-    jax.block_until_ready(rays)
-
-    # Pipeline the timed frames: no host sync inside the loop (a per-
-    # frame readback costs a full tunnel round trip and was measured to
-    # dominate the frame time); fetch the ray totals once at the end.
-    rays_acc = []
-    t0 = time.perf_counter()
-    for f in range(1, 1 + spp_timed):
-        film, rays = render_frame(scene, None, uniforms, film, f, settings)
-        rays_acc.append(rays)
-    jax.block_until_ready(film.accum)
-    dt = time.perf_counter() - t0
-    total_rays = float(sum(rays_acc))
-
-    mrays = total_rays / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_512_pathtrace_throughput",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 100.0, 4),
-            }
-        )
-    )
+    mrays, _ = _trace_loop(scene, env, settings, 8)
+    _emit("envmap_cdf_pathtrace_throughput", mrays, vs="throughput")
 
 
-
-def _bench_sponza() -> None:
-    """Secondary config (BASELINE config[4] scale): sponza_like through
-    the cluster-streaming intersector. Run manually:
-    `python bench.py sponza`."""
-    from hala_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    from hala_tpu.models.integrator import (
-        Film,
-        RenderSettings,
-        Uniforms,
-        render_frame,
-    )
+def bench_sponza():
+    """Config 4: sponza-scale wavefront tracing with on-the-fly AS
+    (Morton clusters, the LBVH role) + coherence-sorted matrix
+    traversal + free dead-ray compaction, 1080p-class film."""
+    from hala_tpu.models.integrator import RenderSettings
     from hala_tpu.scene.loader.uploader import SceneUploader
     from hala_tpu.scene.procedural import sponza_like
 
@@ -102,31 +139,66 @@ def _bench_sponza() -> None:
         use_ray_tracing=False,
     )
     settings = RenderSettings(
-        width=512, height=512, max_depth=4, rr_depth=2,
-        tile_size=65536, intersector="cluster", sort_rays=True,
+        width=1920, height=1088, max_depth=4, rr_depth=2,
+        tile_size=131072, intersector="matrix", sort_rays=True,
     )
-    uniforms = Uniforms.default()
-    film = Film.create(512, 512)
-    film, rays = render_frame(scene, None, uniforms, film, 0, settings)
-    jax.block_until_ready(rays)
-    rays_acc = []
+    mrays, ms = _trace_loop(scene, None, settings, 3)
+    _emit("sponza20k_1080p_pathtrace_throughput", mrays, vs="throughput")
+    _emit("sponza20k_1080p_ms_per_frame_1spp", ms, unit="ms")
+
+
+def bench_raster():
+    """Config 5: tile-binned rasterizer + compute post pass
+    (rz_renderer parity)."""
+    from hala_tpu.models.rz_renderer import RasterizationRenderer
+    from hala_tpu.programs.compute_program import (
+        ComputeProgram, ComputeProgramDesc,
+    )
+    from hala_tpu.scene.procedural import cornell_box
+
+    post = ComputeProgram(ComputeProgramDesc(
+        shader_file_path="hala_tpu.ops.tonemap:tonemap_aces_simple"
+    ))
+    r = RasterizationRenderer(
+        "bench", 1920, 1088, binned=True, tile=64, post_program=post,
+    )
+    r.set_scene(cornell_box())
+    r.commit()
+    r.update()  # compile + first frame
+    jax.block_until_ready(r.color)
+    frames = 30
     t0 = time.perf_counter()
-    for f in range(1, 9):
-        film, rays = render_frame(scene, None, uniforms, film, f, settings)
-        rays_acc.append(rays)
-    jax.block_until_ready(film.accum)
-    dt = time.perf_counter() - t0
-    mrays = float(sum(rays_acc)) / dt / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "sponza20k_pathtrace_throughput",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 100.0, 4),
-            }
+    for _ in range(frames):
+        r.update()
+    jax.block_until_ready(r.color)
+    ms = (time.perf_counter() - t0) / frames * 1e3
+    _emit("raster_binned_post_1080p_ms_per_frame", ms, unit="ms")
+
+
+def main() -> None:
+    from hala_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = sys.argv[1].lstrip("-") if len(sys.argv) > 1 else "all"
+    if config in ("cornell", "all"):
+        settings = bench_cornell()
+    if config == "ggx":
+        from hala_tpu.models.integrator import (
+            RenderSettings, resolve_intersector,
         )
-    )
+
+        settings = RenderSettings(
+            width=512, height=512, max_depth=4, rr_depth=2,
+            tile_size=65536, intersector=resolve_intersector("auto"),
+        )
+    if config in ("ggx", "all"):
+        bench_ggx(settings)
+    if config in ("envmap", "all"):
+        bench_envmap()
+    if config in ("sponza", "all"):
+        bench_sponza()
+    if config in ("raster", "all"):
+        bench_raster()
 
 
 if __name__ == "__main__":
