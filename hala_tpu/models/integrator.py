@@ -74,6 +74,13 @@ class RenderSettings:
     sort_rays: bool = False      # wavefront coherence sort before queries
     expand_max_runs: int = 96    # distinct clusters per 1024-item tile
     traverse_k: int = 12         # candidate clusters per ray ("traverse")
+    # Max alpha-tested surfaces a shadow ray may stochastically pass
+    # through (any-hit-shader parity: the reference's hit shaders can
+    # continue through stacked transparent surfaces). 1 = legacy
+    # single-blocker test; extra surfaces each cost one more batched
+    # visibility dispatch per bounce and only compile in when the scene
+    # has alpha materials.
+    shadow_surfaces: int = 3
 
 
 def resolve_intersector(preference: str = "auto") -> str:
@@ -538,6 +545,29 @@ def trace_paths(
                 interior[:, None], throughput * atten, throughput
             )
 
+        # EMISSIVE medium (HalaMediumType::EMISSIVE,
+        # /root/reference/src/scene/cpu/material.rs:57): volumetric
+        # emission accumulated along interior segments,
+        # L += throughput * color * density * segment_length (the
+        # GLSL-PathTracer-family transport this material model follows;
+        # optically thin, no self-absorption). Stateless like ABSORB: a
+        # backface hit means the traversed segment was interior.
+        if scene.materials.has_emissive_medium:
+            safe_mat = jnp.maximum(mat_idx, 0)
+            em_medium = (
+                jnp.take(scene.materials.medium_type, safe_mat) == 3
+            )
+            em_color = jnp.take(
+                scene.materials.medium_color, safe_mat, axis=0
+            )
+            em_density = jnp.take(scene.materials.medium_density, safe_mat)
+            interior_e = (~entering) & on_surface & em_medium
+            radiance = radiance + jnp.where(
+                interior_e[:, None],
+                throughput * em_color * (em_density * hit.t)[:, None],
+                0.0,
+            )
+
         # --- AOVs on first hit ------------------------------------------
         first = bounce == 0
         st_albedo = jnp.where(
@@ -700,23 +730,61 @@ def trace_paths(
             settings,
             t_max=jnp.concatenate(q_t),
         )
+        def transmit(tri0, t0, dir_s, tmax_s, r_first, seed0):
+            """Stochastic transparent shadow transmittance: pass each
+            alpha-tested blocker with probability 1 - opacity, continuing
+            past up to settings.shadow_surfaces stacked surfaces (the
+            reference's any-hit shaders re-arm after transparent hits;
+            here each continuation is one more batched closest-hit with
+            t_max=0 for settled lanes, which the cluster/matrix kernels
+            skip outright). Returns the final blocked mask. A blocker
+            passed on the LAST budgeted surface is treated as visible
+            (legacy single-blocker semantics at shadow_surfaces=1);
+            light can only leak past shadow_surfaces stacked alpha
+            surfaces."""
+            blocked0 = tri0 >= 0
+            if not scene.materials.has_alpha:
+                return blocked0
+
+            def opacity_of(tri):
+                m = jnp.take(geom.tri_mat, jnp.maximum(tri, 0))
+                return jnp.take(
+                    scene.materials.packed[:, 3], jnp.maximum(m, 0)
+                )
+
+            passed = blocked0 & (r_first >= opacity_of(tri0))
+            blocked_acc = blocked0 & ~passed
+            t_base = t0
+            for k in range(settings.shadow_surfaces - 1):
+                o_k = shadow_o + dir_s * (t_base + _RAY_EPS)[:, None]
+                tm_k = jnp.where(
+                    passed, jnp.maximum(tmax_s - t_base - _RAY_EPS, 0.0), 0.0
+                )
+                qh_k = _intersect(scene, o_k, dir_s, settings, t_max=tm_k)
+                hit_k = passed & (qh_k.tri >= 0)
+                r_k = rng.sample4(
+                    pixel_idx, frame_index, bounce, seed=seed0 + k
+                )[:, 0]
+                pass_k = hit_k & (r_k >= opacity_of(qh_k.tri))
+                blocked_acc = blocked_acc | (hit_k & ~pass_k)
+                t_base = t_base + jnp.where(passed, qh_k.t + _RAY_EPS, 0.0)
+                passed = pass_k
+            return blocked_acc
+
         sh_tri = qhit.tri[n : 2 * n]
-        blocked = sh_tri >= 0
-        if scene.materials.has_alpha:
-            # Stochastic transparent shadows (single-blocker alpha test):
-            # the shadow ray passes its first blocker with probability
-            # 1 - opacity. Multi-surface transmittance is round-2 work.
-            sh_mat = jnp.take(geom.tri_mat, jnp.maximum(sh_tri, 0))
-            sh_opacity = jnp.take(
-                scene.materials.packed[:, 3], jnp.maximum(sh_mat, 0)
-            )
-            blocked = blocked & (r_alpha[:, 2] < sh_opacity)
+        blocked = transmit(
+            sh_tri, qhit.t[n : 2 * n], nee_dir, nee_tmax,
+            r_alpha[:, 2], 37,
+        )
         radiance = radiance + jnp.where(
             (candidate & ~blocked)[:, None], nee_contrib, 0.0
         )
         rays = rays + candidate.astype(jnp.float32)
         if has_env_map:
-            blocked_e = qhit.tri[2 * n : 3 * n] >= 0
+            blocked_e = transmit(
+                qhit.tri[2 * n : 3 * n], qhit.t[2 * n : 3 * n],
+                wi_e, env_tmax, r_alpha[:, 3], 53,
+            )
             radiance = radiance + jnp.where(
                 (cand_e & ~blocked_e)[:, None], env_contrib, 0.0
             )

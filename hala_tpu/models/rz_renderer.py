@@ -193,14 +193,17 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings):
 
 @partial(jax.jit, static_argnames=("settings",))
 def raster_frame(scene, camera_index, settings: RasterSettings):
-    """Rasterize + shade one frame. Returns (color (H,W,3),
-    gbuffer dict with albedo/normal/depth).
+    """FORWARD path: rasterize + shade one frame in a single fused jit.
+    Returns (color (H,W,3), gbuffer dict with albedo/normal/depth).
 
-    Forward and deferred produce identical output by construction (the
-    reference's two paths are an optimization split, not a semantic
-    one); deferred materializes the G-buffer between the passes, forward
-    fuses them — with `settings.deferred` the two stages are separate
-    jit boundaries (see RasterizationRenderer.update)."""
+    The deferred path does NOT go through here: RasterizationRenderer
+    .update() dispatches gbuffer_pass and lighting_pass as two separate
+    jit boundaries with the FragmentBuffer materialized between them
+    (rz_renderer.rs:1110-1446 two-subpass parity), so the visibility
+    buffer can be re-lit without re-rasterizing (see relight()).
+    Forward and deferred produce identical output by construction — the
+    reference's split is an optimization structure, not a semantic
+    one."""
     h, w = settings.height, settings.width
     ss = settings.msaa
     rw, rh = w * ss, h * ss
@@ -346,15 +349,47 @@ class RasterizationRenderer(BaseRenderer):
             self.commit()
         self.check_and_restore_device()
         t0 = time.monotonic()
-        color, gbuffer = raster_frame(
-            self.scene, jnp.int32(self.camera_index), self.settings
-        )
+        if self.settings.deferred:
+            # Two-pass deferred pipeline (rz_renderer.rs:1110-1446,
+            # 1455-1570): subpass 1 materializes the visibility/G-buffer,
+            # subpass 2 is a fullscreen lighting dispatch. The fragment
+            # buffer is cached so lighting can re-run without
+            # re-rasterizing (relight()).
+            self._frag = gbuffer_pass(
+                self.scene, jnp.int32(self.camera_index), self.settings
+            )
+            color, gbuffer = lighting_pass(
+                self.scene, self._frag, jnp.int32(self.camera_index),
+                self.settings,
+            )
+        else:
+            color, gbuffer = raster_frame(
+                self.scene, jnp.int32(self.camera_index), self.settings
+            )
         if self.post_program is not None:
             color = self.post_program.dispatch(color)
         self._pending = (color, gbuffer)
         self.color = color
         self.gbuffer = gbuffer
         self._last_cpu_time = time.monotonic() - t0
+
+    def relight(self) -> None:
+        """Deferred-only: re-run the lighting pass on the cached
+        visibility buffer without re-rasterizing (the point of the
+        G-buffer split — e.g. light changes with static geometry)."""
+        if not (self.settings and self.settings.deferred):
+            raise HalaRendererError("relight() requires deferred mode.")
+        if getattr(self, "_frag", None) is None:
+            raise HalaRendererError("relight() before update().")
+        color, gbuffer = lighting_pass(
+            self.scene, self._frag, jnp.int32(self.camera_index),
+            self.settings,
+        )
+        if self.post_program is not None:
+            color = self.post_program.dispatch(color)
+        self._pending = (color, gbuffer)
+        self.color = color
+        self.gbuffer = gbuffer
 
     def get_final_image(self) -> np.ndarray:
         self.wait_idle()

@@ -84,6 +84,7 @@ class DeviceGeometry:
     meta_fields=(
         "has_disney", "has_transmission", "has_absorb_medium",
         "has_normal_map", "has_alpha", "has_scatter_medium",
+        "has_emissive_medium",
     ),
 )
 @dataclasses.dataclass
@@ -142,6 +143,7 @@ class DeviceMaterials:
     has_normal_map: bool = False
     has_alpha: bool = False  # any opacity < 1 (cpu/scene.rs has_transparent)
     has_scatter_medium: bool = False  # any SCATTER medium (has_medium_with)
+    has_emissive_medium: bool = False  # any EMISSIVE medium (type 3)
 
 
 @partial(_register, meta_fields=("num_lights",))

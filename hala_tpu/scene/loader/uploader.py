@@ -285,6 +285,10 @@ class SceneUploader:
                 int(m.medium.type) == 2 and m.medium.density > 0
                 for m in mats
             ),
+            has_emissive_medium=any(
+                int(m.medium.type) == 3 and m.medium.density > 0
+                for m in mats
+            ),
             base_color=f(lambda m: m.base_color),
             opacity=f(lambda m: m.opacity),
             emission=f(lambda m: m.emission),

@@ -531,3 +531,97 @@ class TestScatterMedium:
 
         dev = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
         assert dev.materials.has_scatter_medium is False
+
+
+class TestEmissiveMedium:
+    def test_emissive_volume_glows(self):
+        """A transmissive slab with an EMISSIVE interior over a dark
+        floor: radiance accumulates along interior segments,
+        L += throughput * color * density * distance
+        (HalaMediumType::EMISSIVE, reference material.rs:57), so the
+        image brightens monotonically with density and is black at 0."""
+
+        def scene_with(density):
+            shell = Material(
+                type=MaterialType.DISNEY,
+                base_color=np.ones(3, np.float32),
+                roughness=0.05,
+                specular_transmission=1.0,
+                ior=1.02,
+                medium=Medium(
+                    type=MediumType.EMISSIVE,
+                    color=np.array([2.0, 1.0, 0.5], np.float32),
+                    density=density,
+                ),
+            )
+            dark_floor = Material(
+                type=MaterialType.DIFFUSE,
+                base_color=np.zeros(3, np.float32),
+            )
+            scene = _floor_scene(
+                Light(intensity=0.0, light_type=LightType.POINT),
+                _down_light_transform(),
+                material=dark_floor,
+            )
+            scene.materials.append(shell)
+            prim_top = make_quad([-5, 2.0, -5], [0, 0, 10], [10, 0, 0], 1)
+            prim_bot = make_quad([-5, 1.0, -5], [10, 0, 0], [0, 0, 10], 1)
+            scene.meshes[0].primitives += [prim_top, prim_bot]
+            scene.update_node_hierarchies()
+            return scene
+
+        off = _render_mean(scene_with(0.0), frames=8, depth=8)
+        lo = _render_mean(scene_with(0.5), frames=8, depth=8)
+        hi = _render_mean(scene_with(2.0), frames=8, depth=8)
+        assert np.isfinite(hi).all()
+        assert off.mean() < 0.01                 # nothing else emits
+        assert lo.mean() > off.mean() + 0.05     # the volume glows
+        assert hi.mean() > lo.mean() * 2.0       # ~linear in density
+        # color ratio follows the medium color (r:g ~ 2:1)
+        assert hi[..., 0].mean() > hi[..., 1].mean() * 1.5
+
+
+class TestTransparentShadowsMultiSurface:
+    def _panes_scene(self, opacity, panes):
+        """White floor lit from straight above through `panes` stacked
+        alpha-tested panes."""
+        scene = _floor_scene(
+            Light(
+                intensity=40.0, light_type=LightType.QUAD,
+                params=(4.0, 4.0),
+            ),
+            _translate(0, 6.0, 0) @ _down_light_transform(),
+        )
+        pane = Material(
+            type=MaterialType.DIFFUSE,
+            base_color=np.ones(3, np.float32),
+            opacity=opacity,
+        )
+        scene.materials.append(pane)
+        # panes ABOVE the camera (y=4): camera rays see the floor
+        # directly, only the floor->light shadow rays cross the panes.
+        for i in range(panes):
+            scene.meshes[0].primitives.append(
+                make_quad([-5, 4.5 + 0.4 * i, -5], [0, 0, 10], [10, 0, 0], 1)
+            )
+        scene.update_node_hierarchies()
+        return scene
+
+    def test_two_panes_darker_than_one(self):
+        """Expected transmittance (1-a)^panes: the multi-blocker
+        continuation must attenuate the second pane too (the round-1
+        single-blocker test ignored everything behind the first)."""
+        base = _render_mean(self._panes_scene(0.5, 0), frames=32).mean()
+        one = _render_mean(self._panes_scene(0.5, 1), frames=32).mean()
+        two = _render_mean(self._panes_scene(0.5, 2), frames=32).mean()
+        assert one < base * 0.75
+        assert two < one * 0.75
+        # ratios near the analytic transmittance 0.5 per pane
+        assert abs(one / base - 0.5) < 0.15
+        assert abs(two / base - 0.25) < 0.12
+
+
+def _translate(x, y, z):
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = [x, y, z]
+    return m
