@@ -472,7 +472,7 @@ def trace_paths(
             + v[:, None] * rows[:, 26:29]
         )
         tan_proj = tan_raw - ns * dot(tan_raw, ns)[:, None]
-        tan_len = jnp.linalg.norm(tan_proj, axis=-1, keepdims=True)
+        tan_len = jnp.sqrt(jnp.sum(tan_proj * tan_proj, axis=-1, keepdims=True))
         has_tan = tan_len[:, 0] > 1e-4
 
         # Normal mapping (material normal_map, tangent-space +Z up).
@@ -497,7 +497,7 @@ def trace_paths(
         # branchless fallback basis otherwise.
         t_fb, b_fb = build_basis(ns_f)
         tan_f = tan_raw - ns_f * dot(tan_raw, ns_f)[:, None]
-        tan_fl = jnp.linalg.norm(tan_f, axis=-1, keepdims=True)
+        tan_fl = jnp.sqrt(jnp.sum(tan_f * tan_f, axis=-1, keepdims=True))
         has_tan_f = tan_fl[:, 0] > 1e-4
         t_b = jnp.where(
             has_tan_f[:, None], tan_f / jnp.maximum(tan_fl, 1e-12), t_fb

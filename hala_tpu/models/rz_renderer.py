@@ -163,7 +163,7 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings):
         ml = scene.meshlets
         eye = scene.cameras.position[camera_index]
         to_c = ml.center - eye[None, :]
-        dist = jnp.linalg.norm(to_c, axis=-1)
+        dist = jnp.sqrt(jnp.sum(to_c * to_c, axis=-1))
         facing_away = jnp.sum(to_c * ml.cone_axis, axis=-1) >= (
             ml.cone_cutoff * dist + ml.radius
         )

@@ -50,7 +50,7 @@ def generate_rays(
         + (ndc_x * tan_half * aspect)[:, None] * right[None, :]
         + (ndc_y * tan_half)[:, None] * up[None, :]
     )
-    dir_p = dir_p / jnp.linalg.norm(dir_p, axis=-1, keepdims=True)
+    dir_p = dir_p / jnp.sqrt(jnp.sum(dir_p * dir_p, axis=-1, keepdims=True))
 
     # Thin lens: focus point at focal_distance along the ray; origin
     # jittered on the aperture disk of radius aperture/2.
@@ -67,7 +67,7 @@ def generate_rays(
     )
     o_persp = pos[None, :] + lens_off
     d_persp = focus_p - o_persp
-    d_persp = d_persp / jnp.linalg.norm(d_persp, axis=-1, keepdims=True)
+    d_persp = d_persp / jnp.sqrt(jnp.sum(d_persp * d_persp, axis=-1, keepdims=True))
 
     # Orthographic: parallel rays offset on the view plane by xmag/ymag.
     o_ortho = (

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import Hit, T_MAX, varying_like
+from .intersect import Hit, T_MAX, out_struct, varying_like
 
 LANES = 128
 BLOCK_SUBLANES = 8
@@ -256,10 +256,10 @@ def intersect_clustered(
         in_specs=[aabb_spec, aabb_spec] + [ray_spec] * 7 + [tri_spec],
         out_specs=[out_spec] * 4,
         out_shape=[
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            out_struct(shape2, jnp.float32, rays[0]),
+            out_struct(shape2, jnp.int32, rays[0]),
+            out_struct(shape2, jnp.float32, rays[0]),
+            out_struct(shape2, jnp.float32, rays[0]),
         ],
         scratch_shapes=[
             pltpu.SMEM((16, TRI_CHUNK), jnp.float32),

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import Hit, T_MAX, varying_like
+from .intersect import Hit, T_MAX, out_struct, varying_like
 
 LANES = 128
 ITEM_SUBLANES = 8
@@ -246,10 +246,10 @@ def intersect_expanded(
         in_specs=[spec] * 8 + [tri_spec],
         out_specs=[spec] * 4,
         out_shape=[
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            out_struct(shape2, jnp.float32, ray_in[0]),
+            out_struct(shape2, jnp.int32, ray_in[0]),
+            out_struct(shape2, jnp.float32, ray_in[0]),
+            out_struct(shape2, jnp.float32, ray_in[0]),
         ],
         scratch_shapes=[
             pltpu.SMEM((16, TRI_CHUNK), jnp.float32),

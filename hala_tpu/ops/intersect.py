@@ -44,6 +44,17 @@ def varying_like(ref: jnp.ndarray, value, dtype=None) -> jnp.ndarray:
     return out.astype(dtype) if dtype is not None else out
 
 
+def out_struct(shape, dtype, like) -> jax.ShapeDtypeStruct:
+    """ShapeDtypeStruct for a pallas_call output that inherits `like`'s
+    varying-manual-axes set, so kernels work inside shard_map (jax's
+    check_vma requires outputs to declare how they vary over mesh
+    axes; outside shard_map the vma set is empty and this is a no-op)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def ray_triangle(o, d, v0, e1, e2, t_min=1e-4):
     """Moller-Trumbore. o,d: (N,3); v0,e1,e2: (C,3). Returns (t, u, v)
     with t = inf on miss, all shaped (N, C)."""

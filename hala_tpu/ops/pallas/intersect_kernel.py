@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..intersect import Hit, T_MAX
+from ..intersect import Hit, T_MAX, out_struct
 
 LANES = 128
 RAY_SUBLANES = 16          # rays per program = RAY_SUBLANES * LANES = 2048
@@ -185,10 +185,10 @@ def intersect_pallas(
         in_specs=[tri_spec] * 9 + [ray_spec] * 7,
         out_specs=[out_spec] * 4,
         out_shape=[
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            out_struct(shape2, jnp.float32, rays[0]),
+            out_struct(shape2, jnp.int32, rays[0]),
+            out_struct(shape2, jnp.float32, rays[0]),
+            out_struct(shape2, jnp.float32, rays[0]),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

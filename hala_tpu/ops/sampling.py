@@ -13,7 +13,12 @@ INV_PI = jnp.float32(1.0 / jnp.pi)
 
 
 def normalize(v, eps=1e-12):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    # manual L2: jnp.linalg.norm is internally jitted, and that inner
+    # closed_call trips jax's vma check under shard_map (its internal
+    # constants are replicated while v is varying).
+    return v / jnp.maximum(
+        jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), eps
+    )
 
 
 def dot(a, b):

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import Hit, T_MAX, varying_like
+from .intersect import Hit, T_MAX, out_struct, varying_like
 
 LANES = 128
 # 4096-ray tiles: the per-run fixed cost (selection folds + scalar
@@ -393,12 +393,12 @@ def _traverse_core(
         in_specs=[ray_spec] * 7 + [cand_spec, cand_spec, ray_spec, tri_spec],
         out_specs=[ray_spec] * 6,
         out_shape=[
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
+            out_struct(shape2, jnp.float32, comp(tm_p)),
+            out_struct(shape2, jnp.int32, comp(tm_p)),
+            out_struct(shape2, jnp.float32, comp(tm_p)),
+            out_struct(shape2, jnp.float32, comp(tm_p)),
+            out_struct(shape2, jnp.int32, comp(tm_p)),
+            out_struct(shape2, jnp.int32, comp(tm_p)),
         ],
         scratch_shapes=[
             pltpu.VMEM((k * BLOCK_SUBLANES, LANES), jnp.int32),
@@ -777,11 +777,11 @@ def intersect_matrix(
         in_specs=[aabb_spec, aabb_spec] + [ray_spec] * 7 + [tri_spec],
         out_specs=[ray_spec] * 5,
         out_shape=[
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
+            out_struct(shape2, jnp.float32, comp(tm_p)),
+            out_struct(shape2, jnp.int32, comp(tm_p)),
+            out_struct(shape2, jnp.float32, comp(tm_p)),
+            out_struct(shape2, jnp.float32, comp(tm_p)),
+            out_struct(shape2, jnp.int32, comp(tm_p)),
         ],
         scratch_shapes=[
             pltpu.VMEM((c * MATRIX_SUBLANES, LANES), jnp.int32),

@@ -95,8 +95,20 @@ def render_frame_multichip(
         mesh=mesh,
         in_specs=(replicated, rep_env, rep_uni, spec_film, P()),
         out_specs=(spec_film, P()),
+        # Pallas interpret mode (CPU tests) lowers through closed_calls
+        # whose internal constants are replicated, tripping jax's vma
+        # check; compiled kernels on real chips keep the check on.
+        check_vma=not settings.interpret_pallas,
     )
     def step(scene_r, env_r, uniforms_r, film_shard, fidx):
+        # Promote the replicated operands to the mesh axis's varying
+        # type (free — a vma type cast): nested jitted kernels (the
+        # Pallas query wrappers) lower as closed_call, and jax's
+        # check_vma rejects mixed varying/replicated operands there.
+        pv = lambda t: jax.tree.map(lambda x: jax.lax.pvary(x, AXIS), t)
+        scene_r, uniforms_r = pv(scene_r), pv(uniforms_r)
+        env_r = pv(env_r) if env_r is not None else None
+        fidx = jax.lax.pvary(fidx, AXIS)
         row0 = jax.lax.axis_index(AXIS) * shard_h
         new_film, rays = render_frame(
             scene_r,
