@@ -61,14 +61,14 @@ def _trace_loop(scene, env, settings, frames):
 
 def bench_cornell():
     """Config 1: Cornell Box path trace, 512x512, diffuse BSDF."""
-    from hala_tpu.models.integrator import RenderSettings, resolve_intersector
+    from hala_tpu.models.integrator import RenderSettings
     from hala_tpu.scene.loader.uploader import SceneUploader
     from hala_tpu.scene.procedural import cornell_box
 
     scene = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
     settings = RenderSettings(
         width=512, height=512, max_depth=4, rr_depth=2, tile_size=65536,
-        intersector=resolve_intersector("auto"),
+        intersector="auto",
     )
     mrays, ms = _trace_loop(scene, None, settings, 16)
     _emit("cornell_512_pathtrace_throughput", mrays, vs="throughput")
@@ -103,9 +103,7 @@ def bench_envmap():
     """Config 3: HDR environment lighting through the inverted-CDF
     tables (envmap.rs parity)."""
     from hala_tpu.envmap import EnvMap
-    from hala_tpu.models.integrator import (
-        ENV_MAP, RenderSettings, resolve_intersector,
-    )
+    from hala_tpu.models.integrator import ENV_MAP, RenderSettings
     from hala_tpu.scene.loader.uploader import SceneUploader
     from hala_tpu.scene.procedural import cornell_box
 
@@ -120,7 +118,7 @@ def bench_envmap():
     )
     settings = RenderSettings(
         width=512, height=512, max_depth=4, rr_depth=2, tile_size=65536,
-        env_type=ENV_MAP, intersector=resolve_intersector("auto"),
+        env_type=ENV_MAP, intersector="auto",
     )
     mrays, _ = _trace_loop(scene, env, settings, 8)
     _emit("envmap_cdf_pathtrace_throughput", mrays, vs="throughput")
@@ -183,13 +181,11 @@ def main() -> None:
     if config in ("cornell", "all"):
         settings = bench_cornell()
     if config == "ggx":
-        from hala_tpu.models.integrator import (
-            RenderSettings, resolve_intersector,
-        )
+        from hala_tpu.models.integrator import RenderSettings
 
         settings = RenderSettings(
             width=512, height=512, max_depth=4, rr_depth=2,
-            tile_size=65536, intersector=resolve_intersector("auto"),
+            tile_size=65536, intersector="auto",
         )
     if config in ("ggx", "all"):
         bench_ggx(settings)

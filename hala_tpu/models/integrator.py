@@ -53,11 +53,18 @@ _RAY_EPS = 1e-4
 class RenderSettings:
     """Static (compile-time) integrator configuration.
 
-    `intersector` selects the visibility backend:
-      - "pallas": the Pallas VPU kernel (TPU; `interpret` on CPU)
-      - "bruteforce": chunked jnp scan (any backend; BVH ground truth)
-      - "bvh": skip-link BVH traversal (gather-heavy; large scenes only)
-    `use_bvh` is kept as a legacy alias: False forces "bruteforce".
+    `intersector` selects the visibility backend. The default "auto"
+    resolves per scene and jax backend (see _backend): the SMEM
+    streaming kernel for small scenes on TPU, the VMEM matrix-traversal
+    kernel for large ones, brute force elsewhere. Explicit values:
+      - "pallas": SMEM-streaming brute-force kernel (small scenes, TPU)
+      - "matrix": VMEM matrix traversal (large scenes, TPU; exact)
+      - "traverse": candidate-list traversal (very large scenes)
+      - "cluster": lockstep block-union streaming kernel
+      - "bruteforce": chunked jnp scan (any backend; the ground truth)
+      - "bvh": skip-link BVH traversal — gather-bound, 0.45 Mrays/s on
+        TPU (DESIGN.md ledger); only for CPU debugging
+      - "legacy": honor the deprecated `use_bvh` flag
     """
 
     width: int
@@ -68,10 +75,10 @@ class RenderSettings:
     tile_size: int = 65536
     use_bvh: bool = True
     chunk: int = 2048  # brute-force triangle chunk
-    intersector: str = "legacy"  # "legacy" honors use_bvh
+    intersector: str = "auto"
     interpret_pallas: bool = False
     cluster_k_max: int = 64      # candidate clusters per ray ("expand")
-    sort_rays: bool = False      # wavefront coherence sort before queries
+    sort_rays: bool = True       # wavefront coherence sort before queries
     expand_max_runs: int = 96    # distinct clusters per 1024-item tile
     traverse_k: int = 12         # candidate clusters per ray ("traverse")
     # Max alpha-tested surfaces a shadow ray may stochastically pass
@@ -84,7 +91,9 @@ class RenderSettings:
 
 
 def resolve_intersector(preference: str = "auto") -> str:
-    """Pick the visibility backend for the current jax backend."""
+    """Deprecated scene-blind resolver (kept for API compatibility);
+    prefer intersector="auto" in RenderSettings, which also weighs the
+    scene size (see _backend)."""
     if preference != "auto":
         return preference
     import jax as _jax
@@ -144,25 +153,44 @@ class Film:
         return Film(accum=z(), albedo=z(), normal=z())
 
 
+_BACKENDS = (
+    "auto", "matrix", "traverse", "expand", "cluster", "pallas",
+    "bruteforce", "bvh", "legacy",
+)
+
+
 def _backend(settings: RenderSettings, scene) -> str:
-    if settings.intersector == "matrix":
-        return "matrix"
-    if settings.intersector == "traverse":
+    """Resolve the visibility backend (trace-time: scene shapes and the
+    jax backend are static)."""
+    sel = settings.intersector
+    if sel not in _BACKENDS:
+        raise ValueError(
+            f"Unknown intersector {sel!r}; expected one of {_BACKENDS}"
+        )
+    if sel == "legacy":
+        sel = (
+            "bvh" if (settings.use_bvh and scene.bvh is not None)
+            else "bruteforce"
+        )
+    if sel == "auto":
+        import jax as _jax
+
+        g = scene.geometry
+        on_tpu = _jax.default_backend() == "tpu"
+        if not (on_tpu or settings.interpret_pallas):
+            return "bruteforce"
+        if g.tri_packed is None or g.num_triangles <= 4096:
+            # whole scene streams through SMEM; brute force on the VPU
+            # beats any traversal at this size (DESIGN.md ledger)
+            return "pallas"
+        from ..ops.traverse import MATRIX_MAX_CLUSTERS
+
+        if g.tri_packed.shape[0] <= MATRIX_MAX_CLUSTERS:
+            return "matrix"
         return "traverse"
-    if settings.intersector == "expand":
-        return "expand"
-    if settings.intersector == "cluster":
-        return "cluster"
-    if settings.intersector == "pallas":
-        return "pallas"
-    if settings.intersector == "bruteforce":
+    if sel == "bvh" and scene.bvh is None:
         return "bruteforce"
-    if settings.intersector == "bvh":
-        return "bvh" if scene.bvh is not None else "bruteforce"
-    # "legacy": honor the use_bvh flag
-    if settings.use_bvh and scene.bvh is not None:
-        return "bvh"
-    return "bruteforce"
+    return sel
 
 
 def _sorted_dispatch(scene, o, d, settings, t_max, query):

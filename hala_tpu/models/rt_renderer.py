@@ -89,9 +89,9 @@ class RayTracingRenderer(BaseRenderer):
         self.max_frames = max_frames if max_frames > 0 else (1 << 62)
         self._tile_size = tile_size
         self._use_bvh = use_bvh
-        from .integrator import resolve_intersector
-
-        self._intersector = resolve_intersector(intersector)
+        # "auto" stays symbolic: the scene-aware resolution happens at
+        # trace time in integrator._backend (needs the scene size).
+        self._intersector = intersector
 
         self.scene = None          # DeviceScene
         self._host_scene: Scene | None = None
@@ -188,18 +188,10 @@ class RayTracingRenderer(BaseRenderer):
         """Freeze settings + compile (rt_renderer.rs:136-379 role)."""
         if self.scene is None:
             raise HalaRendererError("commit() before set_scene().")
-        intersector = self._intersector
-        sort = False
-        if (
-            intersector == "pallas"
-            and self.scene.geometry.num_triangles > 4096
-            and self.scene.geometry.tri_packed is not None
-        ):
-            # Large scene: all-triangles-in-SMEM streaming stops paying;
-            # switch to the cluster-culling intersector with the
-            # wavefront coherence sort (measured +39% on sponza_like).
-            intersector = "cluster"
-            sort = True
+        # Backend choice is delegated to the scene-aware "auto" logic in
+        # integrator._backend (SMEM streaming for small scenes, matrix
+        # traversal for large ones); an explicit constructor choice is
+        # honored as-is — no silent overrides.
         self.settings = RenderSettings(
             width=self.info.width,
             height=self.info.height,
@@ -208,8 +200,7 @@ class RayTracingRenderer(BaseRenderer):
             env_type=int(self.env_type),
             tile_size=self._tile_size,
             use_bvh=self._use_bvh and self.scene.bvh is not None,
-            intersector=intersector,
-            sort_rays=sort,
+            intersector=self._intersector,
         )
 
     def update(self, delta_time: float = 0.0) -> None:
