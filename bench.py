@@ -125,24 +125,26 @@ def bench_envmap():
 
 
 def bench_sponza():
-    """Config 4: sponza-scale wavefront tracing with on-the-fly AS
-    (Morton clusters, the LBVH role) + coherence-sorted matrix
-    traversal + free dead-ray compaction, 1080p-class film."""
-    from hala_tpu.models.integrator import RenderSettings
-    from hala_tpu.scene.loader.uploader import SceneUploader
-    from hala_tpu.scene.procedural import sponza_like
+    """Config 4: sponza-scale scene loaded from a REAL .glb on disk
+    (assets/atrium.glb: 34k triangles, embedded PNG textures, quad area
+    lights) — wavefront tracing with on-the-fly AS (Morton clusters,
+    the LBVH role) + coherence-sorted matrix traversal + free dead-ray
+    compaction, 1080p-class film."""
+    import os
 
-    scene = SceneUploader.upload(
-        sponza_like(rooms=(8, 8), columns_per_room=4, boxes_per_room=20),
-        use_ray_tracing=False,
-    )
+    from hala_tpu.models.integrator import RenderSettings
+    from hala_tpu.scene.cpu.scene import Scene
+    from hala_tpu.scene.loader.uploader import SceneUploader
+
+    path = os.path.join(os.path.dirname(__file__), "assets", "atrium.glb")
+    scene = SceneUploader.upload(Scene.load(path), use_ray_tracing=False)
     settings = RenderSettings(
         width=1920, height=1088, max_depth=4, rr_depth=2,
         tile_size=131072, intersector="matrix", sort_rays=True,
     )
     mrays, ms = _trace_loop(scene, None, settings, 3)
-    _emit("sponza20k_1080p_pathtrace_throughput", mrays, vs="throughput")
-    _emit("sponza20k_1080p_ms_per_frame_1spp", ms, unit="ms")
+    _emit("sponza_scale_1080p_pathtrace_throughput", mrays, vs="throughput")
+    _emit("sponza_scale_1080p_ms_per_frame_1spp", ms, unit="ms")
 
 
 def bench_raster():

@@ -387,7 +387,9 @@ class SceneUploader:
         nrm, uv, mat, prim = nrm[order], uv[order], mat[order], prim[order]
         ng = np.cross(e1, e2)
         ng_len = np.linalg.norm(ng, axis=1, keepdims=True)
-        ng = np.where(ng_len > 0, ng / ng_len, ng).astype(np.float32)
+        ng = np.where(
+            ng_len > 0, ng / np.maximum(ng_len, 1e-30), ng
+        ).astype(np.float32)
         tan = np.concatenate(ts).astype(np.float32)[order]
         shade = np.zeros((n_tris, 32), np.float32)
         shade[:, 0:9] = nrm.reshape(n_tris, 9)

@@ -1,5 +1,10 @@
 """Regenerate golden render fixtures. Run from the repo root after a
-DELIBERATE integrator change:  python tests/fixtures/regen_golden.py
+DELIBERATE integrator/rasterizer change:
+    python tests/fixtures/regen_golden.py
+
+Fixtures cover the BASELINE parity configs most likely to regress:
+diffuse Cornell, Disney/GGX Cornell, envmap CDF lighting, the forward
+rasterizer, and the checked-in atrium.glb asset.
 """
 import os, sys
 
@@ -8,24 +13,104 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 sys.path.insert(0, os.getcwd())
-from hala_tpu.models.integrator import Film, RenderSettings, Uniforms, render_frame
+from hala_tpu.models.integrator import (
+    ENV_MAP, Film, RenderSettings, Uniforms, render_frame,
+)
 from hala_tpu.scene.loader.uploader import SceneUploader
 from hala_tpu.scene.procedural import cornell_box
 
-def main():
-    scene = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
-    settings = RenderSettings(width=32, height=32, max_depth=3, rr_depth=2,
-                              tile_size=1024, intersector="bruteforce")
+HERE = os.path.dirname(__file__)
+
+
+def _trace(scene_dev, settings, env=None, frames=8):
     uni = Uniforms.default()
-    film = Film.create(32, 32)
-    for f in range(8):
-        film, _ = render_frame(scene, None, uni, film, f, settings)
-    out = os.path.join(os.path.dirname(__file__), "golden_cornell.npz")
-    np.savez_compressed(out,
-                        accum=np.asarray(film.accum),
-                        albedo=np.asarray(film.albedo),
-                        normal=np.asarray(film.normal))
-    print("wrote", out)
+    film = Film.create(settings.width, settings.height)
+    for f in range(frames):
+        film, _ = render_frame(scene_dev, env, uni, film, f, settings)
+    return dict(
+        accum=np.asarray(film.accum),
+        albedo=np.asarray(film.albedo),
+        normal=np.asarray(film.normal),
+    )
+
+
+def _settings(**kw):
+    base = dict(width=32, height=32, max_depth=3, rr_depth=2,
+                tile_size=1024, intersector="bruteforce")
+    base.update(kw)
+    return RenderSettings(**base)
+
+
+def ggx_scene():
+    from hala_tpu.scene.cpu.material import Material, MaterialType
+
+    metal = Material(
+        type=MaterialType.DISNEY,
+        base_color=np.array([0.9, 0.75, 0.4], np.float32),
+        roughness=0.2, metallic=1.0,
+    )
+    glossy = Material(
+        type=MaterialType.DISNEY,
+        base_color=np.array([0.2, 0.4, 0.9], np.float32),
+        roughness=0.45, metallic=0.0,
+    )
+    return cornell_box(tall_box_material=metal, short_box_material=glossy)
+
+
+def test_envmap():
+    from hala_tpu.envmap import EnvMap
+
+    rs = np.random.RandomState(11)
+    rgb = rs.uniform(0.05, 0.4, (16, 32, 3)).astype(np.float32)
+    rgb[4, 9] = 30.0
+    return EnvMap.from_array(rgb)
+
+
+def main():
+    # 1. diffuse Cornell
+    dev = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
+    np.savez_compressed(
+        os.path.join(HERE, "golden_cornell.npz"),
+        **_trace(dev, _settings()),
+    )
+    # 2. Disney/GGX Cornell
+    dev = SceneUploader.upload(ggx_scene(), use_ray_tracing=False)
+    np.savez_compressed(
+        os.path.join(HERE, "golden_ggx.npz"),
+        **_trace(dev, _settings(max_depth=4)),
+    )
+    # 3. envmap CDF lighting (open-top Cornell, light off)
+    dev = SceneUploader.upload(
+        cornell_box(light_intensity=0.0), use_ray_tracing=False
+    )
+    np.savez_compressed(
+        os.path.join(HERE, "golden_envmap.npz"),
+        **_trace(dev, _settings(env_type=ENV_MAP), env=test_envmap()),
+    )
+    # 4. forward rasterizer
+    from hala_tpu.models.rz_renderer import RasterizationRenderer
+
+    r = RasterizationRenderer("golden", 48, 48, chunk=128)
+    r.set_scene(cornell_box())
+    r.commit(); r.update()
+    np.savez_compressed(
+        os.path.join(HERE, "golden_raster.npz"),
+        color=r.get_final_image(),
+    )
+    # 5. the checked-in atrium asset
+    from hala_tpu.scene.cpu.scene import Scene
+
+    dev = SceneUploader.upload(
+        Scene.load(os.path.join(os.getcwd(), "assets", "atrium.glb")),
+        use_ray_tracing=False,
+    )
+    np.savez_compressed(
+        os.path.join(HERE, "golden_atrium.npz"),
+        **_trace(dev, _settings(width=24, height=24, tile_size=576,
+                                max_depth=2), frames=4),
+    )
+    print("wrote all fixtures to", HERE)
+
 
 if __name__ == "__main__":
     main()

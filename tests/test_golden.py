@@ -56,3 +56,102 @@ class TestGoldenCornell:
             film, _ = render_frame(scene, None, uni, film, f, settings)
         with np.load(FIXTURE) as z:
             assert _rmse(np.asarray(film.accum), z["accum"]) < RMSE_TOL
+
+
+def _trace_fixture(scene_dev, settings, env=None, frames=8):
+    uni = Uniforms.default()
+    film = Film.create(settings.width, settings.height)
+    for f in range(frames):
+        film, _ = render_frame(scene_dev, env, uni, film, f, settings)
+    return film
+
+
+class TestGoldenGGX:
+    """Disney/GGX parity config (BASELINE config 2)."""
+
+    def test_matches(self):
+        import tests.fixtures.regen_golden as rg
+
+        dev = SceneUploader.upload(rg.ggx_scene(), use_ray_tracing=False)
+        settings = RenderSettings(
+            width=32, height=32, max_depth=4, rr_depth=2,
+            tile_size=1024, intersector="bruteforce",
+        )
+        film = _trace_fixture(dev, settings)
+        with np.load(
+            os.path.join(os.path.dirname(__file__), "fixtures", "golden_ggx.npz")
+        ) as z:
+            assert _rmse(np.asarray(film.accum), z["accum"]) < RMSE_TOL
+
+
+class TestGoldenEnvmap:
+    """Envmap CDF importance sampling parity (BASELINE config 3)."""
+
+    def test_matches(self):
+        import tests.fixtures.regen_golden as rg
+
+        dev = SceneUploader.upload(
+            cornell_box(light_intensity=0.0), use_ray_tracing=False
+        )
+        from hala_tpu.models.integrator import ENV_MAP
+
+        settings = RenderSettings(
+            width=32, height=32, max_depth=3, rr_depth=2,
+            tile_size=1024, intersector="bruteforce", env_type=ENV_MAP,
+        )
+        film = _trace_fixture(dev, settings, env=rg.test_envmap())
+        with np.load(
+            os.path.join(
+                os.path.dirname(__file__), "fixtures", "golden_envmap.npz"
+            )
+        ) as z:
+            assert _rmse(np.asarray(film.accum), z["accum"]) < RMSE_TOL
+
+
+class TestGoldenRaster:
+    """Forward raster path golden (BASELINE config 5 kin)."""
+
+    def test_matches(self):
+        from hala_tpu.models.rz_renderer import RasterizationRenderer
+
+        r = RasterizationRenderer("golden", 48, 48, chunk=128)
+        r.set_scene(cornell_box())
+        r.commit(); r.update()
+        with np.load(
+            os.path.join(
+                os.path.dirname(__file__), "fixtures", "golden_raster.npz"
+            )
+        ) as z:
+            assert _rmse(r.get_final_image(), z["color"]) < RMSE_TOL
+
+
+class TestGoldenAtrium:
+    """The checked-in real .glb asset, loaded from disk and golden-
+    rendered (VERDICT round-1 missing item 6: nothing had ever rendered
+    a real scene file end-to-end)."""
+
+    def test_asset_loads_and_matches(self):
+        from hala_tpu.scene.cpu.scene import Scene
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "assets", "atrium.glb"
+        )
+        scene = Scene.load(path)
+        assert len(scene.materials) >= 6
+        assert len(scene.image_data) == 2      # embedded PNG textures
+        assert len(scene.lights) == 2
+        dev = SceneUploader.upload(scene, use_ray_tracing=False)
+        assert dev.geometry.num_triangles > 20000   # sponza-scale
+        assert dev.textures is not None and dev.textures.num_textures == 2
+        settings = RenderSettings(
+            width=24, height=24, max_depth=2, rr_depth=2,
+            tile_size=576, intersector="bruteforce",
+        )
+        film = _trace_fixture(dev, settings, frames=4)
+        with np.load(
+            os.path.join(
+                os.path.dirname(__file__), "fixtures", "golden_atrium.npz"
+            )
+        ) as z:
+            assert _rmse(np.asarray(film.accum), z["accum"]) < RMSE_TOL
+            assert _rmse(np.asarray(film.albedo), z["albedo"]) < RMSE_TOL
