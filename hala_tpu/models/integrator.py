@@ -490,6 +490,34 @@ def trace_paths(
 
         mat_idx = rows[:, 18].astype(jnp.int32)
         mp = gather_materials(scene.materials, mat_idx)
+        # Vertex colors (COLOR_0): present iff the uploader widened the
+        # shade row (static shape -> compiles out otherwise); glTF
+        # multiplies them into base color.
+        if rows.shape[1] > 32:
+            vcol = (
+                w0[:, None] * rows[:, 32:35]
+                + u[:, None] * rows[:, 35:38]
+                + v[:, None] * rows[:, 38:41]
+            )
+            mp = mp._replace(base_color=mp.base_color * vcol)
+        # KHR_texture_transform: uv' = offset + R(rot) @ (scale * uv)
+        # (spec order T*R*S), from the material's baseColorTexture
+        # binding, applied to every map (single UV set).
+        if getattr(scene.materials, "has_uv_transform", False):
+            uvt = jnp.take(
+                scene.materials.uv_transform, jnp.maximum(mat_idx, 0), axis=0
+            )
+            su = uv[:, 0] * uvt[:, 3]
+            sv = uv[:, 1] * uvt[:, 4]
+            cr = jnp.cos(uvt[:, 2])
+            sr = jnp.sin(uvt[:, 2])
+            uv = jnp.stack(
+                [
+                    uvt[:, 0] + cr * su + sr * sv,
+                    uvt[:, 1] - sr * su + cr * sv,
+                ],
+                axis=1,
+            )
         path_dist = st["path_dist"] + effective_t * active.astype(jnp.float32)
 
         # Interpolated tangent, Gram-Schmidt-orthonormalized against ns:

@@ -1,11 +1,11 @@
 """Manual texture sampling from the padded texture stack.
 
 Role parity: the reference's combined-image-sampler descriptor arrays
-with LINEAR/REPEAT samplers (gpu_uploader.rs:334-403). TPUs have no
-texture unit, so this is software bilinear with REPEAT wrap over
-TextureStack (SURVEY.md section 7 hard-part #4). Mip selection is
-deferred to the wavefront stage (primary-visible textures dominate
-RMSE; nearest-mip LOD comes with the perf pass).
+with LINEAR mipmap samplers (gpu_uploader.rs:334-353 creates samplers
+with mipmap_mode LINEAR). TPUs have no texture unit, so this is software
+trilinear with REPEAT wrap over TextureStack (SURVEY.md section 7
+hard-part #4): bilinear at the two bracketing packed mip levels,
+lerped by the fractional LOD.
 """
 
 from __future__ import annotations
@@ -13,32 +13,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_texture(
-    stack, tex_idx: jnp.ndarray, uv: jnp.ndarray, lod_uv=None
-) -> jnp.ndarray:
-    """Bilinear sample: tex_idx (N,) i32 (-1 = none -> white), uv (N,2).
-
-    Returns (N, 4) RGBA. REPEAT addressing on both axes. `lod_uv` is an
-    optional per-ray log2 footprint in UV units; the sampler adds
-    log2(texture width) and bilinearly fetches from the nearest packed
-    mip level (nearest-level selection; trilinear is a round-2 knob).
-    """
-    idx = jnp.maximum(tex_idx, 0)
+def _bilinear(stack, idx, tex_idx, uv, level):
+    """Bilinear fetch at one mip level. level (N,) i32."""
     sizes = jnp.take(stack.sizes, idx, axis=0)  # (N, 2) h, w (level 0)
     h0 = sizes[:, 0].astype(jnp.int32)
     w0 = sizes[:, 1].astype(jnp.int32)
     max_h = stack.data.shape[1] // 2
 
-    if lod_uv is not None and stack.num_levels > 1:
-        lod = lod_uv + jnp.log2(jnp.maximum(w0.astype(jnp.float32), 1.0))
-        level = jnp.clip(
-            jnp.round(lod).astype(jnp.int32), 0, stack.num_levels - 1
-        )
-    else:
-        level = jnp.zeros_like(h0)
     lh = jnp.maximum(h0 >> level, 1)
     lw = jnp.maximum(w0 >> level, 1)
     # packed pyramid row offset: sum_{k<l} max_h >> k = 2*max_h*(1 - 2^-l)
+    # (exact because the canvas height is padded to a power of two).
     row_off = 2 * max_h - (jnp.int32(2 * max_h) >> level)
 
     h = lh.astype(jnp.float32)
@@ -62,10 +47,42 @@ def sample_texture(
     c01 = stack.data[idx, y0i, x1i]
     c10 = stack.data[idx, y1i, x0i]
     c11 = stack.data[idx, y1i, x1i]
-    texel = (
+    return (
         c00 * (1 - fx) * (1 - fy)
         + c01 * fx * (1 - fy)
         + c10 * (1 - fx) * fy
         + c11 * fx * fy
     )
+
+
+def sample_texture(
+    stack, tex_idx: jnp.ndarray, uv: jnp.ndarray, lod_uv=None
+) -> jnp.ndarray:
+    """Trilinear sample: tex_idx (N,) i32 (-1 = none -> white), uv (N,2).
+
+    Returns (N, 4) RGBA. REPEAT addressing on both axes. `lod_uv` is an
+    optional per-ray log2 footprint in UV units; the sampler adds
+    log2(texture width) and lerps between the two bracketing packed mip
+    levels (LINEAR mipmap_mode parity). Without `lod_uv` (or a 1-level
+    stack) it is plain bilinear at level 0.
+    """
+    idx = jnp.maximum(tex_idx, 0)
+
+    if lod_uv is not None and stack.num_levels > 1:
+        sizes = jnp.take(stack.sizes, idx, axis=0)
+        w0 = sizes[:, 1].astype(jnp.float32)
+        lod = jnp.clip(
+            lod_uv + jnp.log2(jnp.maximum(w0, 1.0)),
+            0.0,
+            float(stack.num_levels - 1),
+        )
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, stack.num_levels - 1)
+        fl = (lod - l0.astype(jnp.float32))[:, None]
+        texel = (
+            _bilinear(stack, idx, tex_idx, uv, l0) * (1.0 - fl)
+            + _bilinear(stack, idx, tex_idx, uv, l1) * fl
+        )
+    else:
+        texel = _bilinear(stack, idx, tex_idx, uv, jnp.zeros_like(idx))
     return jnp.where((tex_idx >= 0)[:, None], texel, 1.0)

@@ -65,6 +65,11 @@ class Material:
     specular_transmission: float = 0.0
     ior: float = 1.5
     medium: Medium = dataclasses.field(default_factory=Medium)
+    # KHR_texture_transform (offset_u, offset_v, rotation, scale_u,
+    # scale_v), taken from the baseColorTexture binding and applied to
+    # every map of the material (single-UV-set design, matching the
+    # reference's uv0-only read).
+    uv_transform: tuple = (0.0, 0.0, 0.0, 1.0, 1.0)
     base_color_map_index: int = NONE_INDEX
     emission_map_index: int = NONE_INDEX
     normal_map_index: int = NONE_INDEX

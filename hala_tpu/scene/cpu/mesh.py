@@ -25,6 +25,7 @@ class Primitive:
     tangents: np.ndarray         # (V,3) f32
     tex_coords: np.ndarray       # (V,2) f32
     material_index: int = 0xFFFFFFFF
+    colors: np.ndarray | None = None  # (V,3) f32 vertex colors (COLOR_0)
     # Filled by the meshlet pass (parity: cpu/mesh.rs meshlet fields,
     # populated by gpu_uploader.rs:555-765).
     meshlets: list = dataclasses.field(default_factory=list)

@@ -84,7 +84,7 @@ class DeviceGeometry:
     meta_fields=(
         "has_disney", "has_transmission", "has_absorb_medium",
         "has_normal_map", "has_alpha", "has_scatter_medium",
-        "has_emissive_medium",
+        "has_emissive_medium", "has_uv_transform",
     ),
 )
 @dataclasses.dataclass
@@ -119,6 +119,9 @@ class DeviceMaterials:
     medium_density: jax.Array        # (M,)
     medium_anisotropy: jax.Array     # (M,)
     medium_type: jax.Array           # (M,) i32
+    # KHR_texture_transform per material (from the baseColorTexture
+    # binding): (offset_u, offset_v, rotation, scale_u, scale_v).
+    uv_transform: jax.Array          # (M, 5)
     mat_type: jax.Array              # (M,) i32 — 0 DIFFUSE, 1 DISNEY
     base_color_map: jax.Array        # (M,) i32, -1 = none
     normal_map: jax.Array            # (M,) i32
@@ -144,6 +147,7 @@ class DeviceMaterials:
     has_alpha: bool = False  # any opacity < 1 (cpu/scene.rs has_transparent)
     has_scatter_medium: bool = False  # any SCATTER medium (has_medium_with)
     has_emissive_medium: bool = False  # any EMISSIVE medium (type 3)
+    has_uv_transform: bool = False     # any non-identity KHR_texture_transform
 
 
 @partial(_register, meta_fields=("num_lights",))

@@ -327,6 +327,14 @@ class GltfLoader:
             else:
                 tangents = _generate_tangents(positions, tex_coords, indices)
 
+            colors = None
+            if "COLOR_0" in attrs:
+                # VEC3 or VEC4 (alpha ignored), float or normalized int
+                # (accessor_f32 denormalizes).
+                colors = g.accessor_f32(attrs["COLOR_0"])[:, :3].astype(
+                    np.float32
+                )
+
             material_index = gprim.get("material", NONE_INDEX)
             prims.append(
                 Primitive(
@@ -336,9 +344,27 @@ class GltfLoader:
                     tangents=tangents.astype(np.float32),
                     tex_coords=tex_coords.astype(np.float32),
                     material_index=material_index,
+                    colors=colors,
                 )
             )
         return Mesh(primitives=prims)
+
+    @staticmethod
+    def _uv_transform(binding) -> tuple:
+        """KHR_texture_transform on a texture binding -> (ou, ov, rot,
+        su, sv); identity when absent."""
+        if not binding:
+            return (0.0, 0.0, 0.0, 1.0, 1.0)
+        ext = binding.get("extensions", {}).get("KHR_texture_transform")
+        if not ext:
+            return (0.0, 0.0, 0.0, 1.0, 1.0)
+        off = ext.get("offset", [0.0, 0.0])
+        scale = ext.get("scale", [1.0, 1.0])
+        return (
+            float(off[0]), float(off[1]),
+            float(ext.get("rotation", 0.0)),
+            float(scale[0]), float(scale[1]),
+        )
 
     @staticmethod
     def _load_material(gmat: dict) -> Material:
@@ -391,6 +417,7 @@ class GltfLoader:
                 density=float(extras.get("medium_density", 0.0)),
                 anisotropy=float(extras.get("medium_anisotropy", 0.0)),
             ),
+            uv_transform=GltfLoader._uv_transform(pbr.get("baseColorTexture")),
             base_color_map_index=tex(pbr.get("baseColorTexture")),
             emission_map_index=tex(gmat.get("emissiveTexture")),
             normal_map_index=tex(gmat.get("normalTexture")),

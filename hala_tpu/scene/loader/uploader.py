@@ -311,6 +311,13 @@ class SceneUploader:
             medium_anisotropy=f(lambda m: m.medium.anisotropy),
             medium_type=f(lambda m: int(m.medium.type), np.int32),
             mat_type=f(lambda m: int(m.type), np.int32),
+            uv_transform=f(
+                lambda m: np.asarray(m.uv_transform, np.float32)
+            ),
+            has_uv_transform=any(
+                tuple(m.uv_transform) != (0.0, 0.0, 0.0, 1.0, 1.0)
+                for m in mats
+            ),
             base_color_map=tex_idx(lambda m: m.base_color_map_index),
             normal_map=tex_idx(lambda m: m.normal_map_index),
             metallic_roughness_map=tex_idx(lambda m: m.metallic_roughness_map_index),
@@ -322,6 +329,7 @@ class SceneUploader:
     @staticmethod
     def _upload_geometry(scene: Scene) -> DeviceGeometry:
         v0s, e1s, e2s, ns, ts, uvs, mats, prims = [], [], [], [], [], [], [], []
+        vcs, any_vc = [], False
         prim_id = 0
         for node in scene.nodes:
             if node.mesh_index is None:
@@ -349,6 +357,12 @@ class SceneUploader:
                         axis=1,
                     )
                 )
+                if prim.colors is not None:
+                    any_vc = True
+                    vc = prim.colors
+                    vcs.append(np.stack([vc[a], vc[b], vc[c]], axis=1))
+                else:
+                    vcs.append(np.ones((len(tri), 3, 3), np.float32))
                 mat = prim.material_index
                 mats.append(
                     np.full(len(tri), -1 if mat == 0xFFFFFFFF else mat, np.int32)
@@ -391,7 +405,15 @@ class SceneUploader:
             ng_len > 0, ng / np.maximum(ng_len, 1e-30), ng
         ).astype(np.float32)
         tan = np.concatenate(ts).astype(np.float32)[order]
-        shade = np.zeros((n_tris, 32), np.float32)
+        # Vertex colors widen the packed shade row from 32 to 48 columns
+        # ([32:41] = per-corner RGB); scenes without COLOR_0 keep the
+        # narrow table so the per-hit row gather stays cheap (the shade
+        # width is a static shape, so the integrator specializes on it).
+        width = 48 if any_vc else 32
+        shade = np.zeros((n_tris, width), np.float32)
+        if any_vc:
+            vc_all = np.concatenate(vcs).astype(np.float32)[order]
+            shade[:, 32:41] = vc_all.reshape(n_tris, 9)
         shade[:, 0:9] = nrm.reshape(n_tris, 9)
         shade[:, 9:15] = uv.reshape(n_tris, 6)
         shade[:, 15:18] = ng

@@ -625,3 +625,39 @@ def _translate(x, y, z):
     m = np.eye(4, dtype=np.float32)
     m[:3, 3] = [x, y, z]
     return m
+
+
+class TestTrilinearMip:
+    def test_fractional_lod_lerps_between_levels(self):
+        """Trilinear: a fractional LOD must land strictly between the
+        two bracketing levels' bilinear fetches (LINEAR mipmap parity,
+        gpu_uploader.rs:340-353)."""
+        from hala_tpu.ops.texture import sample_texture
+        from hala_tpu.scene.cpu.image_data import ImageData, ImageFormat
+        from hala_tpu.scene.loader.uploader import SceneUploader
+
+        # level 0 = fine checker (mips converge to 0.5 gray)
+        tex = np.zeros((16, 16, 4), np.float32)
+        tex[::2, ::2] = 1.0
+        tex[1::2, 1::2] = 1.0
+        tex[..., 3] = 1.0
+        scene = _floor_scene(
+            Light(intensity=1.0, light_type=LightType.POINT),
+            _down_light_transform(),
+        )
+        scene.image_data = [
+            ImageData(16, 16, ImageFormat.R32G32B32A32_SFLOAT, tex)
+        ]
+        scene.texture2image_mapping = {0: 0}
+        scene.image2data_mapping = {0: 0}
+        stack = SceneUploader.upload(scene, use_ray_tracing=False).textures
+        assert stack.num_levels > 1
+
+        idx = jnp.zeros((4,), jnp.int32)
+        uv = jnp.asarray([[0.3, 0.3]] * 4, jnp.float32)
+        # log2(w)=4, so lod_uv=-4 -> level 0; -3 -> level 1; -3.5 between
+        s0 = np.asarray(sample_texture(stack, idx, uv, jnp.full((4,), -4.0)))
+        s1 = np.asarray(sample_texture(stack, idx, uv, jnp.full((4,), -3.0)))
+        mid = np.asarray(sample_texture(stack, idx, uv, jnp.full((4,), -3.5)))
+        assert not np.allclose(s0, s1)
+        np.testing.assert_allclose(mid, 0.5 * (s0 + s1), atol=1e-6)

@@ -271,3 +271,146 @@ class TestGLB:
         assert prim.triangle_count == 1
         np.testing.assert_allclose(prim.positions[1], [1, 0, 0])
         assert scene.cameras[0].yfov == pytest.approx(0.7)
+
+
+class TestVertexColorsAndTexTransform:
+    def _scene_with_colors(self, tmp_path, colors):
+        positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        normals = np.array([[0, 0, 1]] * 3, np.float32)
+        cols = np.asarray(colors, np.float32)
+        indices = np.array([0, 1, 2], np.uint16)
+        doc = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0, 1]}],
+            "nodes": [
+                {"mesh": 0},
+                {"camera": 0, "translation": [0.3, 0.3, 2.0]},
+            ],
+            "cameras": [{
+                "type": "perspective",
+                "perspective": {"yfov": 0.8, "znear": 0.1},
+            }],
+            "meshes": [{"primitives": [{
+                "attributes": {"POSITION": 0, "NORMAL": 1, "COLOR_0": 2},
+                "indices": 3,
+            }]}],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 3,
+                 "type": "VEC3", "min": [0, 0, 0], "max": [1, 1, 0]},
+                {"bufferView": 1, "componentType": 5126, "count": 3,
+                 "type": "VEC3"},
+                {"bufferView": 2, "componentType": 5126, "count": 3,
+                 "type": "VEC3"},
+                {"bufferView": 3, "componentType": 5123, "count": 3,
+                 "type": "SCALAR"},
+            ],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 72, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 108, "byteLength": 6},
+            ],
+            "buffers": [{
+                "byteLength": 114,
+                "uri": _b64(np.concatenate([
+                    positions.reshape(-1), normals.reshape(-1),
+                    cols.reshape(-1),
+                ]).astype(np.float32)) if False else None,
+            }],
+        }
+        blob = (positions.tobytes() + normals.tobytes() + cols.tobytes()
+                + indices.tobytes())
+        import base64
+        doc["buffers"] = [{
+            "byteLength": len(blob),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(blob).decode(),
+        }]
+        path = tmp_path / "vc.gltf"
+        path.write_text(json.dumps(doc))
+        return Scene.load(str(path))
+
+    def test_color0_loaded_and_packed(self, tmp_path):
+        scene = self._scene_with_colors(
+            tmp_path, [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+        )
+        prim = scene.meshes[0].primitives[0]
+        assert prim.colors is not None
+        np.testing.assert_allclose(prim.colors, np.eye(3), atol=1e-6)
+
+        from hala_tpu.scene.loader.uploader import SceneUploader
+
+        dev = SceneUploader.upload(scene, use_ray_tracing=False)
+        # widened shade row carries the per-corner colors
+        assert dev.geometry.shade_table.shape[1] == 48
+        row = np.asarray(dev.geometry.shade_table)[0]
+        np.testing.assert_allclose(
+            np.sort(row[32:41].reshape(3, 3).sum(1)), [1, 1, 1], atol=1e-6
+        )
+
+    def test_no_colors_keeps_narrow_table(self, tmp_path):
+        scene = self._scene_with_colors(tmp_path, [[1, 1, 1]] * 3)
+        scene.meshes[0].primitives[0].colors = None
+        from hala_tpu.scene.loader.uploader import SceneUploader
+
+        dev = SceneUploader.upload(scene, use_ray_tracing=False)
+        assert dev.geometry.shade_table.shape[1] == 32
+
+    def test_khr_texture_transform_parsed(self, tmp_path):
+        path = _write_tri_gltf(tmp_path)
+        doc = json.loads((tmp_path / "scene.gltf").read_text())
+        doc["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {
+            "index": 0,
+            "extensions": {"KHR_texture_transform": {
+                "offset": [0.25, 0.5], "rotation": 0.3, "scale": [2, 3],
+            }},
+        }
+        # minimal image/texture so the binding resolves
+        px = np.ones((1, 1, 4), np.float32)
+        import base64 as b64mod
+        from PIL import Image
+        import io as iomod
+        buf = iomod.BytesIO()
+        Image.fromarray((px * 255).astype(np.uint8), "RGBA").save(buf, "PNG")
+        doc["images"] = [{"uri": "data:image/png;base64,"
+                          + b64mod.b64encode(buf.getvalue()).decode()}]
+        doc["textures"] = [{"source": 0}]
+        (tmp_path / "scene.gltf").write_text(json.dumps(doc))
+        scene = Scene.load(str(tmp_path / "scene.gltf"))
+        np.testing.assert_allclose(
+            scene.materials[0].uv_transform, (0.25, 0.5, 0.3, 2.0, 3.0)
+        )
+        from hala_tpu.scene.loader.uploader import SceneUploader
+
+        dev = SceneUploader.upload(scene, use_ray_tracing=False)
+        assert dev.materials.has_uv_transform
+        np.testing.assert_allclose(
+            np.asarray(dev.materials.uv_transform[0]),
+            [0.25, 0.5, 0.3, 2.0, 3.0],
+        )
+
+    def test_vertex_colors_tint_render(self, tmp_path):
+        """COLOR_0 must multiply into base color in the integrator:
+        the albedo AOV of a red-tinted triangle turns red."""
+        scene = self._scene_with_colors(
+            tmp_path, [[1, 0, 0], [1, 0, 0], [1, 0, 0]]
+        )
+        from hala_tpu.models.integrator import (
+            Film, RenderSettings, Uniforms, render_frame,
+        )
+        from hala_tpu.scene.loader.uploader import SceneUploader
+        import jax.numpy as jnp
+
+        dev = SceneUploader.upload(scene, use_ray_tracing=False)
+        settings = RenderSettings(
+            width=16, height=16, max_depth=1, tile_size=256,
+            intersector="bruteforce",
+        )
+        film = Film.create(16, 16)
+        film, _ = render_frame(dev, None, Uniforms.default(), film, 0, settings)
+        alb = np.asarray(film.albedo)
+        hitpx = alb[..., 0] > 0.3
+        assert hitpx.any()
+        # red tint: green/blue channels collapse where the tri is visible
+        assert float(alb[hitpx][:, 1].max()) < 0.05
