@@ -154,8 +154,8 @@ class Film:
 
 
 _BACKENDS = (
-    "auto", "matrix", "traverse", "expand", "cluster", "pallas",
-    "bruteforce", "bvh", "legacy",
+    "auto", "matrix", "grouped", "traverse", "expand", "cluster",
+    "pallas", "bruteforce", "bvh", "legacy",
 )
 
 
@@ -218,13 +218,20 @@ def _sorted_dispatch(scene, o, d, settings, t_max, query):
 def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
     g = scene.geometry
     backend = _backend(settings, scene)
-    if backend == "matrix":
-        from ..ops.traverse import intersect_matrix, matrix_query
+    if backend in ("matrix", "grouped"):
+        from ..ops.traverse import (
+            intersect_grouped, intersect_matrix, matrix_query,
+        )
 
         if settings.sort_rays:
             # matrix_query fuses the coherence sort via lax.sort payload
             # columns (row gathers measured ~4x the sort itself on TPU).
             return matrix_query(
+                o, d, g, t_max=t_max, interpret=settings.interpret_pallas,
+                kernel=backend,
+            )
+        if backend == "grouped":
+            return intersect_grouped(
                 o, d, g, t_max=t_max, interpret=settings.interpret_pallas
             )
         return intersect_matrix(
@@ -294,12 +301,20 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
 def _occluded(scene, o, d, t_far, settings: RenderSettings):
     g = scene.geometry
     backend = _backend(settings, scene)
-    if backend == "matrix":
-        from ..ops.traverse import intersect_matrix, matrix_query
+    if backend in ("matrix", "grouped"):
+        from ..ops.traverse import (
+            intersect_grouped, intersect_matrix, matrix_query,
+        )
 
         tf = t_far * (1.0 - 1e-4)
         if settings.sort_rays:
             return matrix_query(
+                o, d, g, t_max=tf,
+                interpret=settings.interpret_pallas, any_hit=True,
+                kernel=backend,
+            ).tri >= 0
+        if backend == "grouped":
+            return intersect_grouped(
                 o, d, g, t_max=tf,
                 interpret=settings.interpret_pallas, any_hit=True,
             ).tri >= 0

@@ -53,10 +53,15 @@ class BVH:
 
 
 def build_bvh(geometry) -> BVH:
-    """Median-split build on the host over world-space triangles."""
-    v0 = np.asarray(geometry.tri_v0)[: geometry.num_triangles]
-    e1 = np.asarray(geometry.tri_e1)[: geometry.num_triangles]
-    e2 = np.asarray(geometry.tri_e2)[: geometry.num_triangles]
+    """Median-split build on the host over world-space triangles.
+
+    Selects real triangles by mask (padding slots may be interior under
+    the SAH cluster layout, see ops/sahbuild.py); `tri_order` carries
+    device-slot indices so leaf gathers hit the right geometry rows."""
+    slot = np.nonzero(np.asarray(geometry.tri_mat) >= 0)[0].astype(np.int32)
+    v0 = np.asarray(geometry.tri_v0)[slot]
+    e1 = np.asarray(geometry.tri_e1)[slot]
+    e2 = np.asarray(geometry.tri_e2)[slot]
     n = v0.shape[0]
     v1, v2 = v0 + e1, v0 + e2
     tmin = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
@@ -115,8 +120,9 @@ def build_bvh(geometry) -> BVH:
         stack2.append(i)
     skip = (np.arange(m) + sizes).astype(np.int32)
 
-    # Pad tri_order so leaf gathers of LEAF_SIZE never go out of bounds.
-    order_pad = np.concatenate([order, np.zeros(LEAF_SIZE, np.int32)])
+    # Map to device slots; pad so leaf gathers of LEAF_SIZE never go
+    # out of bounds.
+    order_pad = np.concatenate([slot[order], np.zeros(LEAF_SIZE, np.int32)])
     return BVH(
         node_min=jnp.asarray(node_min),
         node_max=jnp.asarray(node_max),

@@ -42,6 +42,7 @@ against brute force with K forced tiny).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -537,7 +538,7 @@ def _matrix_traverse(
     keys, tri_smem, sem,
     any_hit: bool,
 ):
-    bs = MATRIX_SUBLANES
+    bs = ox.shape[0]  # tile height (intersect_matrix adapts it to C)
     inf_key = jnp.int32(_INF_KEY)
     t_out[:] = tmax[:]
     tri_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
@@ -701,14 +702,16 @@ def intersect_matrix(
     interpret: bool = False,
     with_stats: bool = False,
     any_hit: bool = False,
-    subs: int = 2,
+    subs: int = 1,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
     `subs` splits each 128-triangle DMA chunk into finer traversal
-    clusters (64-tri AABBs by default): tighter entry distances, fewer
-    false in_run lanes, and half the Moller-Trumbore iterations per
-    run, at the cost of a 2x taller key matrix. The fine AABBs are a
+    clusters: tighter entry distances, fewer false in_run lanes, and
+    fewer Moller-Trumbore iterations per run, at the cost of a taller
+    key matrix (which also shrinks the adaptive tile height below).
+    With the binned-SAH cluster layout (ops/sahbuild.py) the chunk
+    AABBs are already tight, so subs=1 is the default. The fine AABBs are a
     cheap reshape-reduce over the (already Morton-ordered) triangle
     soup, so no upload-side table change is needed.
 
@@ -740,7 +743,16 @@ def intersect_matrix(
     else:
         tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
 
-    n_pad = -(-n // MATRIX_BLOCK) * MATRIX_BLOCK
+    # Tile height adapts to the cluster count: the per-tile key matrix
+    # is (c * bs, LANES) i32 scratch and Mosaic's scoped-VMEM budget is
+    # 16 MB — cap the keys at 8 MB and shrink the tile for big scenes
+    # (wider tiles only amortize per-run fixed costs, so halving is a
+    # mild cost; a VMEM OOM is not).
+    bs = MATRIX_SUBLANES
+    while bs > 8 and c * bs * LANES * 4 > 8 * 2**20:
+        bs //= 2
+    block = bs * LANES
+    n_pad = -(-n // block) * block
     if n_pad != n:
         pad = n_pad - n
         o = jnp.pad(o, ((0, pad), (0, 0)))
@@ -749,7 +761,7 @@ def intersect_matrix(
     else:
         tm_p = tm
 
-    nb = n_pad // MATRIX_BLOCK
+    nb = n_pad // block
     shape2 = (n_pad // LANES, LANES)
 
     def comp(a):
@@ -763,7 +775,7 @@ def intersect_matrix(
         (c_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     ray_spec = pl.BlockSpec(
-        (MATRIX_SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (bs, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     tri_spec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -784,7 +796,7 @@ def intersect_matrix(
             out_struct(shape2, jnp.int32, comp(tm_p)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c * MATRIX_SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((c * bs, LANES), jnp.int32),
             pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -806,7 +818,7 @@ def intersect_matrix(
         v=v_b.reshape(-1)[:n],
     )
     if with_stats:
-        return hit, runs_b.reshape(nb, MATRIX_BLOCK)[:, 0]
+        return hit, runs_b.reshape(nb, block)[:, 0]
     return hit
 
 
@@ -820,6 +832,425 @@ def occluded_matrix(o, d, t_far, geometry, interpret: bool = False):
     )
     return hit.tri >= 0
 
+
+# ---------------------------------------------------------------------------
+# Grouped MXU traversal: Moller-Trumbore as a matmul over a static grid.
+#
+# The four MT determinants are scalar triple products that factor into
+# dot products of per-RAY features against per-TRIANGLE coefficient
+# vectors (relative to the chunk's AABB center cc for conditioning):
+#
+#   o' = o - cc,  w' = (o x d) - cc x d,  F = [o'(3), d(3), w'(3), 1]
+#   n = e1 x e2, c0 = v0'.n, c1 = e2 x v0', c2 = v0' x e1   (per tri)
+#
+#   det   = -d.n                 u_num = w'.e2 - d.c1
+#   v_num = -w'.e1 - d.c2        t_num = o'.n - c0
+#
+# so ONE (16,512)^T x (16,128) MXU matmul tests a 128-triangle chunk
+# against a 128-ray group, replacing the ~65-VPU-op/pair sequential
+# loop of the block kernel. Work selection happens entirely in XLA:
+# rays are cut into 128-ray groups, a dense slab sweep + top_k yields
+# each group's candidate chunks ordered by entry distance, and the
+# flattened (group, chunk) pairs become a STATIC Pallas grid with
+# scalar-prefetch indexing — no in-kernel while_loop, no dynamic row
+# loops, nothing that defeats Mosaic's pipelining (a previous
+# while-loop variant of this kernel measured ~90 ns of serial latency
+# per dynamically-addressed row step; the static grid amortizes it).
+# Blocks are ordered (slot, chunk)-major so consecutive grid steps
+# reuse the same coefficient block's VMEM copy (Pallas skips the DMA
+# when the index map repeats) and capacity truncation drops the
+# farthest candidates first. Truncated or overflowed groups fall back
+# to the exact block kernel with t_max preset to their current best
+# hit (lax.cond — free when nothing overflowed), so the result is
+# exact: tests force tiny caps and compare against brute force.
+# ---------------------------------------------------------------------------
+
+GROUP = LANES             # rays per group = one lane row
+_MM_COLS = 4 * TRI_CHUNK  # [det | u_num | v_num | t_num] x 128 tris
+# Mosaic supports DEFAULT (single-pass bf16) or HIGHEST (fp32 contract)
+# only; bf16 is too coarse for hit decisions, so fp32 it is.
+_MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def mm_table(geometry, cmin, cmax):
+    """Per-chunk MT coefficient blocks (C, 16, 4*TRI_CHUNK).
+
+    Columns hold [det | u_num | v_num | t_num] x TRI_CHUNK, built from
+    triangles re-centered at their chunk's AABB center (the kernel
+    subtracts the identical f32 center, 0.5*(cmin+cmax), from the ray
+    features). Cheap O(T) fused jnp, so it is rebuilt per query and
+    always consistent with refit/deformed geometry. Padding triangles
+    (e1 = e2 = 0) produce all-zero columns -> det 0 -> never valid."""
+    c = geometry.tri_packed.shape[0]
+    cc = 0.5 * (cmin + cmax)  # (C, 3)
+    v0 = geometry.tri_v0.reshape(c, TRI_CHUNK, 3) - cc[:, None, :]
+    e1 = geometry.tri_e1.reshape(c, TRI_CHUNK, 3)
+    e2 = geometry.tri_e2.reshape(c, TRI_CHUNK, 3)
+    n = jnp.cross(e1, e2)
+    c0 = jnp.sum(v0 * n, axis=-1)
+    c1 = jnp.cross(e2, v0)
+    c2 = jnp.cross(v0, e1)
+
+    def t(a):  # (C, T, 3) -> (C, 3, T)
+        return a.transpose(0, 2, 1)
+
+    g = jnp.zeros((c, 16, 4, TRI_CHUNK), jnp.float32)
+    g = g.at[:, 3:6, 0].set(t(-n))        # det   = -d.n
+    g = g.at[:, 3:6, 1].set(t(-c1))       # u_num = w'.e2 - d.c1
+    g = g.at[:, 6:9, 1].set(t(e2))
+    g = g.at[:, 3:6, 2].set(t(-c2))       # v_num = -w'.e1 - d.c2
+    g = g.at[:, 6:9, 2].set(t(-e1))
+    g = g.at[:, 0:3, 3].set(t(n))         # t_num = o'.n - c0
+    g = g.at[:, 9, 3].set(-c0)
+    return g.reshape(c, 16, _MM_COLS)
+
+
+def _group_candidates(o, d, tm, cluster_min, cluster_max, k: int):
+    """Per-128-ray-group candidate chunks ordered by entry distance.
+
+    Returns (ids (G, K) i32 with C as empty-slot sentinel,
+    tns (G, K) f32 kept entry distances ascending (INF pad), usz (G,)
+    i32 — true union size). Group entry distance = min over the
+    group's rays of the per-ray slab entry tn, so every chunk the
+    group does NOT test sits at a distance >= the relevant kept bound
+    for EVERY ray in the group (the fallback bound in
+    intersect_grouped)."""
+    n = o.shape[0]
+    c = cluster_min.shape[0]
+    g_total = n // GROUP
+    safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d)
+    inv = 1.0 / safe_d
+    groups_per_chunk = math.gcd(g_total, 64)
+    rc = groups_per_chunk * GROUP
+    chunks = n // rc
+
+    def per(args):
+        oc, ic, tc = args
+        t0 = (cluster_min[None] - oc[:, None]) * ic[:, None]
+        t1 = (cluster_max[None] - oc[:, None]) * ic[:, None]
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (
+            (tn <= tf) & (tf > 0.0)
+            & (tn < tc[:, None]) & (tc[:, None] > 0.0)
+        )
+        key = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.float32(_INF))
+        return key.reshape(groups_per_chunk, GROUP, c).min(axis=1)
+
+    tn_g = jax.lax.map(
+        per,
+        (
+            o.reshape(chunks, rc, 3),
+            inv.reshape(chunks, rc, 3),
+            tm.reshape(chunks, rc),
+        ),
+    ).reshape(g_total, c)
+    usz = jnp.sum((tn_g < _INF).astype(jnp.int32), axis=1)
+    neg, idx = jax.lax.top_k(-tn_g, k)   # k smallest tn first
+    valid = neg > jnp.float32(-_INF)
+    ids = jnp.where(valid, idx.astype(jnp.int32), jnp.int32(c))
+    tns = jnp.where(valid, -neg, jnp.float32(_INF))
+    return ids, tns, usz
+
+
+def _make_grouped_kernel(any_hit: bool, k: int):
+    return functools.partial(_grouped_kernel_body, any_hit, k)
+
+
+def _grouped_kernel_body(
+    any_hit, k,
+    cnt_ref, ids_ref, tnb_ref,   # SMEM prefetch: (G,), (G*K,), (G*K,)
+    f_ref,                # VMEM (16, GROUP) ray features (this group)
+    mm_hbm,               # ANY (C, 16, 4*TRI_CHUNK) coefficient blocks
+    t_out, tri_out, u_out, v_out,   # VMEM (1, 8, GROUP), row 0 used
+    bmat,                 # scratch VMEM (16, GROUP)
+    buf2,                 # scratch VMEM (2, 16, 4*TRI_CHUNK)
+    sems,                 # (2,) DMA semaphores
+):
+    g = pl.program_id(0)
+    base = g * k
+    kg = cnt_ref[g]
+    inf = jnp.float32(_INF)
+    raw = f_ref[:]
+    dx = raw[3:4, :]
+    dy = raw[4:5, :]
+    dz = raw[5:6, :]
+    t_cur = raw[10:11, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, GROUP), 0)
+
+    def start_dma(j):
+        slot = jax.lax.rem(j, 2)
+        c = ids_ref[base + j]
+        pltpu.make_async_copy(
+            mm_hbm.at[c], buf2.at[slot], sems.at[slot]
+        ).start()
+
+    @pl.when(kg > 0)
+    def _prime():
+        start_dma(0)
+
+    def cond(carry):
+        j, t_acc, tri_acc, u_acc, v_acc = carry
+        # Entries ascend in tn: once every lane's best is at or inside
+        # the next entry distance, later chunks cannot improve it.
+        tn_next = jax.lax.bitcast_convert_type(
+            tnb_ref[base + jnp.minimum(j, k - 1)], jnp.float32
+        )
+        return (j < kg) & jnp.any(t_acc > tn_next)
+
+    def body(carry):
+        j, t_acc, tri_acc, u_acc, v_acc = carry
+        slot = jax.lax.rem(j, 2)
+        c = ids_ref[base + j]
+        pltpu.make_async_copy(
+            mm_hbm.at[c], buf2.at[slot], sems.at[slot]
+        ).wait()
+
+        @pl.when(j + 1 < kg)
+        def _prefetch():
+            start_dma(j + 1)
+
+        gbuf = buf2[slot]
+        # chunk center rides rows 10-12 of the coefficient block
+        ccx = gbuf[10:11, 0:GROUP]
+        ccy = gbuf[11:12, 0:GROUP]
+        ccz = gbuf[12:13, 0:GROUP]
+        bmat[:] = raw
+        bmat[0:1, :] = raw[0:1, :] - ccx
+        bmat[1:2, :] = raw[1:2, :] - ccy
+        bmat[2:3, :] = raw[2:3, :] - ccz
+        bmat[6:7, :] = raw[6:7, :] - (ccy * dz - ccz * dy)
+        bmat[7:8, :] = raw[7:8, :] - (ccz * dx - ccx * dz)
+        bmat[8:9, :] = raw[8:9, :] - (ccx * dy - ccy * dx)
+        bmat[10:16, :] = jnp.zeros((6, GROUP), jnp.float32)
+        res = jax.lax.dot_general(
+            gbuf, bmat[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_MM_PRECISION,
+        )  # (4*TRI_CHUNK, GROUP): [det | u_num | v_num | t_num] stacks
+        det = res[0 * TRI_CHUNK : 1 * TRI_CHUNK, :]
+        un = res[1 * TRI_CHUNK : 2 * TRI_CHUNK, :]
+        vn = res[2 * TRI_CHUNK : 3 * TRI_CHUNK, :]
+        tnm = res[3 * TRI_CHUNK : 4 * TRI_CHUNK, :]
+        sg = jnp.where(det >= 0.0, 1.0, -1.0)
+        adet = det * sg
+        us = un * sg
+        vs_ = vn * sg
+        inv_det = 1.0 / jnp.where(adet > _EPS, det, 1.0)
+        tt = tnm * inv_det
+        valid = (
+            (adet > _EPS)
+            & (us >= 0.0)
+            & (vs_ >= 0.0)
+            & (us + vs_ <= adet)
+            & (tt > _T_MIN)
+            & (tt < t_cur)
+        )
+        if any_hit:
+            blocked = jnp.any(valid, axis=0, keepdims=True)
+            t_new = jnp.where(blocked, 0.0, inf)
+            tri_new = jnp.where(blocked, c * TRI_CHUNK, -1)
+            u_new = jnp.zeros((1, GROUP), jnp.float32)
+            v_new = u_new
+        else:
+            tinf = jnp.where(valid, tt, inf)
+            t_new = jnp.min(tinf, axis=0, keepdims=True)
+            cand = valid & (tt == t_new)
+            win = jnp.min(
+                jnp.where(cand, rows, jnp.int32(TRI_CHUNK)),
+                axis=0, keepdims=True,
+            )
+            onehot = cand & (rows == win)
+            tri_new = jnp.where(
+                t_new < inf, c * TRI_CHUNK + win, -1
+            )
+            u_new = jnp.sum(
+                jnp.where(onehot, un * inv_det, 0.0),
+                axis=0, keepdims=True,
+            )
+            v_new = jnp.sum(
+                jnp.where(onehot, vn * inv_det, 0.0),
+                axis=0, keepdims=True,
+            )
+        # lexicographic (t, tri) min — brute-force tie parity
+        take = (t_new < t_acc) | (
+            (t_new == t_acc) & (tri_new >= 0)
+            & ((tri_new < tri_acc) | (tri_acc < 0))
+        )
+        return (
+            j + 1,
+            jnp.where(take, t_new, t_acc),
+            jnp.where(take, tri_new, tri_acc),
+            jnp.where(take, u_new, u_acc),
+            jnp.where(take, v_new, v_acc),
+        )
+
+    init = (
+        jnp.int32(0),
+        jnp.full((1, GROUP), inf, jnp.float32),
+        jnp.full((1, GROUP), -1, jnp.int32),
+        jnp.zeros((1, GROUP), jnp.float32),
+        jnp.zeros((1, GROUP), jnp.float32),
+    )
+    _, t_acc, tri_acc, u_acc, v_acc = jax.lax.while_loop(cond, body, init)
+    t_out[0, 0:1, :] = t_acc
+    tri_out[0, 0:1, :] = tri_acc
+    u_out[0, 0:1, :] = u_acc
+    v_out[0, 0:1, :] = v_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "any_hit", "k_cap", "with_stats"),
+)
+def intersect_grouped(
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    geometry,
+    t_max=None,
+    interpret: bool = False,
+    any_hit: bool = False,
+    k_cap: int = 32,
+    with_stats: bool = False,
+) -> Hit:
+    """Exact closest hit via the grouped MXU traversal (banner above).
+
+    `k_cap` bounds each group's candidate list. The cap is safe:
+    groups whose union overflowed re-run through intersect_matrix with
+    t_max preset to their current best, which costs only that kernel's
+    AABB sweep when nothing actually overflowed (and the lax.cond skips
+    even that when no group overflows)."""
+    n = o.shape[0]
+    c = geometry.tri_packed.shape[0]
+    k = min(k_cap, c)
+    if t_max is None:
+        tm = varying_like(o[:, 0], 0.0) + T_MAX
+    else:
+        tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+
+    n_pad = -(-n // GROUP) * GROUP
+    if n_pad != n:
+        pad = n_pad - n
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        tm_p = jnp.pad(tm, (0, pad))
+    else:
+        tm_p = tm
+    g_total = n_pad // GROUP
+
+    cmin, cmax = geometry.cluster_min, geometry.cluster_max
+    ids, tns, usz = _group_candidates(o, d, tm_p, cmin, cmax, k)
+    counts = jnp.minimum(usz, k)
+    ids_flat = jnp.minimum(ids.reshape(-1), c - 1)  # clamp sentinels
+    tnb_flat = jax.lax.bitcast_convert_type(tns.reshape(-1), jnp.int32)
+
+    # Ray features, rows [o(3), d(3), o x d(3), 1, t_max, 0 x 5].
+    w = jnp.cross(o, d)
+    feat = jnp.concatenate(
+        [
+            o.T, d.T, w.T,
+            jnp.ones((1, n_pad), jnp.float32),
+            tm_p[None, :],
+            jnp.zeros((5, n_pad), jnp.float32),
+        ],
+        axis=0,
+    )
+    mm = mm_table(geometry, cmin, cmax)
+    # chunk centers ride rows 10-12 (broadcast) so the kernel needs no
+    # second lookup stream; the feature side zeroes those rows.
+    cc = 0.5 * (cmin + cmax)  # identical f32 arithmetic to mm_table
+    mm = mm.at[:, 10:13, :].set(
+        jnp.broadcast_to(cc[:, :, None], (c, 3, _MM_COLS))
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(g_total,),
+        in_specs=[
+            pl.BlockSpec(
+                (16, GROUP), lambda i, cnt_, ids_, tnb_: (0, i)
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            # Mosaic wants >=8-divisible sublane blocks: one (8, GROUP)
+            # row-block per group, row 0 carries the result.
+            pl.BlockSpec(
+                (1, 8, GROUP), lambda i, cnt_, ids_, tnb_: (i, 0, 0)
+            )
+        ] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((16, GROUP), jnp.float32),
+            pltpu.VMEM((2, 16, _MM_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    t_b, tri_b, u_b, v_b = pl.pallas_call(
+        _make_grouped_kernel(any_hit, k),
+        grid_spec=grid_spec,
+        out_shape=[
+            out_struct((g_total, 8, GROUP), jnp.float32, tm_p),
+            out_struct((g_total, 8, GROUP), jnp.int32, tm_p),
+            out_struct((g_total, 8, GROUP), jnp.float32, tm_p),
+            out_struct((g_total, 8, GROUP), jnp.float32, tm_p),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(counts, ids_flat, tnb_flat, feat, mm)
+
+    t_acc = t_b[:, 0, :]
+    tri_fin = tri_b[:, 0, :].reshape(-1)
+    u_fin = u_b[:, 0, :].reshape(-1)
+    v_fin = v_b[:, 0, :].reshape(-1)
+    found = t_acc < _INF
+    tm_g = tm_p.reshape(g_total, GROUP)
+    t_fin = jnp.where(found, t_acc, tm_g).reshape(-1)
+
+    # Fallback for top_k-truncated unions: every untested chunk sits at
+    # group entry distance >= the K-th kept one for EVERY ray of the
+    # group, so only rays whose current best lies beyond that bound can
+    # change. lax.cond skips the whole fallback kernel when no group
+    # overflowed.
+    bound = jnp.where(usz > k, tns[:, -1], jnp.float32(_INF))
+    need = t_fin > jnp.repeat(bound, GROUP)
+    t_lim = jnp.where(need, t_fin, 0.0)
+
+    def run_fb(_):
+        return intersect_matrix(
+            o, d, geometry, t_max=t_lim,
+            interpret=interpret, any_hit=any_hit,
+        )
+
+    def no_fb(_):
+        return Hit(
+            t=jnp.zeros_like(t_lim),
+            tri=jnp.full((n_pad,), -1, jnp.int32),
+            u=jnp.zeros_like(t_lim),
+            v=jnp.zeros_like(t_lim),
+        )
+
+    fb = jax.lax.cond(jnp.any(need), run_fb, no_fb, 0)
+    closer = need & (fb.tri >= 0) & (fb.t < t_fin)
+    hit = Hit(
+        t=jnp.where(closer, fb.t, t_fin)[:n],
+        tri=jnp.where(closer, fb.tri, tri_fin)[:n],
+        u=jnp.where(closer, fb.u, u_fin)[:n],
+        v=jnp.where(closer, fb.v, v_fin)[:n],
+    )
+    if with_stats:
+        return hit, usz
+    return hit
+
+
+def occluded_grouped(o, d, t_far, geometry, interpret: bool = False):
+    """Any-hit wrapper over intersect_grouped (shadow rays)."""
+    hit = intersect_grouped(
+        o, d, geometry, t_max=t_far, interpret=interpret, any_hit=True
+    )
+    return hit.tri >= 0
 
 def _coherence_key(o, d, t_max, cluster_min, cluster_max):
     """Octant + origin-Morton-cell coherence key (compaction.sort_rays
@@ -844,18 +1275,21 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "any_hit", "subs")
+    jax.jit, static_argnames=("interpret", "any_hit", "subs", "kernel")
 )
 def matrix_query(
     o, d, geometry, t_max=None,
     interpret: bool = False, any_hit: bool = False, subs: int = 1,
+    kernel: str = "matrix",
 ) -> Hit:
-    """Coherence-sorted matrix traversal with FUSED payload sorts.
+    """Coherence-sorted traversal with FUSED payload sorts.
 
     jnp.take row gathers measured ~6 ms for 64k x 7 columns on TPU
     (element-wise), while lax.sort carrying the payload costs ~1.5 ms —
     so both the sort-in and the unsort ride lax.sort directly and no
-    gather ever happens."""
+    gather ever happens. `kernel` picks the tile walker: "matrix" (the
+    in-kernel selection loop) or "grouped" (the static-grid MXU
+    traversal — the sort is what makes its 128-ray groups tight)."""
     n = o.shape[0]
     if t_max is None:
         tm = varying_like(o[:, 0], 0.0) + T_MAX
@@ -867,12 +1301,18 @@ def matrix_query(
         (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tm, idx),
         num_keys=1,
     )
-    hit = intersect_matrix(
-        jnp.stack([o0, o1, o2], axis=1),
-        jnp.stack([d0, d1, d2], axis=1),
-        geometry, t_max=tm_s, interpret=interpret, any_hit=any_hit,
-        subs=subs,
-    )
+    o_s = jnp.stack([o0, o1, o2], axis=1)
+    d_s = jnp.stack([d0, d1, d2], axis=1)
+    if kernel == "grouped":
+        hit = intersect_grouped(
+            o_s, d_s, geometry, t_max=tm_s, interpret=interpret,
+            any_hit=any_hit,
+        )
+    else:
+        hit = intersect_matrix(
+            o_s, d_s, geometry, t_max=tm_s, interpret=interpret,
+            any_hit=any_hit, subs=subs,
+        )
     (_, t_o, tri_o, u_o, v_o) = jax.lax.sort(
         (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1
     )

@@ -376,7 +376,6 @@ class SceneUploader:
         e1 = np.concatenate(e1s).astype(np.float32)
         e2 = np.concatenate(e2s).astype(np.float32)
         n_tris = v0.shape[0]
-        total = -(-n_tris // TRI_PAD) * TRI_PAD
         # Padding triangles: far away and degenerate so they never hit.
         far = np.float32(3.0e37)
 
@@ -385,26 +384,48 @@ class SceneUploader:
         mat = np.concatenate(mats)
         prim = np.concatenate(prims)
 
-        # Morton-order the triangle soup so each TRI_PAD chunk is a
-        # spatially coherent *cluster* — the unit of the streaming
-        # intersector's AABB culling (ops/cluster.py). Replaces the
-        # spatial role of per-primitive BLAS ordering.
-        from ...ops.morton import morton3d_np
+        # Cluster layout: each TRI_PAD block of the device soup is one
+        # spatially tight *cluster* — the unit of the streaming
+        # intersectors' AABB culling (ops/cluster.py, ops/traverse.py).
+        # Large scenes get ragged binned-SAH leaves (interior padding
+        # slots; see ops/sahbuild.py for the measured 3.4x pair cut);
+        # small scenes keep the tail-padded Morton order the SMEM
+        # brute-force path's `num_real` prefix trim relies on. `slots`
+        # maps device slot -> enumeration-order triangle (-1 = padding).
+        from ...ops.sahbuild import SAH_MIN_TRIS, sah_slot_map
 
-        centroid = v0 + (e1 + e2) / 3.0
-        scene_min = centroid.min(axis=0)
-        scene_max = centroid.max(axis=0)
-        order = np.argsort(
-            morton3d_np(centroid, scene_min, scene_max), kind="stable"
-        )
-        v0, e1, e2 = v0[order], e1[order], e2[order]
-        nrm, uv, mat, prim = nrm[order], uv[order], mat[order], prim[order]
+        tri_lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+        tri_hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+        if n_tris > SAH_MIN_TRIS:
+            slots = sah_slot_map(tri_lo, tri_hi, TRI_PAD)
+        else:
+            from ...ops.morton import morton3d_np
+
+            centroid = v0 + (e1 + e2) / 3.0
+            order = np.argsort(
+                morton3d_np(centroid, centroid.min(axis=0),
+                            centroid.max(axis=0)),
+                kind="stable",
+            ).astype(np.int64)
+            tail = -(-n_tris // TRI_PAD) * TRI_PAD - n_tris
+            slots = np.concatenate([order, np.full(tail, -1, np.int64)])
+        total = slots.shape[0]
+        gather = np.maximum(slots, 0)
+        real = slots >= 0
+
+        def take(arr, pad_value):
+            """arr (n_tris, ...) in enumeration order -> (total, ...)
+            in cluster-slot order with `pad_value` in padding slots."""
+            out = arr[gather]
+            out[~real] = pad_value
+            return out
+
         ng = np.cross(e1, e2)
         ng_len = np.linalg.norm(ng, axis=1, keepdims=True)
         ng = np.where(
             ng_len > 0, ng / np.maximum(ng_len, 1e-30), ng
         ).astype(np.float32)
-        tan = np.concatenate(ts).astype(np.float32)[order]
+        tan = np.concatenate(ts).astype(np.float32)
         # Vertex colors widen the packed shade row from 32 to 48 columns
         # ([32:41] = per-corner RGB); scenes without COLOR_0 keep the
         # narrow table so the per-hit row gather stays cheap (the shade
@@ -412,7 +433,7 @@ class SceneUploader:
         width = 48 if any_vc else 32
         shade = np.zeros((n_tris, width), np.float32)
         if any_vc:
-            vc_all = np.concatenate(vcs).astype(np.float32)[order]
+            vc_all = np.concatenate(vcs).astype(np.float32)
             shade[:, 32:41] = vc_all.reshape(n_tris, 9)
         shade[:, 0:9] = nrm.reshape(n_tris, 9)
         shade[:, 9:15] = uv.reshape(n_tris, 6)
@@ -431,22 +452,21 @@ class SceneUploader:
         shade[:, 29] = np.sqrt(
             uv_area / np.maximum(world_area, 1e-12)
         ).astype(np.float32)
-        # [30] pre-Morton (enumeration-order) triangle index, for host
-        # tables built in (node, primitive) order (e.g. meshlet ids).
-        shade[:, 30] = order.astype(np.float32)
+        # [30] enumeration-order triangle index, for host tables built
+        # in (node, primitive) order (e.g. meshlet ids).
+        shade[:, 30] = np.arange(n_tris, dtype=np.float32)
 
-        # Cluster AABBs + packed geometry blocks over the padded soup.
-        v0p = pad_rows(v0, total, far)
-        e1p = pad_rows(e1, total, 0)
-        e2p = pad_rows(e2, total, 0)
+        # Cluster AABBs + packed geometry blocks over the slotted soup.
+        v0p = take(v0, far)
+        e1p = take(e1, 0)
+        e2p = take(e2, 0)
         from ...ops.cluster import SUB_CLUSTER
 
         n_clusters = total // TRI_PAD
         t_min = np.minimum(np.minimum(v0p, v0p + e1p), v0p + e2p)
         t_max = np.maximum(np.maximum(v0p, v0p + e1p), v0p + e2p)
-        real = (np.arange(total) < n_tris)[:, None]
-        t_min = np.where(real, t_min, np.float32(np.inf))
-        t_max = np.where(real, t_max, np.float32(-np.inf))
+        t_min = np.where(real[:, None], t_min, np.float32(np.inf))
+        t_max = np.where(real[:, None], t_max, np.float32(-np.inf))
         # AABBs at sub-cluster granularity (SUB_CLUSTER triangles): finer
         # boxes -> fewer leaf visits, while DMA stays at TRI_PAD blocks.
         n_sub = total // SUB_CLUSTER
@@ -465,20 +485,20 @@ class SceneUploader:
         tri_packed[:, 6:9] = e2p.reshape(n_clusters, TRI_PAD, 3).transpose(0, 2, 1)
 
         return DeviceGeometry(
-            shade_table=jnp.asarray(pad_rows(shade, total, 0)),
+            shade_table=jnp.asarray(take(shade, 0)),
             cluster_min=jnp.asarray(cluster_min.astype(np.float32)),
             cluster_max=jnp.asarray(cluster_max.astype(np.float32)),
             tri_packed=jnp.asarray(tri_packed),
-            tri_v0=jnp.asarray(pad_rows(v0, total, far)),
-            tri_e1=jnp.asarray(pad_rows(e1, total, 0)),
-            tri_e2=jnp.asarray(pad_rows(e2, total, 0)),
-            # NOTE: all attribute arrays carry the same Morton ordering
-            # as tri_v0/e1/e2 (a mismatch here silently mis-shades).
-            normals=jnp.asarray(pad_rows(nrm, total, 0)),
-            tangents=jnp.asarray(pad_rows(tan, total, 0)),
-            uvs=jnp.asarray(pad_rows(uv, total, 0)),
-            tri_mat=jnp.asarray(pad_rows(mat, total, -1)),
-            tri_prim=jnp.asarray(pad_rows(prim, total, -1)),
+            tri_v0=jnp.asarray(v0p),
+            tri_e1=jnp.asarray(e1p),
+            tri_e2=jnp.asarray(e2p),
+            # NOTE: all attribute arrays carry the same cluster-slot
+            # ordering as tri_v0/e1/e2 (a mismatch silently mis-shades).
+            normals=jnp.asarray(take(nrm, 0)),
+            tangents=jnp.asarray(take(tan, 0)),
+            uvs=jnp.asarray(take(uv, 0)),
+            tri_mat=jnp.asarray(take(mat, -1)),
+            tri_prim=jnp.asarray(take(prim, -1)),
             num_triangles=n_tris,
             num_primitives=prim_id,
         )

@@ -122,3 +122,72 @@ class TestMatrix:
             o, d, g, t_max=jnp.zeros((256,)), interpret=True
         )
         assert (np.asarray(hit.tri) == -1).all()
+
+
+def _assert_hits_close(hit, bf):
+    """MXU-matmul parity: the fp32 MXU contraction rounds differently
+    from the VPU's sequential Moller-Trumbore, so t matches to ~1e-4
+    relative and tri may flip only between EQUAL-t candidates (shared
+    edges / coplanar surfaces)."""
+    tb = np.asarray(bf.t)
+    th = np.asarray(hit.t)
+    np.testing.assert_allclose(th, tb, rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(hit.tri) >= 0, np.asarray(bf.tri) >= 0
+    )
+    same = np.asarray(hit.tri) == np.asarray(bf.tri)
+    # any tri flip must be a near-tie in t
+    assert np.abs(th - tb)[~same].max(initial=0.0) < 2e-3
+    m = (np.asarray(bf.tri) >= 0) & same
+    np.testing.assert_allclose(np.asarray(hit.u)[m], np.asarray(bf.u)[m], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(hit.v)[m], np.asarray(bf.v)[m], atol=1e-3)
+
+
+class TestGrouped:
+    def test_exact_vs_bruteforce(self, geom, rs):
+        from hala_tpu.ops.traverse import intersect_grouped
+
+        g = geom
+        o, d = _rays(2048, rs)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128)
+        hit = intersect_grouped(o, d, g, interpret=True)
+        _assert_hits_close(hit, bf)
+
+    def test_tiny_caps_force_fallback(self, geom, rs):
+        """k_cap truncation must stay exact via the intersect_matrix
+        fallback (bound = nearest untested entry distance)."""
+        from hala_tpu.ops.traverse import intersect_grouped
+
+        g = geom
+        o, d = _rays(1024, rs)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128)
+        hit = intersect_grouped(
+            o, d, g, interpret=True, k_cap=3
+        )
+        _assert_hits_close(hit, bf)
+
+    def test_any_hit(self, geom, rs):
+        from hala_tpu.ops.intersect import occluded_bruteforce
+        from hala_tpu.ops.traverse import intersect_grouped
+
+        g = geom
+        o, d = _rays(512, rs)
+        tf = jnp.full((512,), 3.0)
+        bf = occluded_bruteforce(o, d, tf, g.tri_v0, g.tri_e1, g.tri_e2)
+        hit = intersect_grouped(
+            o, d, g, t_max=tf, interpret=True, any_hit=True
+        )
+        np.testing.assert_array_equal(np.asarray(hit.tri) >= 0, np.asarray(bf))
+
+    def test_ragged_n_and_dead_rays(self, geom, rs):
+        from hala_tpu.ops.traverse import intersect_grouped
+
+        g = geom
+        o, d = _rays(300, rs)  # not a multiple of GROUP
+        tm = jnp.where(jnp.arange(300) % 3 == 0, 0.0, T_MAX)
+        bf = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=tm, chunk=128
+        )
+        hit = intersect_grouped(o, d, g, t_max=tm, interpret=True)
+        _assert_hits_close(hit, bf)
+        assert (np.asarray(hit.tri)[::3] == -1).all()
