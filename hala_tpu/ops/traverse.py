@@ -993,10 +993,12 @@ def _grouped_kernel_body(
         j, t_acc, tri_acc, u_acc, v_acc = carry
         # Entries ascend in tn: once every lane's best is at or inside
         # the next entry distance, later chunks cannot improve it.
-        tn_next = jax.lax.bitcast_convert_type(
-            tnb_ref[base + jnp.minimum(j, k - 1)], jnp.float32
+        # Compare as i32 bit patterns (monotonic for non-negative f32;
+        # Mosaic has no scalar bitcast, so the scalar side stays i32).
+        t_bits = jax.lax.bitcast_convert_type(t_acc, jnp.int32)
+        return (j < kg) & jnp.any(
+            t_bits > tnb_ref[base + jnp.minimum(j, k - 1)]
         )
-        return (j < kg) & jnp.any(t_acc > tn_next)
 
     def body(carry):
         j, t_acc, tri_acc, u_acc, v_acc = carry
@@ -1093,7 +1095,18 @@ def _grouped_kernel_body(
         jnp.zeros((1, GROUP), jnp.float32),
         jnp.zeros((1, GROUP), jnp.float32),
     )
-    _, t_acc, tri_acc, u_acc, v_acc = jax.lax.while_loop(cond, body, init)
+    j_f, t_acc, tri_acc, u_acc, v_acc = jax.lax.while_loop(cond, body, init)
+
+    # The early exit can leave body j_f-1's optimistic prefetch of
+    # chunk j_f in flight; every started DMA must be waited before the
+    # kernel returns or the device aborts.
+    @pl.when(j_f < kg)
+    def _drain():
+        slot = jax.lax.rem(j_f, 2)
+        pltpu.make_async_copy(
+            mm_hbm.at[ids_ref[base + j_f]], buf2.at[slot], sems.at[slot]
+        ).wait()
+
     t_out[0, 0:1, :] = t_acc
     tri_out[0, 0:1, :] = tri_acc
     u_out[0, 0:1, :] = u_acc
