@@ -13,6 +13,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <algorithm>
 #include <cstring>
 #include <unordered_map>
 #include <vector>
@@ -187,4 +188,147 @@ void hala_morton3d(const float* points, int64_t n, const float* bmin,
   }
 }
 
+// Binned-SAH leaf partition — the native counterpart of
+// ops/sahbuild.sah_leaves (same split rule: longest centroid axis,
+// `bins` equal-width bins, argmin of the area*count cost with cost
+// accumulated in double exactly like numpy promotes f32*int64).
+// Outputs: leaf_sizes (<= n entries) and the concatenated leaf
+// triangle indices in DFS near-child-first order (out_order, n
+// entries). Returns the leaf count. Python assembles the padded slot
+// map; ops/sahbuild.py falls back to numpy when the .so is absent.
+int64_t hala_sah_slots(
+    const float* t_lo, const float* t_hi, int64_t n,
+    int32_t leaf_size, int32_t bins,
+    int64_t* out_order, int32_t* out_leaf_sizes) {
+  std::vector<float> cent(n * 3);
+  for (int64_t i = 0; i < n * 3; ++i)
+    cent[i] = 0.5f * (t_lo[i] + t_hi[i]);
+
+  std::vector<std::vector<int64_t>> stack;
+  {
+    std::vector<int64_t> all(n);
+    for (int64_t i = 0; i < n; ++i) all[i] = i;
+    stack.push_back(std::move(all));
+  }
+  int64_t n_leaves = 0, write = 0;
+  std::vector<float> bin_lo(bins * 3), bin_hi(bins * 3);
+  std::vector<int64_t> cnt(bins);
+  while (!stack.empty()) {
+    std::vector<int64_t> s = std::move(stack.back());
+    stack.pop_back();
+    const int64_t m = (int64_t)s.size();
+    if (m <= leaf_size) {
+      out_leaf_sizes[n_leaves++] = (int32_t)m;
+      for (int64_t i = 0; i < m; ++i) out_order[write++] = s[i];
+      continue;
+    }
+    float lo[3] = {3e38f, 3e38f, 3e38f}, hi[3] = {-3e38f, -3e38f, -3e38f};
+    for (int64_t i = 0; i < m; ++i)
+      for (int a = 0; a < 3; ++a) {
+        float c = cent[s[i] * 3 + a];
+        if (c < lo[a]) lo[a] = c;
+        if (c > hi[a]) hi[a] = c;
+      }
+    int ax = 0;
+    float ext = hi[0] - lo[0];
+    for (int a = 1; a < 3; ++a)
+      if (hi[a] - lo[a] > ext) { ext = hi[a] - lo[a]; ax = a; }
+    auto halve = [&](bool by_centroid) {
+      int64_t k = m / 2;
+      std::vector<int64_t> left(s.begin(), s.begin() + k);
+      std::vector<int64_t> right(s.begin() + k, s.end());
+      if (by_centroid) {
+        std::nth_element(
+            s.begin(), s.begin() + k, s.end(),
+            [&](int64_t a_, int64_t b_) {
+              return cent[a_ * 3 + ax] < cent[b_ * 3 + ax];
+            });
+        left.assign(s.begin(), s.begin() + k);
+        right.assign(s.begin() + k, s.end());
+      }
+      stack.push_back(std::move(right));
+      stack.push_back(std::move(left));
+    };
+    if (!(ext > 0.f)) { halve(false); continue; }
+    const float scale = (float)bins / ext;
+    for (int b = 0; b < bins; ++b) {
+      cnt[b] = 0;
+      for (int a = 0; a < 3; ++a) {
+        bin_lo[b * 3 + a] = 3e38f;
+        bin_hi[b * 3 + a] = -3e38f;
+      }
+    }
+    std::vector<int32_t> bidx(m);
+    for (int64_t i = 0; i < m; ++i) {
+      int64_t bi = (int64_t)((cent[s[i] * 3 + ax] - lo[ax]) * scale);
+      if (bi < 0) bi = 0;
+      if (bi > bins - 1) bi = bins - 1;
+      bidx[i] = (int32_t)bi;
+      ++cnt[bi];
+      for (int a = 0; a < 3; ++a) {
+        float vlo = t_lo[s[i] * 3 + a], vhi = t_hi[s[i] * 3 + a];
+        if (vlo < bin_lo[bi * 3 + a]) bin_lo[bi * 3 + a] = vlo;
+        if (vhi > bin_hi[bi * 3 + a]) bin_hi[bi * 3 + a] = vhi;
+      }
+    }
+    auto area = [](const float* alo, const float* ahi) {
+      float e[3];
+      for (int a = 0; a < 3; ++a) {
+        e[a] = ahi[a] - alo[a];
+        if (e[a] < 0.f) e[a] = 0.f;
+      }
+      return e[0] * e[1] + e[1] * e[2] + e[2] * e[0];
+    };
+    double best_cost = 1e300;
+    int best_cut = -1;
+    float pre_lo[3], pre_hi[3], suf_lo[48 * 3], suf_hi[48 * 3];
+    // suffix sweep (bins <= 48 supported; BINS default is 16)
+    for (int a = 0; a < 3; ++a) {
+      suf_lo[(bins - 1) * 3 + a] = bin_lo[(bins - 1) * 3 + a];
+      suf_hi[(bins - 1) * 3 + a] = bin_hi[(bins - 1) * 3 + a];
+    }
+    for (int b = bins - 2; b >= 0; --b)
+      for (int a = 0; a < 3; ++a) {
+        suf_lo[b * 3 + a] =
+            bin_lo[b * 3 + a] < suf_lo[(b + 1) * 3 + a]
+                ? bin_lo[b * 3 + a] : suf_lo[(b + 1) * 3 + a];
+        suf_hi[b * 3 + a] =
+            bin_hi[b * 3 + a] > suf_hi[(b + 1) * 3 + a]
+                ? bin_hi[b * 3 + a] : suf_hi[(b + 1) * 3 + a];
+      }
+    for (int a = 0; a < 3; ++a) {
+      pre_lo[a] = 3e38f;
+      pre_hi[a] = -3e38f;
+    }
+    int64_t n_left = 0;
+    for (int cut = 1; cut < bins; ++cut) {
+      const int b = cut - 1;
+      for (int a = 0; a < 3; ++a) {
+        if (bin_lo[b * 3 + a] < pre_lo[a]) pre_lo[a] = bin_lo[b * 3 + a];
+        if (bin_hi[b * 3 + a] > pre_hi[a]) pre_hi[a] = bin_hi[b * 3 + a];
+      }
+      n_left += cnt[b];
+      const int64_t n_right = m - n_left;
+      if (n_left == 0 || n_right == 0) continue;
+      double cost = (double)area(pre_lo, pre_hi) * (double)n_left +
+                    (double)area(&suf_lo[cut * 3], &suf_hi[cut * 3]) *
+                        (double)n_right;
+      if (cost < best_cost) {
+        best_cost = cost;
+        best_cut = cut;
+      }
+    }
+    if (best_cut < 0) { halve(true); continue; }
+    std::vector<int64_t> left, right;
+    left.reserve(m);
+    right.reserve(m);
+    for (int64_t i = 0; i < m; ++i)
+      (bidx[i] < best_cut ? left : right).push_back(s[i]);
+    stack.push_back(std::move(right));
+    stack.push_back(std::move(left));
+  }
+  return n_leaves;
+}
+
 }  // extern "C"
+

@@ -99,7 +99,23 @@ def sah_slot_map(t_lo, t_hi, chunk: int, bins: int = BINS) -> np.ndarray:
     """slot -> source triangle index map for the SAH cluster layout.
 
     Returns (C * chunk,) int64 where each SAH leaf occupies one chunk
-    block (leaf tris first, then -1 padding slots)."""
+    block (leaf tris first, then -1 padding slots). Uses the native C++
+    builder (hala_tpu/native) when available — identical split rule,
+    ~20x faster than the numpy ufunc.at path at scene scale."""
+    from ..native import sah_leaves_native
+
+    native = sah_leaves_native(t_lo, t_hi, chunk, bins)
+    if native is not None:
+        order, sizes = native
+        n_leaves = len(sizes)
+        slots = np.full(n_leaves * chunk, -1, np.int64)
+        starts = np.concatenate([[0], np.cumsum(sizes[:-1])]) if n_leaves \
+            else np.zeros(0, np.int64)
+        for i in range(n_leaves):
+            slots[i * chunk : i * chunk + sizes[i]] = (
+                order[starts[i] : starts[i] + sizes[i]]
+            )
+        return slots
     leaves = sah_leaves(t_lo, t_hi, chunk, bins)
     slots = np.full(len(leaves) * chunk, -1, np.int64)
     for i, leaf in enumerate(leaves):
