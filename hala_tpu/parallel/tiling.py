@@ -105,10 +105,15 @@ def render_frame_multichip(
         # type (free — a vma type cast): nested jitted kernels (the
         # Pallas query wrappers) lower as closed_call, and jax's
         # check_vma rejects mixed varying/replicated operands there.
-        pv = lambda t: jax.tree.map(lambda x: jax.lax.pvary(x, AXIS), t)
+        cast = (
+            (lambda x: jax.lax.pcast(x, AXIS, to="varying"))
+            if hasattr(jax.lax, "pcast")
+            else (lambda x: jax.lax.pvary(x, AXIS))
+        )
+        pv = lambda t: jax.tree.map(cast, t)
         scene_r, uniforms_r = pv(scene_r), pv(uniforms_r)
         env_r = pv(env_r) if env_r is not None else None
-        fidx = jax.lax.pvary(fidx, AXIS)
+        fidx = cast(fidx)
         row0 = jax.lax.axis_index(AXIS) * shard_h
         new_film, rays = render_frame(
             scene_r,

@@ -156,6 +156,21 @@ def test_sharded_matrix_intersector(cornell_device_scene):
     _assert_identical(*_run_pair(cornell_device_scene, settings, frames=1))
 
 
+def test_sharded_grouped_intersector(cornell_device_scene):
+    """The grouped MXU traversal (interpret mode): 128-ray groups are
+    formed per shard AFTER the in-shard sort, so bit-identity proves
+    per-ray results are independent of group membership (tested chunks
+    are a superset of each ray's slab hits; extra chunks cannot add
+    hits)."""
+    size = 32
+    settings = RenderSettings(
+        width=size, height=size, max_depth=2, rr_depth=2,
+        tile_size=size * size // 8, intersector="grouped",
+        sort_rays=True, interpret_pallas=True,
+    )
+    _assert_identical(*_run_pair(cornell_device_scene, settings, frames=1))
+
+
 def test_sharded_uneven_aspect(cornell_device_scene):
     """Non-square film whose height still divides the mesh (40x48):
     per-shard row offsets + camera NDC must agree with single-chip."""
