@@ -95,7 +95,10 @@ def bench_ggx(settings):
         cornell_box(tall_box_material=metal, short_box_material=glossy),
         use_ray_tracing=False,
     )
-    mrays, _ = _trace_loop(scene, None, settings, 4)
+    # 16 pipelined frames: the 4-spp-class workload measured over the
+    # same steady-state window as the Cornell config (a 4-frame window
+    # under-reports by ~30% — it mostly times the dispatch ramp).
+    mrays, _ = _trace_loop(scene, None, settings, 16)
     _emit("ggx_4spp_pathtrace_throughput", mrays, vs="throughput")
 
 
