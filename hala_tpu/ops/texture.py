@@ -43,10 +43,17 @@ def _bilinear(stack, idx, tex_idx, uv, level):
     x0i, x1i = wrap(x0, lw), wrap(x0 + 1, lw)
     y0i = wrap(y0, lh) + row_off
     y1i = wrap(y0 + 1, lh) + row_off
-    c00 = stack.data[idx, y0i, x0i]
-    c01 = stack.data[idx, y0i, x1i]
-    c10 = stack.data[idx, y1i, x0i]
-    c11 = stack.data[idx, y1i, x1i]
+    # Single-index row gathers from the flattened stack: a 3-vector
+    # advanced index lowers to a multi-dim XLA gather that is several
+    # times slower on TPU than take() over the linearized index (same
+    # finding as ops/env.py _bilinear).
+    th, tw = stack.data.shape[1], stack.data.shape[2]
+    flat = stack.data.reshape(-1, stack.data.shape[3])
+    base = idx * (th * tw)
+    c00 = jnp.take(flat, base + y0i * tw + x0i, axis=0)
+    c01 = jnp.take(flat, base + y0i * tw + x1i, axis=0)
+    c10 = jnp.take(flat, base + y1i * tw + x0i, axis=0)
+    c11 = jnp.take(flat, base + y1i * tw + x1i, axis=0)
     return (
         c00 * (1 - fx) * (1 - fy)
         + c01 * fx * (1 - fy)
