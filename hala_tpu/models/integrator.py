@@ -993,7 +993,12 @@ def render_frame(
             shift = jnp.stack(
                 [f * 0.7548776662466927, f * 0.5698402909980532]
             ) % 1.0
-            bn = (blue_noise[by, bx, :2] + shift[None, :]) % 1.0
+            # single-index gather (multi-vector indexing lowers to a
+            # slow multi-dim XLA gather on TPU; see ops/env.py)
+            bn_flat = blue_noise[:, :, :2].reshape(bh * bw, 2)
+            bn = (
+                jnp.take(bn_flat, by * bw + bx, axis=0) + shift[None, :]
+            ) % 1.0
             r_jit = r_jit.at[:, :2].set(bn)
         o, d = generate_rays(
             scene.cameras, uniforms.camera_index, px, py, w, cam_h,
