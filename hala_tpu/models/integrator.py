@@ -26,7 +26,7 @@ from ..ops.bsdf import bsdf_eval, bsdf_sample, gather_materials
 from ..ops.gathers import take_rows
 from ..ops.bvh import intersect_bvh, occluded_bvh
 from ..ops.camera import generate_rays
-from ..ops.env import env_pdf, env_radiance, env_sample, sky_radiance
+from ..ops.env import env_eval, env_radiance, env_sample, sky_radiance
 from ..ops.intersect import (
     T_MAX,
     intersect_bruteforce,
@@ -463,13 +463,16 @@ def trace_paths(
 
         # --- miss: environment (not if the ray scattered first) ----------
         miss = (hit.tri < 0) & ~scatter
-        env_rad = _env_miss_radiance(env, uniforms, d, settings)
         if has_env_map:
-            pdf_e = env_pdf(env, d, uniforms.env_rotation)
+            # fused: one dir->equirect transform for radiance AND pdf
+            env_rad, pdf_e = env_eval(
+                env, d, uniforms.env_rotation, uniforms.env_intensity
+            )
             w_env = jnp.where(
                 prev_pdf > 0.0, power_heuristic(prev_pdf, pdf_e), 1.0
             )
         else:
+            env_rad = _env_miss_radiance(env, uniforms, d, settings)
             w_env = jnp.ones((n,))
         radiance = radiance + jnp.where(
             (active & miss & ~light_first)[:, None],

@@ -94,6 +94,23 @@ def env_pdf(env, d: jnp.ndarray, rotation) -> jnp.ndarray:
     return p_texel * (w * h) / (2.0 * jnp.pi * jnp.pi * sin_t)
 
 
+def env_eval(env, d: jnp.ndarray, rotation, intensity):
+    """Fused miss-path evaluation: emitted radiance AND the MIS pdf
+    from ONE direction->equirect transform (the atan2/acos pair is the
+    dominant per-miss cost; results are bit-identical to calling
+    env_radiance and env_pdf separately)."""
+    h, w = env.height, env.width
+    u, v = dir_to_uv(d, rotation)
+    radiance = _bilinear(env.image, u, v) * intensity
+    xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    lum = jnp.take(env.luminance.reshape(-1), yi * w + xi)
+    p_texel = lum / jnp.maximum(env.total_luminance, _EPS)
+    sin_t = jnp.maximum(jnp.sin(v * jnp.pi), _EPS)
+    pdf = p_texel * (w * h) / (2.0 * jnp.pi * jnp.pi * sin_t)
+    return radiance, pdf
+
+
 def env_sample(env, rnd: jnp.ndarray, rotation, intensity):
     """Importance-sample the envmap with the 2-fetch inverted CDF tables.
 
