@@ -97,9 +97,13 @@ def bench_ggx(settings):
     )
     # 16 pipelined frames: the 4-spp-class workload measured over the
     # same steady-state window as the Cornell config (a 4-frame window
-    # under-reports by ~30% — it mostly times the dispatch ramp).
+    # under-reports by ~30% — it mostly times the dispatch ramp). The
+    # metric key carries a _w16 suffix because the round-2 window change
+    # (4 -> 16 frames) altered the measurement methodology; comparing
+    # against rounds that used the unsuffixed key compares different
+    # windows (DESIGN.md ledger note).
     mrays, _ = _trace_loop(scene, None, settings, 16)
-    _emit("ggx_4spp_pathtrace_throughput", mrays, vs="throughput")
+    _emit("ggx_4spp_pathtrace_throughput_w16", mrays, vs="throughput")
 
 
 def bench_envmap():

@@ -77,9 +77,7 @@ class RenderSettings:
     chunk: int = 2048  # brute-force triangle chunk
     intersector: str = "auto"
     interpret_pallas: bool = False
-    cluster_k_max: int = 64      # candidate clusters per ray ("expand")
     sort_rays: bool = True       # wavefront coherence sort before queries
-    expand_max_runs: int = 96    # distinct clusters per 1024-item tile
     traverse_k: int = 12         # candidate clusters per ray ("traverse")
     # Max alpha-tested surfaces a shadow ray may stochastically pass
     # through (any-hit-shader parity: the reference's hit shaders can
@@ -154,7 +152,7 @@ class Film:
 
 
 _BACKENDS = (
-    "auto", "matrix", "grouped", "traverse", "expand", "cluster",
+    "auto", "matrix", "grouped", "traverse", "cluster",
     "pallas", "bruteforce", "bvh", "legacy",
 )
 
@@ -255,18 +253,6 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
             else jnp.full((o.shape[0],), T_MAX)
         )
         return query(o, d, tm)
-    if backend == "expand":
-        from ..ops.expand import intersect_expanded
-
-        max_runs = min(
-            g.cluster_min.shape[0] + 1, settings.expand_max_runs
-        )
-        return intersect_expanded(
-            o, d, g, t_max=t_max,
-            k_per_ray=min(settings.cluster_k_max, g.cluster_min.shape[0]),
-            max_runs=max_runs,
-            interpret=settings.interpret_pallas,
-        )
     if backend == "cluster":
         from ..ops.cluster import intersect_clustered
 
@@ -285,10 +271,16 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
     if backend == "pallas":
         from ..ops.pallas.intersect_kernel import intersect_pallas
 
+        # The prefix trim (num_real) is only valid for the Morton
+        # tail-padded layout; the SAH layout scatters real triangles
+        # past slot num_triangles (interior padding), so every slot must
+        # be scanned there or geometry is silently missed.
         return intersect_pallas(
             o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=t_max,
             interpret=settings.interpret_pallas,
-            num_real=g.num_triangles,
+            num_real=(
+                g.num_triangles if g.prefix_layout else g.tri_v0.shape[0]
+            ),
         )
     if backend == "bvh":
         return intersect_bvh(scene.bvh, g, o, d, t_max=t_max)
@@ -322,7 +314,7 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
             o, d, g, t_max=tf,
             interpret=settings.interpret_pallas, any_hit=True,
         ).tri >= 0
-    if backend in ("cluster", "expand", "traverse"):
+    if backend in ("cluster", "traverse"):
         hit = _intersect(
             scene, o, d, settings, t_max=t_far * (1.0 - 1e-4)
         )
@@ -333,7 +325,9 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
         return occluded_pallas(
             o, d, t_far, g.tri_v0, g.tri_e1, g.tri_e2,
             interpret=settings.interpret_pallas,
-            num_real=g.num_triangles,
+            num_real=(
+                g.num_triangles if g.prefix_layout else g.tri_v0.shape[0]
+            ),
         )
     if backend == "bvh":
         return occluded_bvh(scene.bvh, g, o, d, t_far)

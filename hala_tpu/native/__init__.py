@@ -125,6 +125,8 @@ def sah_leaves_native(t_lo: np.ndarray, t_hi: np.ndarray,
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    if n_leaves < 0:  # C side rejected the parameters
+        return None
     return order, sizes[:n_leaves].copy()
 
 

@@ -200,6 +200,10 @@ int64_t hala_sah_slots(
     const float* t_lo, const float* t_hi, int64_t n,
     int32_t leaf_size, int32_t bins,
     int64_t* out_order, int32_t* out_leaf_sizes) {
+  // suffix-sweep buffers below are sized for bins <= 48; reject larger
+  // requests here rather than relying on the Python-side guard (any
+  // other caller of the exported symbol would overflow the stack).
+  if (bins > 48 || bins < 2) return -1;
   std::vector<float> cent(n * 3);
   for (int64_t i = 0; i < n * 3; ++i)
     cent[i] = 0.5f * (t_lo[i] + t_hi[i]);

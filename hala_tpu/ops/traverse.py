@@ -8,7 +8,7 @@ DESIGN.md:
 - the lockstep block kernel (ops/cluster.py) pays for the UNION of
   clusters any ray in a 1024-ray block touches (~100 clusters/block on
   incoherent bounce rays -> 2.2 Mrays/s on 20k triangles);
-- (ray, cluster) item expansion (ops/expand.py) needs the items grouped
+- (ray, cluster) item expansion (a retired round-1 experiment) needs the items grouped
   by cluster, and a global lax.sort of ~1M items is ~10x the cost of the
   intersection itself on TPU (bitonic).
 
@@ -1184,7 +1184,7 @@ def intersect_grouped(
             pl.BlockSpec(
                 (16, GROUP), lambda i, cnt_, ids_, tnb_: (0, i)
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             # Mosaic wants >=8-divisible sublane blocks: one (8, GROUP)

@@ -42,7 +42,10 @@ def _register(cls, meta_fields=()):
     return cls
 
 
-@partial(_register, meta_fields=("num_triangles", "num_primitives"))
+@partial(
+    _register,
+    meta_fields=("num_triangles", "num_primitives", "prefix_layout"),
+)
 @dataclasses.dataclass
 class DeviceGeometry:
     """World-space triangle soup, SoA, padded to a multiple of TRI_PAD.
@@ -77,6 +80,12 @@ class DeviceGeometry:
     tri_packed: jax.Array | None = None    # (C, 16, TRI_PAD)
     num_triangles: int = 0   # un-padded count (static)
     num_primitives: int = 0  # instance count (static)
+    # True iff real triangles occupy the prefix [0, num_triangles) of the
+    # slot arrays (Morton tail-padded layout). The binned-SAH layout
+    # scatters real triangles past that prefix (interior padding), so
+    # consumers that trim by num_triangles MUST check this flag
+    # (CLAUDE.md invariant: mask with tri_mat >= 0 otherwise).
+    prefix_layout: bool = True
 
 
 @partial(

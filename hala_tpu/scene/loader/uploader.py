@@ -398,6 +398,7 @@ class SceneUploader:
         tri_hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
         if n_tris > SAH_MIN_TRIS:
             slots = sah_slot_map(tri_lo, tri_hi, TRI_PAD)
+            prefix_layout = False
         else:
             from ...ops.morton import morton3d_np
 
@@ -409,6 +410,7 @@ class SceneUploader:
             ).astype(np.int64)
             tail = -(-n_tris // TRI_PAD) * TRI_PAD - n_tris
             slots = np.concatenate([order, np.full(tail, -1, np.int64)])
+            prefix_layout = True
         total = slots.shape[0]
         gather = np.maximum(slots, 0)
         real = slots >= 0
@@ -501,6 +503,7 @@ class SceneUploader:
             tri_prim=jnp.asarray(take(prim, -1)),
             num_triangles=n_tris,
             num_primitives=prim_id,
+            prefix_layout=prefix_layout,
         )
 
     # -- meshlets ----------------------------------------------------------
