@@ -132,22 +132,28 @@ def bench_envmap():
 
 
 def bench_sponza():
-    """Config 4: sponza-scale scene loaded from a REAL .glb on disk
-    (assets/atrium.glb: 34k triangles, embedded PNG textures, quad area
-    lights) — wavefront tracing with on-the-fly AS (Morton clusters,
-    the LBVH role) + coherence-sorted matrix traversal + free dead-ray
-    compaction, 1080p-class film."""
+    """Config 4: Sponza-scale scene loaded from a REAL .glb on disk
+    (assets/atrium_big.glb: 167k triangles, embedded PNG textures, quad
+    area lights) — on-the-fly AS build (binned-SAH ragged clusters, the
+    LBVH role) + rank-iteration wavefront traversal with any-hit shadow
+    dispatch + free dead-ray compaction, 1080p-class film. The round-2
+    metric of the same name measured the 34k-triangle atrium; the
+    asset was scaled ~5x to an honest Sponza class (round-2 verdict
+    item 4), so cross-round comparison under this key spans different
+    inputs."""
     import os
 
     from hala_tpu.models.integrator import RenderSettings
     from hala_tpu.scene.cpu.scene import Scene
     from hala_tpu.scene.loader.uploader import SceneUploader
 
-    path = os.path.join(os.path.dirname(__file__), "assets", "atrium.glb")
+    path = os.path.join(
+        os.path.dirname(__file__), "assets", "atrium_big.glb"
+    )
     scene = SceneUploader.upload(Scene.load(path), use_ray_tracing=False)
     settings = RenderSettings(
         width=1920, height=1088, max_depth=4, rr_depth=2,
-        tile_size=131072, intersector="matrix", sort_rays=True,
+        tile_size=131072, intersector="auto", sort_rays=True,
     )
     mrays, ms = _trace_loop(scene, None, settings, 3)
     _emit("sponza_scale_1080p_pathtrace_throughput", mrays, vs="throughput")

@@ -55,9 +55,11 @@ class RenderSettings:
 
     `intersector` selects the visibility backend. The default "auto"
     resolves per scene and jax backend (see _backend): the SMEM
-    streaming kernel for small scenes on TPU, the VMEM matrix-traversal
-    kernel for large ones, brute force elsewhere. Explicit values:
+    streaming kernel for small scenes on TPU, the rank-iteration
+    wavefront for large ones, brute force elsewhere. Explicit values:
       - "pallas": SMEM-streaming brute-force kernel (small scenes, TPU)
+      - "wavefront": per-ray top-K candidates + grouped MXU batches
+        (large scenes, TPU; exact — ops/wavefront.py)
       - "matrix": VMEM matrix traversal (large scenes, TPU; exact)
       - "traverse": candidate-list traversal (very large scenes)
       - "cluster": lockstep block-union streaming kernel
@@ -79,6 +81,8 @@ class RenderSettings:
     interpret_pallas: bool = False
     sort_rays: bool = True       # wavefront coherence sort before queries
     traverse_k: int = 12         # candidate clusters per ray ("traverse")
+    wavefront_k: int = 16        # per-ray candidate clusters ("wavefront")
+    wavefront_m: int = 32        # per-group merged-list cap ("wavefront")
     # Max alpha-tested surfaces a shadow ray may stochastically pass
     # through (any-hit-shader parity: the reference's hit shaders can
     # continue through stacked transparent surfaces). 1 = legacy
@@ -86,6 +90,33 @@ class RenderSettings:
     # visibility dispatch per bounce and only compile in when the scene
     # has alpha materials.
     shadow_surfaces: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelHooks:
+    """Pushed-kernel dispatch table — the TPU analog of the reference's
+    shader-push / SBT stage binding (rt_renderer.rs:925-1112,
+    raytracing_program.rs:330-340), where the pushed SPIR-V stages are
+    the ONLY way an app supplies behavior. Here the built-in integrator
+    stages are the defaults and a pushed kernel overrides its seam:
+
+    - raygen(gpix, frame_index, r_jit) -> (N, 4): override the per-pixel
+      sample jitter (pixel xy in [:, :2], lens uv in [:, 2:]) before
+      camera ray generation — the raygen-shader seam.
+    - miss(d, uniforms, default_radiance) -> (N, 3): radiance for rays
+      that leave the scene — the miss-shader seam (the default is the
+      sky gradient / environment map).
+    - post_shade(radiance, albedo, normal) -> same triple: transform a
+      traced tile's outputs before film accumulation — the
+      callable-shader seam.
+
+    Hooks are traced into the frame jit (static identity), so pushing a
+    different kernel recompiles, exactly like swapping a pipeline.
+    """
+
+    raygen: object = None
+    miss: object = None
+    post_shade: object = None
 
 
 def resolve_intersector(preference: str = "auto") -> str:
@@ -152,7 +183,7 @@ class Film:
 
 
 _BACKENDS = (
-    "auto", "matrix", "grouped", "traverse", "cluster",
+    "auto", "wavefront", "matrix", "grouped", "traverse", "cluster",
     "pallas", "bruteforce", "bvh", "legacy",
 )
 
@@ -183,6 +214,11 @@ def _backend(settings: RenderSettings, scene) -> str:
             return "pallas"
         from ..ops.traverse import MATRIX_MAX_CLUSTERS
 
+        # Closest-hit: the VMEM matrix kernel wins on incoherent bounce
+        # batches (62 vs 79 ms/131k — merged per-group lists average ~30
+        # entries and every entry runs all 128 lanes lockstep, round-3
+        # ledger); the wavefront's win is ANY-HIT shadow dispatch, which
+        # _occluded routes separately (15.5 vs ~60 ms/131k).
         if g.tri_packed.shape[0] <= MATRIX_MAX_CLUSTERS:
             return "matrix"
         return "traverse"
@@ -216,7 +252,7 @@ def _sorted_dispatch(scene, o, d, settings, t_max, query):
 def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
     g = scene.geometry
     backend = _backend(settings, scene)
-    if backend in ("matrix", "grouped"):
+    if backend in ("wavefront", "matrix", "grouped"):
         from ..ops.traverse import (
             intersect_grouped, intersect_matrix, matrix_query,
         )
@@ -227,6 +263,16 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
             return matrix_query(
                 o, d, g, t_max=t_max, interpret=settings.interpret_pallas,
                 kernel=backend,
+                wavefront_k=settings.wavefront_k,
+                wavefront_m=settings.wavefront_m,
+            )
+        if backend == "wavefront":
+            from ..ops.wavefront import intersect_wavefront
+
+            return intersect_wavefront(
+                o, d, g, t_max=t_max, interpret=settings.interpret_pallas,
+                k_per_ray=settings.wavefront_k,
+                m_group=settings.wavefront_m,
             )
         if backend == "grouped":
             return intersect_grouped(
@@ -293,17 +339,47 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
 def _occluded(scene, o, d, t_far, settings: RenderSettings):
     g = scene.geometry
     backend = _backend(settings, scene)
-    if backend in ("matrix", "grouped"):
+    if backend in ("wavefront", "matrix", "grouped"):
+        from ..ops.cull import CULL_VMEM_CLUSTER_CAP
         from ..ops.traverse import (
-            intersect_grouped, intersect_matrix, matrix_query,
+            _ID_MASK, intersect_grouped, intersect_matrix, matrix_query,
         )
 
         tf = t_far * (1.0 - 1e-4)
+        c = g.tri_packed.shape[0]
+        if (
+            settings.intersector == "auto"
+            and c < _ID_MASK
+            and c <= CULL_VMEM_CLUSTER_CAP
+        ):
+            # shadow-class queries: any-hit wavefront — blocked lanes
+            # retire on first hit and the tight t_max prunes candidate
+            # lists in the cull (measured 15.5 vs ~60 ms per 131k rays,
+            # round-3 ledger)
+            from ..ops.wavefront import intersect_wavefront
+
+            return intersect_wavefront(
+                o, d, g, t_max=tf,
+                interpret=settings.interpret_pallas, any_hit=True,
+                k_per_ray=settings.wavefront_k,
+                m_group=settings.wavefront_m,
+            ).tri >= 0
         if settings.sort_rays:
             return matrix_query(
                 o, d, g, t_max=tf,
                 interpret=settings.interpret_pallas, any_hit=True,
                 kernel=backend,
+                wavefront_k=settings.wavefront_k,
+                wavefront_m=settings.wavefront_m,
+            ).tri >= 0
+        if backend == "wavefront":
+            from ..ops.wavefront import intersect_wavefront
+
+            return intersect_wavefront(
+                o, d, g, t_max=tf,
+                interpret=settings.interpret_pallas, any_hit=True,
+                k_per_ray=settings.wavefront_k,
+                m_group=settings.wavefront_m,
             ).tri >= 0
         if backend == "grouped":
             return intersect_grouped(
@@ -355,6 +431,7 @@ def trace_paths(
     frame_index,
     settings: RenderSettings,
     full_height: int | None = None,
+    hooks: KernelHooks | None = None,
 ):
     """Trace full paths for a flat ray batch.
 
@@ -468,6 +545,9 @@ def trace_paths(
         else:
             env_rad = _env_miss_radiance(env, uniforms, d, settings)
             w_env = jnp.ones((n,))
+        if hooks is not None and hooks.miss is not None:
+            # pushed miss kernel overrides the escape radiance
+            env_rad = hooks.miss(d, uniforms, env_rad)
         radiance = radiance + jnp.where(
             (active & miss & ~light_first)[:, None],
             throughput * env_rad * w_env[:, None],
@@ -781,23 +861,50 @@ def trace_paths(
         next_tp = jnp.where(do_rr, next_tp / q[:, None], next_tp)
         active = active & survive
 
-        # --- batched visibility: next extension ray + NEE shadow ray(s)
-        # in ONE kernel dispatch --------------------------------------------
+        # --- batched visibility: next extension ray + NEE shadow ray(s).
+        # Small-scene backends fold everything into ONE closest-hit
+        # dispatch (dispatch overhead measured ~25% of frame time there);
+        # the large-scene traversals instead split the shadow class into
+        # an ANY-HIT dispatch when no alpha material needs pass-through:
+        # any-hit lanes retire on first block and the tight t_max prunes
+        # their candidate lists in the cull (PLAN.md round-2 item 3).
         ext_tmax = jnp.where(active, jnp.float32(T_MAX), 0.0)
-        q_o = [next_o, shadow_o]
-        q_d = [next_d, nee_dir]
-        q_t = [ext_tmax, nee_tmax]
-        if has_env_map:
-            q_o.append(shadow_o)
-            q_d.append(wi_e)
-            q_t.append(env_tmax)
-        qhit = _intersect(
-            scene,
-            jnp.concatenate(q_o),
-            jnp.concatenate(q_d),
-            settings,
-            t_max=jnp.concatenate(q_t),
+        split_shadow = (
+            not scene.materials.has_alpha
+            and _backend(settings, scene)
+            in ("wavefront", "matrix", "grouped")
         )
+        if split_shadow:
+            qhit = _intersect(
+                scene, next_o, next_d, settings, t_max=ext_tmax
+            )
+            if has_env_map:
+                occ = _occluded(
+                    scene,
+                    jnp.concatenate([shadow_o, shadow_o]),
+                    jnp.concatenate([nee_dir, wi_e]),
+                    jnp.concatenate([nee_tmax, env_tmax]),
+                    settings,
+                )
+            else:
+                occ = _occluded(
+                    scene, shadow_o, nee_dir, nee_tmax, settings
+                )
+        else:
+            q_o = [next_o, shadow_o]
+            q_d = [next_d, nee_dir]
+            q_t = [ext_tmax, nee_tmax]
+            if has_env_map:
+                q_o.append(shadow_o)
+                q_d.append(wi_e)
+                q_t.append(env_tmax)
+            qhit = _intersect(
+                scene,
+                jnp.concatenate(q_o),
+                jnp.concatenate(q_d),
+                settings,
+                t_max=jnp.concatenate(q_t),
+            )
         def transmit(tri0, t0, dir_s, tmax_s, r_first, seed0):
             """Stochastic transparent shadow transmittance: pass each
             alpha-tested blocker with probability 1 - opacity, continuing
@@ -839,20 +946,27 @@ def trace_paths(
                 passed = pass_k
             return blocked_acc
 
-        sh_tri = qhit.tri[n : 2 * n]
-        blocked = transmit(
-            sh_tri, qhit.t[n : 2 * n], nee_dir, nee_tmax,
-            r_alpha[:, 2], 37,
-        )
+        if split_shadow:
+            blocked = occ[:n]
+            blocked_e = occ[n : 2 * n] if has_env_map else None
+        else:
+            blocked = transmit(
+                qhit.tri[n : 2 * n], qhit.t[n : 2 * n], nee_dir, nee_tmax,
+                r_alpha[:, 2], 37,
+            )
+            blocked_e = (
+                transmit(
+                    qhit.tri[2 * n : 3 * n], qhit.t[2 * n : 3 * n],
+                    wi_e, env_tmax, r_alpha[:, 3], 53,
+                )
+                if has_env_map
+                else None
+            )
         radiance = radiance + jnp.where(
             (candidate & ~blocked)[:, None], nee_contrib, 0.0
         )
         rays = rays + candidate.astype(jnp.float32)
         if has_env_map:
-            blocked_e = transmit(
-                qhit.tri[2 * n : 3 * n], qhit.t[2 * n : 3 * n],
-                wi_e, env_tmax, r_alpha[:, 3], 53,
-            )
             radiance = radiance + jnp.where(
                 (cand_e & ~blocked_e)[:, None], env_contrib, 0.0
             )
@@ -887,7 +1001,7 @@ def trace_paths(
 
 @partial(
     jax.jit,
-    static_argnames=("settings", "full_height"),
+    static_argnames=("settings", "full_height", "hooks"),
     donate_argnums=(3,),
 )
 def render_frame(
@@ -900,6 +1014,7 @@ def render_frame(
     row_offset=0,
     full_height: int | None = None,
     blue_noise=None,
+    hooks: KernelHooks | None = None,
 ):
     """One progressive frame (1 spp): rt_renderer.rs update() parity.
 
@@ -997,14 +1112,19 @@ def render_frame(
                 jnp.take(bn_flat, by * bw + bx, axis=0) + shift[None, :]
             ) % 1.0
             r_jit = r_jit.at[:, :2].set(bn)
+        if hooks is not None and hooks.raygen is not None:
+            # pushed raygen kernel overrides the sample jitter
+            r_jit = hooks.raygen(gpix, fidx, r_jit)
         o, d = generate_rays(
             scene.cameras, uniforms.camera_index, px, py, w, cam_h,
             r_jit[:, :2], r_jit[:, 2:],
         )
         L, alb, nrm, rays = trace_paths(
             scene, env, uniforms, o, d, gpix, fidx, settings,
-            full_height=cam_h,
+            full_height=cam_h, hooks=hooks,
         )
+        if hooks is not None and hooks.post_shade is not None:
+            L, alb, nrm = hooks.post_shade(L, alb, nrm)
         L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
         old = jax.lax.dynamic_slice_in_dim(accum, start, tile)
         new = old + (jnp.concatenate([L, jnp.ones((tile, 1))], -1) - old) * inv_n1

@@ -26,6 +26,9 @@ import logging
 import time
 
 import jax
+import numpy as np
+
+from ..error import HalaRendererError
 
 logger = logging.getLogger("hala_tpu.renderer")
 
@@ -96,6 +99,54 @@ class BaseRenderer:
         self.statistics = RendererStatistics()
         self.is_device_lost = False  # HalaRendererData parity (renderer.rs:119)
         self._pending = None  # in-flight device computation
+        # animation path (ops/animate.py): staged node -> new world 4x4
+        # and the CURRENT world each node's device geometry is baked at
+        self._staged_transforms: dict[int, "np.ndarray"] = {}
+        self._node_world: dict[int, "np.ndarray"] = {}
+
+    # -- animation / per-frame transforms --------------------------------
+    # (role of the reference's per-mesh object uniforms rewritten every
+    # frame, rz_renderer.rs:38-53, 690-716, plus the BLAS refit)
+
+    def set_node_transform(self, node_index: int, world) -> None:
+        """Stage a new WORLD transform for a mesh node; applied by the
+        next update_scene() with no host re-upload and no jit retrace."""
+        self._staged_transforms[int(node_index)] = np.asarray(
+            world, np.float32
+        ).reshape(4, 4)
+
+    def update_scene(self) -> None:
+        """Apply staged node transforms on device: delta-retransform the
+        node's triangles, re-derive shading attributes, refit cluster
+        AABBs and repack the DMA blocks (ops/animate.py). The skip-link
+        BVH (debug backend) is invalidated rather than refit."""
+        if not self._staged_transforms:
+            return
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        from ..ops.animate import build_deltas, retransform_geometry
+
+        scene = getattr(self, "scene", None)
+        host = getattr(self, "_host_scene", None)
+        if scene is None or host is None:
+            raise HalaRendererError("update_scene() before set_scene().")
+        node_deltas = {}
+        for ni, new_w in self._staged_transforms.items():
+            cur = self._node_world.get(ni)
+            if cur is None:
+                cur = _np.asarray(
+                    host.nodes[ni].world_transform, _np.float32
+                )
+            node_deltas[ni] = new_w @ _np.linalg.inv(cur)
+            self._node_world[ni] = new_w
+        deltas, ndeltas = build_deltas(
+            scene.prim_node, node_deltas, len(host.nodes)
+        )
+        geom = retransform_geometry(scene.geometry, deltas, ndeltas)
+        self.scene = _dc.replace(scene, geometry=geom, bvh=None)
+        self._staged_transforms.clear()
 
     # -- trait surface ---------------------------------------------------
 

@@ -48,6 +48,7 @@ from .integrator import (
     ENV_MAP,
     ENV_SKY,
     Film,
+    KernelHooks,
     RenderSettings,
     Uniforms,
     render_frame,
@@ -202,6 +203,23 @@ class RayTracingRenderer(BaseRenderer):
             use_bvh=self._use_bvh and self.scene.bvh is not None,
             intersector=self._intersector,
         )
+        # Resolve pushed kernels into the frame's dispatch table (the
+        # SBT-build step of the reference's commit; stages not pushed
+        # keep the built-in integrator behavior). rt.callable maps to
+        # the post-shade seam.
+        from ..programs import KernelCache
+
+        cache = KernelCache.get_instance()
+        hooks = KernelHooks(
+            raygen=cache.get("rt.raygen"),
+            miss=cache.get("rt.miss"),
+            post_shade=cache.get("rt.callable"),
+        )
+        self.hooks = (
+            hooks
+            if (hooks.raygen or hooks.miss or hooks.post_shade)
+            else None
+        )
 
     def update(self, delta_time: float = 0.0) -> None:
         """Dispatch one progressive frame (rt_renderer.rs:387-471)."""
@@ -219,6 +237,7 @@ class RayTracingRenderer(BaseRenderer):
             self._frame_index,
             self.settings,
             blue_noise=self.blue_noise,
+            hooks=getattr(self, "hooks", None),
         )
         self._pending = (self.film, rays)
         self._last_rays = rays

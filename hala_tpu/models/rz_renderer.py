@@ -61,12 +61,44 @@ class RasterSettings:
     binned: bool = False   # tile-binned rasterization (config[5])
     tile: int = 64
     bin_k_max: int = 256
+    mesh_shader: bool = False  # meshlet-binned draw path (rz.task/rz.mesh)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterHooks:
+    """Pushed rz.* kernel dispatch table (the shader-push parity of
+    rz_renderer.rs:1829-1931, where pushed SPIR-V stages ARE the
+    pipeline). Stages not pushed keep the built-in behavior:
+
+    - vertex(corners (T,3,3)) -> corners: pre-transform world-space
+      triangle corners (traditional VS seam; also used as the mesh
+      stage's vertex transform when no rz.mesh kernel is pushed).
+    - task(meshlets, eye (3,)) -> (M,) bool: meshlet visibility — the
+      task-shader seam (default: cone culling).
+    - mesh(corners (T,3,3)) -> corners: the mesh-shader vertex seam
+      (mesh-shader mode only).
+    - fragment(color (N,3), albedo (N,3), normal (N,3)) -> same triple:
+      fragment shading override applied after the built-in lighting.
+    """
+
+    vertex: object = None
+    task: object = None
+    mesh: object = None
+    fragment: object = None
 
 
 def _shade(scene, frag, view_pos):
-    """Blinn-Phong-free PBR-lite direct lighting shared by forward shading
-    and the deferred lighting pass (role of the lighting fullscreen
-    shader, rz_renderer.rs:597-665)."""
+    """Material-aware direct lighting shared by forward shading and the
+    deferred lighting pass (role of the lighting fullscreen shader +
+    the per-material-type pipeline selection, rz_renderer.rs:597-665,
+    429-461, :896): the full Disney/Oren-Nayar BSDF from the ray-tracing
+    path shades each fragment against every light in the table, with
+    per-type radiance — POINT/SPOT falloff cones, QUAD area lights at
+    their center with light-side cosine, SPHERE by subtended solid
+    angle. No shadows, matching the reference's raster lighting."""
+    from ..ops.bsdf import bsdf_eval
+    from ..ops.sampling import build_basis, to_local
+
     geom = scene.geometry
     tid = jnp.maximum(frag.tri, 0)
     u, v = frag.u, frag.v
@@ -93,38 +125,77 @@ def _shade(scene, frag, view_pos):
     )
     mat_idx = jnp.take(geom.tri_mat, tid)
     mp = gather_materials(scene.materials, mat_idx)
-    albedo = mp.base_color
     if scene.textures is not None:
         base_map = jnp.take(
             scene.materials.base_color_map, jnp.maximum(mat_idx, 0)
         )
-        albedo = albedo * sample_texture(scene.textures, base_map, uv)[:, :3]
+        mp = mp._replace(
+            base_color=mp.base_color
+            * sample_texture(scene.textures, base_map, uv)[:, :3]
+        )
+    albedo = mp.base_color
 
-    # Direct lighting from the analytic light table (no shadows in the
-    # raster path, matching a typical forward shader).
+    # Shading frame + BSDF dispatch — the same lobes the integrator
+    # uses, statically specialized on scene capabilities.
+    w_disney = bool(scene.materials.has_disney)
+    w_trans = bool(scene.materials.has_transmission)
+    t_b, b_b = build_basis(ns)
+    wo = normalize(to_view)
+    wo_l = to_local(wo, t_b, b_b, ns)
+    wo_l = wo_l.at[:, 2].set(jnp.maximum(wo_l[:, 2], 1e-5))
+
     lights = scene.lights
     color = mp.emission
     nl = lights.num_lights
-    if nl > 0:
-        lt = lights.ltype[:nl]
-        lpos = lights.position[:nl]
-        li = lights.intensity[:nl]
-        lu = lights.u[:nl]
-        to_l = lpos[None, :, :] - pos[:, None, :]  # (N, L, 3)
+    for li_i in range(nl):
+        lt = lights.ltype[li_i]
+        lpos = lights.position[li_i]
+        inten = lights.intensity[li_i]
+        lu = lights.u[li_i]
+        lv = lights.v[li_i]
+        area = lights.area[li_i]
+        radius = lights.radius[li_i]
+
+        is_dir = lt == 1
+        is_spot = lt == 2
+        is_quad = lt == 3
+        is_sphere = lt == 4
+        # QUAD: shade toward the patch center, not the corner record
+        lcenter = jnp.where(is_quad, lpos + 0.5 * (lu + lv), lpos)
+        to_l = lcenter[None, :] - pos
         d2 = jnp.maximum(jnp.sum(to_l * to_l, -1), 1e-6)
-        wi = to_l / jnp.sqrt(d2)[..., None]
-        # directional lights: wi = -direction, no falloff
-        is_dir = (lt == 1)[None, :]
-        wi = jnp.where(is_dir[..., None], -lu[None, :, :], wi)
-        atten = jnp.where(is_dir, 1.0, 1.0 / d2)
-        ndotl = jnp.maximum(jnp.sum(ns[:, None, :] * wi, -1), 0.0)
-        diffuse = jnp.sum(
-            li[None] * (ndotl * atten)[..., None], axis=1
-        ) / jnp.pi
-        color = color + albedo * diffuse
-    else:
+        wi = jnp.where(
+            is_dir, -lu[None, :], to_l / jnp.sqrt(d2)[:, None]
+        )
+        # per-type incident radiance approximation
+        rad = inten[None, :] / d2[:, None]                      # point
+        cos_s = -dot(wi, lu[None, :])
+        spot_t = jnp.clip(
+            (cos_s - lv[1]) / jnp.maximum(lv[0] - lv[1], 1e-6), 0.0, 1.0
+        )
+        spot_f = spot_t * spot_t * (3.0 - 2.0 * spot_t)
+        rad = jnp.where(is_spot, rad * spot_f[:, None], rad)
+        rad = jnp.where(is_dir, inten[None, :], rad)
+        n_q = normalize(jnp.cross(lu, lv))
+        cos_l = jnp.maximum(-dot(wi, n_q[None, :]), 0.0)  # single-sided
+        rad = jnp.where(
+            is_quad, inten[None, :] * (area * cos_l / d2)[:, None], rad
+        )
+        rad = jnp.where(
+            is_sphere,
+            inten[None, :]
+            * jnp.minimum(radius * radius / d2, 1.0)[:, None]
+            * jnp.pi,
+            rad,
+        )
+
+        wi_l = to_local(wi, t_b, b_b, ns)
+        f, _ = bsdf_eval(mp, wo_l, wi_l, w_disney, w_trans)
+        cos_i = jnp.maximum(wi_l[:, 2], 0.0)
+        color = color + f * rad * cos_i[:, None]
+    if nl == 0:
         # headlight fallback so untextured scenes are visible
-        ndv = jnp.abs(dot(ns, normalize(view_pos[None, :] - pos)))
+        ndv = jnp.abs(dot(ns, wo))
         color = color + albedo * ndv[:, None]
 
     background = frag.tri < 0
@@ -133,8 +204,9 @@ def _shade(scene, frag, view_pos):
     return color, albedo, ns, pos
 
 
-@partial(jax.jit, static_argnames=("settings",))
-def gbuffer_pass(scene, camera_index, settings: RasterSettings):
+@partial(jax.jit, static_argnames=("settings", "hooks"))
+def gbuffer_pass(scene, camera_index, settings: RasterSettings,
+                 hooks: RasterHooks | None = None):
     """Visibility + G-buffer fill (deferred first subpass:
     record_deferred_command_buffer G-buffer stage / create_gbuffer_images,
     rz_renderer.rs:1149-1247, 1455-1570). Returns the FragmentBuffer plus
@@ -152,28 +224,58 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings):
     v1 = geom.tri_v0 + geom.tri_e1
     v2 = geom.tri_v0 + geom.tri_e2
     corners = jnp.stack([v0, v1, v2], axis=1)  # (T, 3, 3)
+    if hooks is not None:
+        # pushed vertex/mesh kernel: pre-transform the world-space
+        # corners (VS seam; rz.mesh takes precedence in mesh mode)
+        vtx_fn = (
+            hooks.mesh
+            if (settings.mesh_shader and hooks.mesh is not None)
+            else hooks.vertex
+        )
+        if vtx_fn is not None:
+            corners = vtx_fn(corners)
     clip = transform_vertices(corners.reshape(-1, 3), vp).reshape(-1, 3, 4)
     screen, depth, inv_w = clip_to_screen(clip, rw, rh)
     valid = (geom.tri_mat >= 0) & jnp.all(clip[..., 3] > 1e-6, axis=-1)
 
     # Mesh-shader-style meshlet cone culling (the task-shader role,
     # rz_renderer.rs draw_mesh_tasks + meshopt cone test): a meshlet is
-    # culled when the camera lies inside its backfacing cone.
+    # culled when the camera lies inside its backfacing cone. A pushed
+    # rz.task kernel replaces the cone test.
+    visible = None
     if scene.meshlets is not None:
         ml = scene.meshlets
         eye = scene.cameras.position[camera_index]
-        to_c = ml.center - eye[None, :]
-        dist = jnp.sqrt(jnp.sum(to_c * to_c, axis=-1))
-        facing_away = jnp.sum(to_c * ml.cone_axis, axis=-1) >= (
-            ml.cone_cutoff * dist + ml.radius
-        )
-        visible = ~facing_away
+        if hooks is not None and hooks.task is not None:
+            visible = hooks.task(ml, eye)
+        else:
+            to_c = ml.center - eye[None, :]
+            dist = jnp.sqrt(jnp.sum(to_c * to_c, axis=-1))
+            facing_away = jnp.sum(to_c * ml.cone_axis, axis=-1) >= (
+                ml.cone_cutoff * dist + ml.radius
+            )
+            visible = ~facing_away
         tri_vis = jnp.take(
             jnp.concatenate([visible, jnp.ones((1,), bool)]),
             jnp.where(ml.tri_meshlet >= 0, ml.tri_meshlet, visible.shape[0]),
         )
         valid = valid & tri_vis
 
+    if (
+        settings.mesh_shader
+        and scene.meshlets is not None
+        and scene.meshlets.tri_ids is not None
+    ):
+        # MESH-SHADER DRAW PATH: meshlets are the binning/draw
+        # granularity (draw_mesh_tasks role, rz_renderer.rs:957-962)
+        from ..ops.raster import rasterize_meshlet_binned
+
+        frag, _overflow = rasterize_meshlet_binned(
+            screen, depth, inv_w, valid,
+            scene.meshlets.tri_ids, visible, rw, rh,
+            tile=settings.tile,
+        )
+        return frag
     if settings.binned:
         from ..ops.raster import rasterize_tiled
 
@@ -191,8 +293,9 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings):
     return frag
 
 
-@partial(jax.jit, static_argnames=("settings",))
-def raster_frame(scene, camera_index, settings: RasterSettings):
+@partial(jax.jit, static_argnames=("settings", "hooks"))
+def raster_frame(scene, camera_index, settings: RasterSettings,
+                 hooks: RasterHooks | None = None):
     """FORWARD path: rasterize + shade one frame in a single fused jit.
     Returns (color (H,W,3), gbuffer dict with albedo/normal/depth).
 
@@ -207,9 +310,11 @@ def raster_frame(scene, camera_index, settings: RasterSettings):
     h, w = settings.height, settings.width
     ss = settings.msaa
     rw, rh = w * ss, h * ss
-    frag = gbuffer_pass(scene, camera_index, settings)
+    frag = gbuffer_pass(scene, camera_index, settings, hooks)
     cam_pos = scene.cameras.position[camera_index]
     color, albedo, normal, _ = _shade(scene, frag, cam_pos)
+    if hooks is not None and hooks.fragment is not None:
+        color, albedo, normal = hooks.fragment(color, albedo, normal)
 
     def resolve(img_flat, ch):
         img = img_flat.reshape(rh, rw, ch)
@@ -226,13 +331,16 @@ def raster_frame(scene, camera_index, settings: RasterSettings):
     return color, gbuffer
 
 
-@partial(jax.jit, static_argnames=("settings",))
-def lighting_pass(scene, frag, camera_index, settings: RasterSettings):
+@partial(jax.jit, static_argnames=("settings", "hooks"))
+def lighting_pass(scene, frag, camera_index, settings: RasterSettings,
+                  hooks: RasterHooks | None = None):
     """Fullscreen lighting from the materialized visibility buffer
     (deferred second subpass, rz_renderer.rs:1249-1338 lighting draw)."""
     h, w = settings.height, settings.width
     cam_pos = scene.cameras.position[camera_index]
     color, albedo, normal, _ = _shade(scene, frag, cam_pos)
+    if hooks is not None and hooks.fragment is not None:
+        color, albedo, normal = hooks.fragment(color, albedo, normal)
     return (
         color.reshape(h, w, 3),
         {
@@ -342,6 +450,23 @@ class RasterizationRenderer(BaseRenderer):
             binned=self._binned,
             tile=self._tile,
             bin_k_max=self._bin_k_max,
+            mesh_shader=self.use_mesh_shader,
+        )
+        # Resolve pushed rz.* kernels into the frame dispatch table (the
+        # pipeline-build step of the reference's commit).
+        from ..programs import KernelCache
+
+        cache = KernelCache.get_instance()
+        hooks = RasterHooks(
+            vertex=cache.get("rz.vertex"),
+            task=cache.get("rz.task"),
+            mesh=cache.get("rz.mesh"),
+            fragment=cache.get("rz.fragment"),
+        )
+        self.hooks = (
+            hooks
+            if (hooks.vertex or hooks.task or hooks.mesh or hooks.fragment)
+            else None
         )
 
     def update(self, delta_time: float = 0.0) -> None:
@@ -356,15 +481,17 @@ class RasterizationRenderer(BaseRenderer):
             # buffer is cached so lighting can re-run without
             # re-rasterizing (relight()).
             self._frag = gbuffer_pass(
-                self.scene, jnp.int32(self.camera_index), self.settings
+                self.scene, jnp.int32(self.camera_index), self.settings,
+                getattr(self, "hooks", None),
             )
             color, gbuffer = lighting_pass(
                 self.scene, self._frag, jnp.int32(self.camera_index),
-                self.settings,
+                self.settings, getattr(self, "hooks", None),
             )
         else:
             color, gbuffer = raster_frame(
-                self.scene, jnp.int32(self.camera_index), self.settings
+                self.scene, jnp.int32(self.camera_index), self.settings,
+                getattr(self, "hooks", None),
             )
         if self.post_program is not None:
             color = self.post_program.dispatch(color)
@@ -383,7 +510,7 @@ class RasterizationRenderer(BaseRenderer):
             raise HalaRendererError("relight() before update().")
         color, gbuffer = lighting_pass(
             self.scene, self._frag, jnp.int32(self.camera_index),
-            self.settings,
+            self.settings, getattr(self, "hooks", None),
         )
         if self.post_program is not None:
             color = self.post_program.dispatch(color)

@@ -39,8 +39,40 @@ TRI_CHUNK = 128                     # == scene/gpu TRI_PAD (DMA block size)
 # 1.60 Mrays/s), so culling stays at DMA-block granularity.
 SUB_CLUSTER = 128
 SUBS_PER_CHUNK = TRI_CHUNK // SUB_CLUSTER
+# In-chunk pretest granularity: each DMA chunk carries 8 x 16-triangle
+# sub-AABBs in tri_packed row 9 (lanes 0-47, [min.xyz|max.xyz] x 8) so
+# the matrix kernel's Moller-Trumbore loop can skip 16-tri spans no
+# live lane's ray enters — unlike the 2019-style SUB_CLUSTER=32 culling
+# experiment above, this costs slab tests only where a chunk is already
+# being visited, not in the global key matrix.
+PRETEST_TRIS = 16
+PRETEST_PER_CHUNK = TRI_CHUNK // PRETEST_TRIS
 _EPS = 1.0e-7
 _T_MIN = 1.0e-4
+
+
+def subchunk_aabb_row(t_min, t_max):
+    """(T, 3) per-triangle slot AABBs -> (C, LANES) packed pretest row:
+    lanes [s*6 : s*6+6] = [min.xyz | max.xyz] of 16-tri sub-chunk s.
+
+    Padding slots must carry (+inf, -inf) bounds so they vanish from
+    mixed sub-chunks; fully empty sub-chunks collapse to a far-away
+    POINT box (min == max == 3e37), which a slab test only passes for a
+    ray through that exact point — the same sentinel convention as the
+    cluster AABB tables."""
+    t = t_min.shape[0]
+    n_chunks = t // TRI_CHUNK
+    lo = t_min.reshape(n_chunks, PRETEST_PER_CHUNK, PRETEST_TRIS, 3).min(2)
+    hi = t_max.reshape(n_chunks, PRETEST_PER_CHUNK, PRETEST_TRIS, 3).max(2)
+    far = jnp.float32(3.0e37)
+    empty = ~jnp.isfinite(lo[..., :1]) | ~jnp.isfinite(hi[..., :1])
+    lo = jnp.where(empty, far, lo)
+    hi = jnp.where(empty, far, hi)
+    packed = jnp.concatenate([lo, hi], axis=-1)  # (C, 8, 6)
+    row = jnp.zeros((n_chunks, LANES), t_min.dtype)
+    return row.at[:, : PRETEST_PER_CHUNK * 6].set(
+        packed.reshape(n_chunks, PRETEST_PER_CHUNK * 6)
+    )
 
 
 class CullResult(NamedTuple):
@@ -325,6 +357,11 @@ def build_cluster_tables_device(tri_v0, tri_e1, tri_e2, num_real: int):
     tri_packed = jnp.concatenate(
         [v0, e1, e2, jnp.zeros((t, 7), v0.dtype)], axis=1
     ).reshape(n_chunks, TRI_CHUNK, 16).transpose(0, 2, 1)
+    pre_min = jnp.where(real_s[:, None], t_min, jnp.inf)
+    pre_max = jnp.where(real_s[:, None], t_max, -jnp.inf)
+    tri_packed = tri_packed.at[:, 9, :].set(
+        subchunk_aabb_row(pre_min, pre_max)
+    )
     return order, v0, e1, e2, cluster_min, cluster_max, tri_packed
 
 

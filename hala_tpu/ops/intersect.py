@@ -55,6 +55,41 @@ def out_struct(shape, dtype, like) -> jax.ShapeDtypeStruct:
     return jax.ShapeDtypeStruct(shape, dtype)
 
 
+def canonical_hit(o, d, tri_v0, tri_e1, tri_e2, hit: Hit) -> Hit:
+    """Re-evaluate (t, u, v) for each ray's winning triangle with the
+    canonical XLA Moller-Trumbore (same formulas as `ray_triangle`, so
+    canonical results match the brute-force ground truth bit-for-bit).
+
+    The MXU-factored grouped kernel and the sequential VPU kernels
+    round differently; which engine produced a ray's hit can depend on
+    its NEIGHBORS (group composition, fallback truncation), which under
+    sharding depends on the device count. Canonicalizing the winner
+    makes the reported bits a pure function of (ray, winning triangle),
+    restoring the multi-chip bit-identity invariant (advisor round-2
+    finding on the grouped fallback merge). Winner identity itself can
+    still flip on exact cross-engine ties — measure-zero in practice.
+    """
+    tid = jnp.maximum(hit.tri, 0)
+    v0 = jnp.take(tri_v0, tid, axis=0)
+    e1 = jnp.take(tri_e1, tid, axis=0)
+    e2 = jnp.take(tri_e2, tid, axis=0)
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(pvec * e1, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > EPS, 1.0 / det, 0.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(qvec * d, axis=-1) * inv_det
+    t = jnp.sum(qvec * e2, axis=-1) * inv_det
+    ok = hit.tri >= 0
+    return Hit(
+        t=jnp.where(ok, t, hit.t),
+        tri=hit.tri,
+        u=jnp.where(ok, u, hit.u),
+        v=jnp.where(ok, v, hit.v),
+    )
+
+
 def ray_triangle(o, d, v0, e1, e2, t_min=1e-4):
     """Moller-Trumbore. o,d: (N,3); v0,e1,e2: (C,3). Returns (t, u, v)
     with t = inf on miss, all shaped (N, C)."""

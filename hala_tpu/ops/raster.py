@@ -136,6 +136,108 @@ def rasterize(
     return out
 
 
+def rasterize_meshlet_binned(
+    tri_screen: jnp.ndarray,   # (T, 3, 2)
+    tri_depth: jnp.ndarray,    # (T, 3)
+    tri_inv_w: jnp.ndarray,    # (T, 3)
+    tri_valid: jnp.ndarray,    # (T,)
+    ml_tri: jnp.ndarray,       # (M, 128) meshlet -> triangle slots, -1 pad
+    ml_visible: jnp.ndarray,   # (M,) bool (task-stage cull result)
+    width: int,
+    height: int,
+    tile: int = 64,
+    km_max: int = 16,
+) -> tuple[FragmentBuffer, jnp.ndarray]:
+    """Mesh-shader-style rasterization: MESHLETS are the binning and
+    draw granularity (draw_mesh_tasks(ceil(meshlets/32)) role,
+    /root/reference/src/rz_renderer.rs:957-962). The task stage culls
+    meshlets (ml_visible), each surviving meshlet's screen AABB is the
+    union of its triangles' AABBs, tiles collect up to km_max candidate
+    meshlets, and the per-pixel depth test runs over the candidates'
+    triangle lists — a tile never touches triangles of meshlets it
+    cannot see. Returns (fragments, overflow fraction of tiles whose
+    meshlet list clipped)."""
+    m = ml_tri.shape[0]
+    tw = -(-width // tile)
+    th = -(-height // tile)
+    km_max = min(km_max, m)
+
+    # meshlet screen AABB = union of member-triangle screen AABBs
+    smin_t = jnp.min(tri_screen, axis=1)  # (T, 2)
+    smax_t = jnp.max(tri_screen, axis=1)
+    member = jnp.maximum(ml_tri, 0)
+    mvalid = (ml_tri >= 0) & jnp.take(tri_valid, member)  # (M, 128)
+    big = jnp.float32(1e9)
+    ml_min = jnp.min(
+        jnp.where(mvalid[..., None],
+                  jnp.take(smin_t, member, axis=0), big),
+        axis=1,
+    )  # (M, 2)
+    ml_max = jnp.max(
+        jnp.where(mvalid[..., None],
+                  jnp.take(smax_t, member, axis=0), -big),
+        axis=1,
+    )
+    ml_live = ml_visible & jnp.any(mvalid, axis=1)
+
+    tile_ids = jnp.arange(tw * th, dtype=jnp.int32)
+
+    def per_tile(tid):
+        tx = (tid % tw) * tile
+        ty = (tid // tw) * tile
+        x0, y0 = jnp.float32(0) + tx, jnp.float32(0) + ty
+        overlap = (
+            ml_live
+            & (ml_max[:, 0] >= x0)
+            & (ml_min[:, 0] <= x0 + tile)
+            & (ml_max[:, 1] >= y0)
+            & (ml_min[:, 1] <= y0 + tile)
+        )
+        count = jnp.sum(overlap.astype(jnp.int32))
+        mids = jnp.argsort(~overlap, stable=True).astype(jnp.int32)[:km_max]
+        msel = jnp.arange(km_max) < count
+
+        # mesh stage: expand candidate meshlets to their triangle lists
+        tris = jnp.take(ml_tri, mids, axis=0)        # (km, 128)
+        tsel = msel[:, None] & (tris >= 0)
+        ids = jnp.maximum(tris, 0).reshape(-1)       # (km*128,)
+        sel = (
+            tsel.reshape(-1)
+            & jnp.take(tri_valid, ids)
+        )
+        s = jnp.take(tri_screen, ids, axis=0)
+        dz = jnp.take(tri_depth, ids, axis=0)
+        iw = jnp.take(tri_inv_w, ids, axis=0)
+        pix = jnp.arange(tile * tile, dtype=jnp.int32)
+        px = (pix % tile + tx).astype(jnp.float32) + 0.5
+        py = (pix // tile + ty).astype(jnp.float32) + 0.5
+        frag = rasterize(s, dz, iw, sel, px, py, chunk=128)
+        tri_global = jnp.where(
+            frag.tri >= 0, jnp.take(ids, jnp.maximum(frag.tri, 0)), -1
+        )
+        return (
+            FragmentBuffer(
+                depth=frag.depth, tri=tri_global, u=frag.u, v=frag.v
+            ),
+            count > km_max,
+        )
+
+    frags, over = jax.vmap(per_tile)(tile_ids)
+
+    def untile(a):
+        a = a.reshape(th, tw, tile, tile)
+        a = a.transpose(0, 2, 1, 3).reshape(th * tile, tw * tile)
+        return a[:height, :width].reshape(-1)
+
+    out = FragmentBuffer(
+        depth=untile(frags.depth),
+        tri=untile(frags.tri),
+        u=untile(frags.u),
+        v=untile(frags.v),
+    )
+    return out, jnp.mean(over.astype(jnp.float32))
+
+
 def rasterize_tiled(
     tri_screen: jnp.ndarray,   # (T, 3, 2)
     tri_depth: jnp.ndarray,    # (T, 3)
@@ -158,6 +260,7 @@ def rasterize_tiled(
     t = tri_screen.shape[0]
     tw = -(-width // tile)
     th = -(-height // tile)
+    k_max = min(k_max, t)
 
     # Triangle screen AABBs.
     smin = jnp.min(tri_screen, axis=1)  # (T, 2)
@@ -198,7 +301,11 @@ def rasterize_tiled(
             count > k_max,
         )
 
-    frags, over = jax.lax.map(per_tile, tile_ids)
+    # vmap, NOT lax.map: the sequential map paid ~0.2 ms of dispatch per
+    # tile (510 tiles at 1080p/64 = the whole measured 116 ms/frame on a
+    # 36-triangle scene); batched, the bin+test work runs as a handful
+    # of fused whole-screen ops.
+    frags, over = jax.vmap(per_tile)(tile_ids)
     # Reassemble tiles -> (H_pad, W_pad) -> crop
     def untile(a):
         a = a.reshape(th, tw, tile, tile)

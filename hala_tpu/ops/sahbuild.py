@@ -95,10 +95,34 @@ def sah_leaves(t_lo, t_hi, leaf_size: int, bins: int = BINS):
     return leaves
 
 
-def sah_slot_map(t_lo, t_hi, chunk: int, bins: int = BINS) -> np.ndarray:
+def _merge_adjacent_leaves(sizes: np.ndarray, chunk: int) -> np.ndarray:
+    """Greedy pack of DFS-ADJACENT leaves into shared chunk blocks.
+
+    The binned-SAH split rule leaves ragged leaves averaging ~60% of a
+    chunk; since the leaf list is in DFS near-child-first order,
+    consecutive leaves are spatial neighbors, so packing them into one
+    block keeps the block AABB reasonably tight while cutting the
+    cluster count ~30-40% — every per-cluster cost (cull sweep, matrix
+    key fold, merged-list length) scales with it. Returns the packed
+    block sizes (each <= chunk)."""
+    packed = []
+    acc = 0
+    for s in sizes:
+        if acc and acc + s > chunk:
+            packed.append(acc)
+            acc = 0
+        acc += int(s)
+    if acc:
+        packed.append(acc)
+    return np.asarray(packed, np.int64)
+
+
+def sah_slot_map(t_lo, t_hi, chunk: int, bins: int = BINS,
+                 merge_leaves: bool = True) -> np.ndarray:
     """slot -> source triangle index map for the SAH cluster layout.
 
-    Returns (C * chunk,) int64 where each SAH leaf occupies one chunk
+    Returns (C * chunk,) int64 where each SAH leaf (or packed run of
+    adjacent leaves, see _merge_adjacent_leaves) occupies one chunk
     block (leaf tris first, then -1 padding slots). Uses the native C++
     builder (hala_tpu/native) when available — identical split rule,
     ~20x faster than the numpy ufunc.at path at scene scale."""
@@ -107,17 +131,18 @@ def sah_slot_map(t_lo, t_hi, chunk: int, bins: int = BINS) -> np.ndarray:
     native = sah_leaves_native(t_lo, t_hi, chunk, bins)
     if native is not None:
         order, sizes = native
-        n_leaves = len(sizes)
-        slots = np.full(n_leaves * chunk, -1, np.int64)
-        starts = np.concatenate([[0], np.cumsum(sizes[:-1])]) if n_leaves \
-            else np.zeros(0, np.int64)
-        for i in range(n_leaves):
-            slots[i * chunk : i * chunk + sizes[i]] = (
-                order[starts[i] : starts[i] + sizes[i]]
-            )
-        return slots
-    leaves = sah_leaves(t_lo, t_hi, chunk, bins)
-    slots = np.full(len(leaves) * chunk, -1, np.int64)
-    for i, leaf in enumerate(leaves):
-        slots[i * chunk : i * chunk + len(leaf)] = leaf
+    else:
+        leaves = sah_leaves(t_lo, t_hi, chunk, bins)
+        order = np.concatenate(leaves) if leaves else np.zeros(0, np.int64)
+        sizes = np.asarray([len(leaf) for leaf in leaves], np.int64)
+    if merge_leaves:
+        sizes = _merge_adjacent_leaves(sizes, chunk)
+    n_leaves = len(sizes)
+    slots = np.full(n_leaves * chunk, -1, np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes[:-1])]) if n_leaves \
+        else np.zeros(0, np.int64)
+    for i in range(n_leaves):
+        slots[i * chunk : i * chunk + sizes[i]] = (
+            order[starts[i] : starts[i] + sizes[i]]
+        )
     return slots

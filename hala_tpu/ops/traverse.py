@@ -65,6 +65,8 @@ _INF = 3.0e38
 _EPS = 1.0e-7
 _T_MIN = 1.0e-4
 _MT_ITERS = TRI_CHUNK  # ablation knob: triangle iterations per run
+# in-chunk pretest span (== ops/cluster.PRETEST_TRIS; row-9 AABB layout)
+_PRETEST_TRIS = 16
 
 
 def cull_ordered(o, d, t_max, cluster_min, cluster_max, k_per_ray: int,
@@ -614,6 +616,8 @@ def _matrix_traverse(
         cp.wait()
         base = chunk * TRI_CHUNK + sub_off
 
+        span = min(_MT_ITERS, TRI_CHUNK // subs)
+        n_pre = span // _PRETEST_TRIS if span % _PRETEST_TRIS == 0 else 0
         for gi in range(bs // _MT_GROUP):
             lo = gi * _MT_GROUP
             hi = lo + _MT_GROUP
@@ -623,6 +627,7 @@ def _matrix_traverse(
             def _mt_group(lo=lo, hi=hi, g_mask=g_mask):
                 g_dx, g_dy, g_dz = rdx[lo:hi], rdy[lo:hi], rdz[lo:hi]
                 g_ox, g_oy, g_oz = rox[lo:hi], roy[lo:hi], roz[lo:hi]
+                g_ix, g_iy, g_iz = invx[lo:hi], invy[lo:hi], invz[lo:hi]
 
                 def tri_body(k, _):
                     t = sub_off + k
@@ -679,9 +684,60 @@ def _matrix_traverse(
                         v_out[lo:hi, :] = jnp.where(ok, v, v_out[lo:hi, :])
                     return 0
 
-                jax.lax.fori_loop(
-                    0, min(_MT_ITERS, TRI_CHUNK // subs), tri_body, 0
-                )
+                if n_pre == 0:
+                    jax.lax.fori_loop(0, span, tri_body, 0)
+                else:
+                    # Sub-chunk pretest: 16-triangle spans are skipped
+                    # when no live lane's ray enters their AABB (packed
+                    # in tri_smem row 9 by subchunk_aabb_row). Bounce
+                    # rays want 1-3 of a chunk's 8 spans, so the ~90
+                    # cycles of slab test per span replace most of the
+                    # ~2k-cycle lockstep MT iterations they gate.
+                    for p in range(n_pre):
+                        lane0 = (
+                            sub_off // _PRETEST_TRIS + p
+                        ) * 6
+                        bnx = tri_smem[9, lane0 + 0]
+                        bny = tri_smem[9, lane0 + 1]
+                        bnz = tri_smem[9, lane0 + 2]
+                        bxx = tri_smem[9, lane0 + 3]
+                        bxy = tri_smem[9, lane0 + 4]
+                        bxz = tri_smem[9, lane0 + 5]
+                        p0x = (bnx - g_ox) * g_ix
+                        p1x = (bxx - g_ox) * g_ix
+                        p0y = (bny - g_oy) * g_iy
+                        p1y = (bxy - g_oy) * g_iy
+                        p0z = (bnz - g_oz) * g_iz
+                        p1z = (bxz - g_oz) * g_iz
+                        ptn = jnp.maximum(
+                            jnp.maximum(
+                                jnp.minimum(p0x, p1x),
+                                jnp.minimum(p0y, p1y),
+                            ),
+                            jnp.minimum(p0z, p1z),
+                        )
+                        ptf = jnp.minimum(
+                            jnp.minimum(
+                                jnp.maximum(p0x, p1x),
+                                jnp.maximum(p0y, p1y),
+                            ),
+                            jnp.maximum(p0z, p1z),
+                        )
+                        pre_hit = (
+                            g_mask
+                            & (ptn <= ptf)
+                            & (ptf > 0.0)
+                            & (ptn < t_out[lo:hi, :])
+                        )
+
+                        @pl.when(jnp.any(pre_hit))
+                        def _span(p=p):
+                            def span_body(k, _):
+                                return tri_body(p * _PRETEST_TRIS + k, 0)
+
+                            jax.lax.fori_loop(
+                                0, _PRETEST_TRIS, span_body, 0
+                            )
 
         return next_key(), cnt + 1
 
@@ -953,6 +1009,79 @@ def _group_candidates(o, d, tm, cluster_min, cluster_max, k: int):
     return ids, tns, usz
 
 
+def _mm_chunk_test(gbuf, raw, bmat, dx, dy, dz, t_cur, c, rows, any_hit):
+    """One (128-ray group, chunk) MXU Moller-Trumbore test + epilogue.
+
+    gbuf: the chunk's (16, 4*TRI_CHUNK) coefficient block (VMEM value),
+    raw: (16, GROUP) ray features, bmat: (16, GROUP) scratch ref.
+    Returns (t_new, tri_new, u_new, v_new), each (1, GROUP). Shared by
+    the grouped kernel and the wavefront kernel (ops/wavefront.py)."""
+    inf = jnp.float32(_INF)
+    # chunk center rides rows 10-12 of the coefficient block
+    ccx = gbuf[10:11, 0:GROUP]
+    ccy = gbuf[11:12, 0:GROUP]
+    ccz = gbuf[12:13, 0:GROUP]
+    bmat[:] = raw
+    bmat[0:1, :] = raw[0:1, :] - ccx
+    bmat[1:2, :] = raw[1:2, :] - ccy
+    bmat[2:3, :] = raw[2:3, :] - ccz
+    bmat[6:7, :] = raw[6:7, :] - (ccy * dz - ccz * dy)
+    bmat[7:8, :] = raw[7:8, :] - (ccz * dx - ccx * dz)
+    bmat[8:9, :] = raw[8:9, :] - (ccx * dy - ccy * dx)
+    bmat[10:16, :] = jnp.zeros((6, GROUP), jnp.float32)
+    res = jax.lax.dot_general(
+        gbuf, bmat[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_MM_PRECISION,
+    )  # (4*TRI_CHUNK, GROUP): [det | u_num | v_num | t_num] stacks
+    det = res[0 * TRI_CHUNK : 1 * TRI_CHUNK, :]
+    un = res[1 * TRI_CHUNK : 2 * TRI_CHUNK, :]
+    vn = res[2 * TRI_CHUNK : 3 * TRI_CHUNK, :]
+    tnm = res[3 * TRI_CHUNK : 4 * TRI_CHUNK, :]
+    sg = jnp.where(det >= 0.0, 1.0, -1.0)
+    adet = det * sg
+    us = un * sg
+    vs_ = vn * sg
+    inv_det = 1.0 / jnp.where(adet > _EPS, det, 1.0)
+    tt = tnm * inv_det
+    valid = (
+        (adet > _EPS)
+        & (us >= 0.0)
+        & (vs_ >= 0.0)
+        & (us + vs_ <= adet)
+        & (tt > _T_MIN)
+        & (tt < t_cur)
+    )
+    if any_hit:
+        blocked = jnp.any(valid, axis=0, keepdims=True)
+        t_new = jnp.where(blocked, 0.0, inf)
+        tri_new = jnp.where(blocked, c * TRI_CHUNK, -1)
+        u_new = jnp.zeros((1, GROUP), jnp.float32)
+        v_new = u_new
+    else:
+        tinf = jnp.where(valid, tt, inf)
+        t_new = jnp.min(tinf, axis=0, keepdims=True)
+        cand = valid & (tt == t_new)
+        win = jnp.min(
+            jnp.where(cand, rows, jnp.int32(TRI_CHUNK)),
+            axis=0, keepdims=True,
+        )
+        onehot = cand & (rows == win)
+        tri_new = jnp.where(
+            t_new < inf, c * TRI_CHUNK + win, -1
+        )
+        u_new = jnp.sum(
+            jnp.where(onehot, un * inv_det, 0.0),
+            axis=0, keepdims=True,
+        )
+        v_new = jnp.sum(
+            jnp.where(onehot, vn * inv_det, 0.0),
+            axis=0, keepdims=True,
+        )
+    return t_new, tri_new, u_new, v_new
+
+
 def _make_grouped_kernel(any_hit: bool, k: int):
     return functools.partial(_grouped_kernel_body, any_hit, k)
 
@@ -1012,69 +1141,9 @@ def _grouped_kernel_body(
         def _prefetch():
             start_dma(j + 1)
 
-        gbuf = buf2[slot]
-        # chunk center rides rows 10-12 of the coefficient block
-        ccx = gbuf[10:11, 0:GROUP]
-        ccy = gbuf[11:12, 0:GROUP]
-        ccz = gbuf[12:13, 0:GROUP]
-        bmat[:] = raw
-        bmat[0:1, :] = raw[0:1, :] - ccx
-        bmat[1:2, :] = raw[1:2, :] - ccy
-        bmat[2:3, :] = raw[2:3, :] - ccz
-        bmat[6:7, :] = raw[6:7, :] - (ccy * dz - ccz * dy)
-        bmat[7:8, :] = raw[7:8, :] - (ccz * dx - ccx * dz)
-        bmat[8:9, :] = raw[8:9, :] - (ccx * dy - ccy * dx)
-        bmat[10:16, :] = jnp.zeros((6, GROUP), jnp.float32)
-        res = jax.lax.dot_general(
-            gbuf, bmat[:],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_MM_PRECISION,
-        )  # (4*TRI_CHUNK, GROUP): [det | u_num | v_num | t_num] stacks
-        det = res[0 * TRI_CHUNK : 1 * TRI_CHUNK, :]
-        un = res[1 * TRI_CHUNK : 2 * TRI_CHUNK, :]
-        vn = res[2 * TRI_CHUNK : 3 * TRI_CHUNK, :]
-        tnm = res[3 * TRI_CHUNK : 4 * TRI_CHUNK, :]
-        sg = jnp.where(det >= 0.0, 1.0, -1.0)
-        adet = det * sg
-        us = un * sg
-        vs_ = vn * sg
-        inv_det = 1.0 / jnp.where(adet > _EPS, det, 1.0)
-        tt = tnm * inv_det
-        valid = (
-            (adet > _EPS)
-            & (us >= 0.0)
-            & (vs_ >= 0.0)
-            & (us + vs_ <= adet)
-            & (tt > _T_MIN)
-            & (tt < t_cur)
+        t_new, tri_new, u_new, v_new = _mm_chunk_test(
+            buf2[slot], raw, bmat, dx, dy, dz, t_cur, c, rows, any_hit
         )
-        if any_hit:
-            blocked = jnp.any(valid, axis=0, keepdims=True)
-            t_new = jnp.where(blocked, 0.0, inf)
-            tri_new = jnp.where(blocked, c * TRI_CHUNK, -1)
-            u_new = jnp.zeros((1, GROUP), jnp.float32)
-            v_new = u_new
-        else:
-            tinf = jnp.where(valid, tt, inf)
-            t_new = jnp.min(tinf, axis=0, keepdims=True)
-            cand = valid & (tt == t_new)
-            win = jnp.min(
-                jnp.where(cand, rows, jnp.int32(TRI_CHUNK)),
-                axis=0, keepdims=True,
-            )
-            onehot = cand & (rows == win)
-            tri_new = jnp.where(
-                t_new < inf, c * TRI_CHUNK + win, -1
-            )
-            u_new = jnp.sum(
-                jnp.where(onehot, un * inv_det, 0.0),
-                axis=0, keepdims=True,
-            )
-            v_new = jnp.sum(
-                jnp.where(onehot, vn * inv_det, 0.0),
-                axis=0, keepdims=True,
-            )
         # lexicographic (t, tri) min — brute-force tie parity
         take = (t_new < t_acc) | (
             (t_new == t_acc) & (tri_new >= 0)
@@ -1111,6 +1180,90 @@ def _grouped_kernel_body(
     tri_out[0, 0:1, :] = tri_acc
     u_out[0, 0:1, :] = u_acc
     v_out[0, 0:1, :] = v_acc
+
+
+def ray_features(o, d, tm_p):
+    """Ray feature matrix (16, N): rows [o(3), d(3), o x d(3), 1,
+    t_max, 0 x 5] — one VMEM column block per 128-ray group."""
+    n_pad = o.shape[0]
+    w = jnp.cross(o, d)
+    return jnp.concatenate(
+        [
+            o.T, d.T, w.T,
+            jnp.ones((1, n_pad), jnp.float32),
+            tm_p[None, :],
+            jnp.zeros((5, n_pad), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def mm_with_centers(geometry):
+    """mm_table with the chunk centers riding rows 10-12 (broadcast) so
+    kernels need no second lookup stream; the feature side zeroes those
+    rows."""
+    c = geometry.tri_packed.shape[0]
+    cmin, cmax = geometry.cluster_min, geometry.cluster_max
+    mm = mm_table(geometry, cmin, cmax)
+    cc = 0.5 * (cmin + cmax)  # identical f32 arithmetic to mm_table
+    return mm.at[:, 10:13, :].set(
+        jnp.broadcast_to(cc[:, :, None], (c, 3, _MM_COLS))
+    )
+
+
+def grouped_pallas_call(
+    o, d, tm_p, geometry, counts, ids_flat, tnb_flat,
+    k: int, any_hit: bool, interpret: bool,
+):
+    """Dispatch the grouped MXU kernel over explicit per-group candidate
+    lists. `o`/`d`/`tm_p` must already be GROUP-padded; `counts` (G,),
+    `ids_flat` (G*k,) clamped chunk ids and `tnb_flat` (G*k,) ascending
+    i32 entry-distance lower bounds (f32 bit patterns or the packed
+    tn|id keys of ops/cull.py — both are monotone lower bounds, which is
+    all the early-exit compare needs). Shared by intersect_grouped
+    (union lists from _group_candidates) and the rank-iteration
+    wavefront (per-ray top-K merged lists, ops/wavefront.py)."""
+    n_pad = o.shape[0]
+    g_total = n_pad // GROUP
+    feat = ray_features(o, d, tm_p)
+    mm = mm_with_centers(geometry)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(g_total,),
+        in_specs=[
+            pl.BlockSpec(
+                (16, GROUP), lambda i, cnt_, ids_, tnb_: (0, i)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            # Mosaic wants >=8-divisible sublane blocks: one (8, GROUP)
+            # row-block per group, row 0 carries the result.
+            pl.BlockSpec(
+                (1, 8, GROUP), lambda i, cnt_, ids_, tnb_: (i, 0, 0)
+            )
+        ] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((16, GROUP), jnp.float32),
+            pltpu.VMEM((2, 16, _MM_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_grouped_kernel(any_hit, k),
+        grid_spec=grid_spec,
+        out_shape=[
+            out_struct((g_total, 8, GROUP), jnp.float32, tm_p),
+            out_struct((g_total, 8, GROUP), jnp.int32, tm_p),
+            out_struct((g_total, 8, GROUP), jnp.float32, tm_p),
+            out_struct((g_total, 8, GROUP), jnp.float32, tm_p),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(counts, ids_flat, tnb_flat, feat, mm)
 
 
 @functools.partial(
@@ -1158,61 +1311,10 @@ def intersect_grouped(
     ids_flat = jnp.minimum(ids.reshape(-1), c - 1)  # clamp sentinels
     tnb_flat = jax.lax.bitcast_convert_type(tns.reshape(-1), jnp.int32)
 
-    # Ray features, rows [o(3), d(3), o x d(3), 1, t_max, 0 x 5].
-    w = jnp.cross(o, d)
-    feat = jnp.concatenate(
-        [
-            o.T, d.T, w.T,
-            jnp.ones((1, n_pad), jnp.float32),
-            tm_p[None, :],
-            jnp.zeros((5, n_pad), jnp.float32),
-        ],
-        axis=0,
+    t_b, tri_b, u_b, v_b = grouped_pallas_call(
+        o, d, tm_p, geometry, counts, ids_flat, tnb_flat,
+        k=k, any_hit=any_hit, interpret=interpret,
     )
-    mm = mm_table(geometry, cmin, cmax)
-    # chunk centers ride rows 10-12 (broadcast) so the kernel needs no
-    # second lookup stream; the feature side zeroes those rows.
-    cc = 0.5 * (cmin + cmax)  # identical f32 arithmetic to mm_table
-    mm = mm.at[:, 10:13, :].set(
-        jnp.broadcast_to(cc[:, :, None], (c, 3, _MM_COLS))
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(g_total,),
-        in_specs=[
-            pl.BlockSpec(
-                (16, GROUP), lambda i, cnt_, ids_, tnb_: (0, i)
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            # Mosaic wants >=8-divisible sublane blocks: one (8, GROUP)
-            # row-block per group, row 0 carries the result.
-            pl.BlockSpec(
-                (1, 8, GROUP), lambda i, cnt_, ids_, tnb_: (i, 0, 0)
-            )
-        ] * 4,
-        scratch_shapes=[
-            pltpu.VMEM((16, GROUP), jnp.float32),
-            pltpu.VMEM((2, 16, _MM_COLS), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    t_b, tri_b, u_b, v_b = pl.pallas_call(
-        _make_grouped_kernel(any_hit, k),
-        grid_spec=grid_spec,
-        out_shape=[
-            out_struct((g_total, 8, GROUP), jnp.float32, tm_p),
-            out_struct((g_total, 8, GROUP), jnp.int32, tm_p),
-            out_struct((g_total, 8, GROUP), jnp.float32, tm_p),
-            out_struct((g_total, 8, GROUP), jnp.float32, tm_p),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(counts, ids_flat, tnb_flat, feat, mm)
 
     t_acc = t_b[:, 0, :]
     tri_fin = tri_b[:, 0, :].reshape(-1)
@@ -1288,12 +1390,17 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "any_hit", "subs", "kernel")
+    jax.jit,
+    static_argnames=(
+        "interpret", "any_hit", "subs", "kernel", "wavefront_k",
+        "wavefront_m",
+    ),
 )
 def matrix_query(
     o, d, geometry, t_max=None,
     interpret: bool = False, any_hit: bool = False, subs: int = 1,
     kernel: str = "matrix",
+    wavefront_k: int = 16, wavefront_m: int = 32,
 ) -> Hit:
     """Coherence-sorted traversal with FUSED payload sorts.
 
@@ -1301,13 +1408,25 @@ def matrix_query(
     (element-wise), while lax.sort carrying the payload costs ~1.5 ms —
     so both the sort-in and the unsort ride lax.sort directly and no
     gather ever happens. `kernel` picks the tile walker: "matrix" (the
-    in-kernel selection loop) or "grouped" (the static-grid MXU
-    traversal — the sort is what makes its 128-ray groups tight)."""
+    in-kernel selection loop), "grouped" (the static-grid MXU traversal
+    — the sort is what makes its 128-ray groups tight), or "wavefront"
+    (per-ray top-K candidates merged into per-group lists,
+    ops/wavefront.py — the large-scene default)."""
     n = o.shape[0]
     if t_max is None:
         tm = varying_like(o[:, 0], 0.0) + T_MAX
     else:
         tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+    if kernel == "wavefront":
+        # the wavefront sorts internally by candidate signature (a much
+        # tighter grouping than the origin-Morton key), so delegate the
+        # whole query rather than double-sorting
+        from .wavefront import intersect_wavefront
+
+        return intersect_wavefront(
+            o, d, geometry, t_max=tm, interpret=interpret,
+            any_hit=any_hit, k_per_ray=wavefront_k, m_group=wavefront_m,
+        )
     key = _coherence_key(o, d, tm, geometry.cluster_min, geometry.cluster_max)
     idx = jnp.arange(n, dtype=jnp.int32)
     (_, o0, o1, o2, d0, d1, d2, tm_s, idx_s) = jax.lax.sort(

@@ -89,4 +89,32 @@ class RayTracingProgram:
             film,
             jnp.asarray(frame_index, jnp.uint32),
             settings,
+            hooks=self._resolve_hooks(),
         )
+
+    def _resolve_hooks(self):
+        """Resolve the desc's shader paths into the frame dispatch table
+        (the SBT role): `builtin:*` keeps the built-in integrator stage,
+        anything else loads through the KernelCache by import path.
+        raygen -> sample-jitter seam, first miss path -> escape-radiance
+        seam, first callable -> post-shade seam."""
+        from ..models.integrator import KernelHooks
+        from .shader_cache import KernelCache
+
+        cache = KernelCache.get_instance()
+
+        def resolve(path):
+            if not path or path.startswith("builtin:"):
+                return None
+            return cache.load(path)
+
+        miss = self.desc.miss_shader_file_paths
+        call = self.desc.callable_shader_file_paths
+        hooks = KernelHooks(
+            raygen=resolve(self.desc.ray_gen_shader_file_path),
+            miss=resolve(miss[0]) if miss else None,
+            post_shade=resolve(call[0]) if call else None,
+        )
+        if hooks.raygen or hooks.miss or hooks.post_shade:
+            return hooks
+        return None

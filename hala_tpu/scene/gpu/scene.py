@@ -232,10 +232,15 @@ class DeviceMeshlets:
     center: jax.Array       # (M, 3)
     radius: jax.Array       # (M,)
     tri_meshlet: jax.Array  # (T,) i32, -1 for padding
+    # per-meshlet triangle SLOT list (M, MESHLET_MAX_TRIS) i32, -1
+    # padded — the mesh-shader draw granularity (draw_mesh_tasks role):
+    # the meshlet-binned rasterizer expands tiles' candidate meshlets
+    # through this table instead of binning individual triangles
+    tri_ids: jax.Array | None = None
     num_meshlets: int = 0
 
 
-@partial(_register, meta_fields=("name",))
+@partial(_register, meta_fields=("name", "prim_node"))
 @dataclasses.dataclass
 class DeviceScene:
     """Everything the integrator kernels read (gpu/scene.rs:11-37 role)."""
@@ -250,6 +255,9 @@ class DeviceScene:
     # built; the brute-force intersector works without it.
     bvh: "object | None" = None
     name: str = "scene"
+    # flattened primitive id -> scene node index (the animation path's
+    # delta-transform routing, ops/animate.py); static host metadata
+    prim_node: tuple = ()
 
 
 def pad_rows(arr: np.ndarray, total: int, fill=0) -> np.ndarray:

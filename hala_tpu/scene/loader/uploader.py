@@ -78,12 +78,21 @@ class SceneUploader:
         geometry = SceneUploader._upload_geometry(scene)
         textures = SceneUploader._upload_textures(scene)
 
+        # flattened primitive id -> node index, in the same enumeration
+        # order as _upload_geometry's prim_id (animation delta routing)
+        prim_node = tuple(
+            ni
+            for ni, node in enumerate(scene.nodes)
+            if node.mesh_index is not None
+            for _ in scene.meshes[node.mesh_index].primitives
+        )
         device_scene = DeviceScene(
             geometry=geometry,
             materials=materials,
             lights=lights,
             cameras=cameras,
             textures=textures,
+            prim_node=prim_node,
         )
 
         if use_mesh_shader:
@@ -485,6 +494,27 @@ class SceneUploader:
         tri_packed[:, 0:3] = v0p.reshape(n_clusters, TRI_PAD, 3).transpose(0, 2, 1)
         tri_packed[:, 3:6] = e1p.reshape(n_clusters, TRI_PAD, 3).transpose(0, 2, 1)
         tri_packed[:, 6:9] = e2p.reshape(n_clusters, TRI_PAD, 3).transpose(0, 2, 1)
+        # row 9: 8 x 16-triangle sub-chunk AABBs (lanes 0-47) for the
+        # matrix kernel's in-chunk Moller-Trumbore pretest
+        # (ops/cluster.subchunk_aabb_row conventions; t_min/t_max carry
+        # +-inf in padding slots here, empty sub-chunks become far
+        # point boxes)
+        from ...ops.cluster import PRETEST_PER_CHUNK, PRETEST_TRIS
+
+        pre_lo = t_min.reshape(
+            n_clusters, PRETEST_PER_CHUNK, PRETEST_TRIS, 3
+        ).min(axis=2)
+        pre_hi = t_max.reshape(
+            n_clusters, PRETEST_PER_CHUNK, PRETEST_TRIS, 3
+        ).max(axis=2)
+        pre_empty = ~np.isfinite(pre_lo[..., :1]) | ~np.isfinite(
+            pre_hi[..., :1]
+        )
+        pre_lo = np.where(pre_empty, far, pre_lo)
+        pre_hi = np.where(pre_empty, far, pre_hi)
+        tri_packed[:, 9, : PRETEST_PER_CHUNK * 6] = np.concatenate(
+            [pre_lo, pre_hi], axis=-1
+        ).reshape(n_clusters, PRETEST_PER_CHUNK * 6)
 
         return DeviceGeometry(
             shade_table=jnp.asarray(take(shade, 0)),
@@ -554,6 +584,17 @@ class SceneUploader:
         tri_meshlet = np.where(
             tri_mat >= 0, orig_mids[np.clip(orig_idx, 0, len(orig_mids) - 1)], -1
         ).astype(np.int32)
+        # invert the map: per-meshlet triangle slot list (mesh-shader
+        # draw granularity; meshopt caps meshlets at 124 triangles)
+        max_tris = 128
+        order = np.argsort(tri_meshlet, kind="stable")
+        sorted_m = tri_meshlet[order]
+        first = np.searchsorted(sorted_m, np.arange(m_off), side="left")
+        last = np.searchsorted(sorted_m, np.arange(m_off), side="right")
+        tri_ids = np.full((m_off, max_tris), -1, np.int32)
+        for m in range(m_off):
+            members = order[first[m] : last[m]][:max_tris]
+            tri_ids[m, : len(members)] = members
         return DeviceMeshlets(
             cone_apex=jnp.asarray(np.stack(apexes).astype(np.float32)),
             cone_axis=jnp.asarray(np.stack(axes).astype(np.float32)),
@@ -561,6 +602,7 @@ class SceneUploader:
             center=jnp.asarray(np.stack(centers).astype(np.float32)),
             radius=jnp.asarray(np.array(radii, np.float32)),
             tri_meshlet=jnp.asarray(tri_meshlet),
+            tri_ids=jnp.asarray(tri_ids),
             num_meshlets=m_off,
         )
 

@@ -41,6 +41,20 @@ def _settings(**kw):
     return RenderSettings(**base)
 
 
+def ortho_cornell():
+    """Cornell box seen through an orthographic camera (PLAN round-2
+    completeness item: perspective goldens existed, orthographic none)."""
+    from hala_tpu.scene.cpu.camera import (
+        OrthographicCamera, orthographic_rh,
+    )
+
+    scene = cornell_box()
+    cam = OrthographicCamera(xmag=1.2, ymag=1.2)
+    cam.orthography = orthographic_rh(-1.2, 1.2, -1.2, 1.2, 0.1, 100.0)
+    scene.cameras = [cam]  # keeps the camera node's pose
+    return scene
+
+
 def ggx_scene():
     from hala_tpu.scene.cpu.material import Material, MaterialType
 
@@ -108,6 +122,23 @@ def main():
         os.path.join(HERE, "golden_atrium.npz"),
         **_trace(dev, _settings(width=24, height=24, tile_size=576,
                                 max_depth=2), frames=4),
+    )
+    # 5b. orthographic camera golden
+    dev_ortho = SceneUploader.upload(ortho_cornell(), use_ray_tracing=False)
+    np.savez_compressed(
+        os.path.join(HERE, "golden_ortho.npz"),
+        **_trace(dev_ortho, _settings(), frames=4),
+    )
+    # 6. the Sponza-scale asset (167k triangles, the BENCH config[4]
+    # input) — golden-rendered through the exact brute-force reference
+    dev_big = SceneUploader.upload(
+        Scene.load(os.path.join(os.getcwd(), "assets", "atrium_big.glb")),
+        use_ray_tracing=False,
+    )
+    np.savez_compressed(
+        os.path.join(HERE, "golden_atrium_big.npz"),
+        **_trace(dev_big, _settings(width=24, height=24, tile_size=576,
+                                    max_depth=2), frames=2),
     )
     print("wrote all fixtures to", HERE)
 

@@ -171,6 +171,33 @@ def test_sharded_grouped_intersector(cornell_device_scene):
     _assert_identical(*_run_pair(cornell_device_scene, settings, frames=1))
 
 
+def test_sharded_wavefront_intersector_truncated():
+    """The rank-iteration wavefront (interpret mode) on a multi-cluster
+    scene with tiny caps, so per-ray cull overflow AND group M-cap
+    truncation both fire: group composition (and therefore which engine
+    resolves a ray — wavefront kernel vs matrix fallback) depends on
+    the per-shard batch, and bit-identity holds because winning hits
+    are re-evaluated with the canonical Moller-Trumbore
+    (ops/intersect.canonical_hit, round-2 advisor finding on the
+    grouped fallback merge)."""
+    from hala_tpu.scene.loader.uploader import SceneUploader
+    from hala_tpu.scene.procedural import sponza_like
+
+    dev = SceneUploader.upload(
+        sponza_like(rooms=(3, 3), columns_per_room=3, boxes_per_room=6),
+        use_ray_tracing=False,
+    )
+    assert dev.geometry.tri_packed.shape[0] > 8
+    size = 32
+    settings = RenderSettings(
+        width=size, height=size, max_depth=2, rr_depth=2,
+        tile_size=size * size // 8, intersector="wavefront",
+        sort_rays=True, interpret_pallas=True,
+        wavefront_k=3, wavefront_m=8,
+    )
+    _assert_identical(*_run_pair(dev, settings, frames=1))
+
+
 def test_sharded_uneven_aspect(cornell_device_scene):
     """Non-square film whose height still divides the mesh (40x48):
     per-shard row offsets + camera NDC must agree with single-chip."""

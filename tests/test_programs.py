@@ -184,3 +184,125 @@ class TestBlueNoise:
         a, b = np.asarray(f1.accum), np.asarray(f2.accum)
         assert np.isfinite(b).all()
         assert np.abs(a - b).max() > 0  # different jitter stream
+
+
+class TestKernelHookDispatch:
+    """Pushed kernels must actually be exercised by render_frame
+    (round-2 verdict: the registry was registration-only)."""
+
+    def _render(self, scene, hooks=None, size=16):
+        from hala_tpu.models.integrator import (
+            Film, RenderSettings, Uniforms, render_frame,
+        )
+
+        settings = RenderSettings(
+            width=size, height=size, max_depth=2, rr_depth=2,
+            tile_size=size * size, use_bvh=True,
+        )
+        film = Film.create(size, size)
+        film, _ = render_frame(
+            scene, None, Uniforms.default(), film, 0, settings,
+            hooks=hooks,
+        )
+        return np.asarray(film.accum)
+
+    def test_miss_hook_changes_image(self, cornell_device_scene):
+        from hala_tpu.models.integrator import KernelHooks
+
+        def red_miss(d, uniforms, default):
+            return jnp.broadcast_to(
+                jnp.asarray([5.0, 0.0, 0.0]), default.shape
+            )
+
+        base = self._render(cornell_device_scene)
+        hooked = self._render(
+            cornell_device_scene, KernelHooks(miss=red_miss)
+        )
+        assert not np.allclose(base, hooked)
+        # the escape radiance is red, so red energy must rise
+        assert hooked[..., 0].mean() > base[..., 0].mean()
+
+    def test_raygen_and_post_shade_hooks(self, cornell_device_scene):
+        from hala_tpu.models.integrator import KernelHooks
+
+        def center_jitter(gpix, fidx, r_jit):
+            return r_jit.at[:, :2].set(0.5)  # pin samples to centers
+
+        def half_bright(L, alb, nrm):
+            return L * 0.5, alb, nrm
+
+        base = self._render(cornell_device_scene)
+        jittered = self._render(
+            cornell_device_scene, KernelHooks(raygen=center_jitter)
+        )
+        halved = self._render(
+            cornell_device_scene,
+            KernelHooks(raygen=center_jitter, post_shade=half_bright),
+        )
+        assert not np.allclose(base, jittered)
+        np.testing.assert_allclose(
+            halved[..., :3], jittered[..., :3] * 0.5, atol=1e-6
+        )
+
+    def test_renderer_push_is_dispatched(self, cornell_scene):
+        """RayTracingRenderer.push_general_kernel -> commit -> render:
+        the pushed miss kernel must change the image."""
+        from hala_tpu.models.rt_renderer import RayTracingRenderer
+        from hala_tpu.programs import KernelCache
+
+        def green_miss(d, uniforms, default):
+            return jnp.broadcast_to(
+                jnp.asarray([0.0, 4.0, 0.0]), default.shape
+            )
+
+        cache = KernelCache.get_instance()
+        try:
+            r = RayTracingRenderer("plain", 16, 16, max_frames=1,
+                                   tile_size=256)
+            r.set_scene(cornell_scene)
+            r.commit()
+            r.render_loop(1)
+            base = np.asarray(r.film.accum)
+
+            r2 = RayTracingRenderer("hooked", 16, 16, max_frames=1,
+                                    tile_size=256)
+            r2.set_scene(cornell_scene)
+            r2.push_general_kernel("miss", green_miss)
+            r2.commit()
+            assert r2.hooks is not None and r2.hooks.miss is green_miss
+            r2.render_loop(1)
+            hooked = np.asarray(r2.film.accum)
+            assert not np.allclose(base, hooked)
+            assert hooked[..., 1].mean() > base[..., 1].mean()
+        finally:
+            cache.remove("rt.miss")
+
+    def test_program_desc_path_resolves(self, cornell_device_scene):
+        """A non-builtin desc path is loaded from the KernelCache and
+        dispatched by trace_rays."""
+        from hala_tpu.models.integrator import Film
+        from hala_tpu.programs import (
+            RayTracingProgram, RayTracingProgramDesc,
+        )
+
+        desc = RayTracingProgramDesc(ray_recursion_depth=2)
+        prog = RayTracingProgram(desc, cornell_device_scene)
+        film = Film.create(16, 16)
+        film, _ = prog.trace_rays(film, 16, 16)
+        base = np.asarray(film.accum)
+
+        desc2 = RayTracingProgramDesc(
+            ray_recursion_depth=2,
+            miss_shader_file_paths=["tests.test_programs:blue_miss"],
+        )
+        prog2 = RayTracingProgram(desc2, cornell_device_scene)
+        film2 = Film.create(16, 16)
+        film2, _ = prog2.trace_rays(film2, 16, 16)
+        hooked = np.asarray(film2.accum)
+        assert not np.allclose(base, hooked)
+        assert hooked[..., 2].mean() > base[..., 2].mean()
+
+
+def blue_miss(d, uniforms, default):
+    """Importable miss kernel for the desc-path test."""
+    return jnp.broadcast_to(jnp.asarray([0.0, 0.0, 6.0]), default.shape)

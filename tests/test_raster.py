@@ -210,3 +210,86 @@ class TestDeferredPipeline:
         r.commit(); r.update()
         with pytest.raises(HalaRendererError):
             r.relight()
+
+
+class TestRasterKernelHooks:
+    """Pushed rz.* kernels must be consumed by the frame (round-2
+    verdict: the registry was registration-only)."""
+
+    def test_fragment_hook_changes_image(self):
+        from hala_tpu.programs import KernelCache
+
+        def half(color, albedo, normal):
+            return color * 0.5, albedo, normal
+
+        cache = KernelCache.get_instance()
+        try:
+            r = RasterizationRenderer("base", 24, 24, chunk=128)
+            r.set_scene(cornell_box())
+            r.commit(); r.update()
+            base = r.get_final_image()
+
+            r2 = RasterizationRenderer("frag", 24, 24, chunk=128)
+            r2.set_scene(cornell_box())
+            r2.push_traditional_kernels(lambda c: c, half)
+            r2.commit()
+            assert r2.hooks is not None
+            r2.update()
+            hooked = r2.get_final_image()
+            np.testing.assert_allclose(hooked, base * 0.5, atol=1e-5)
+        finally:
+            cache.remove("rz.vertex")
+            cache.remove("rz.fragment")
+
+    def test_vertex_hook_moves_geometry(self):
+        import jax.numpy as jnp
+
+        from hala_tpu.programs import KernelCache
+
+        def shift(corners):
+            return corners + jnp.asarray([10.0, 0.0, 0.0])
+
+        cache = KernelCache.get_instance()
+        try:
+            r = RasterizationRenderer("vtx", 24, 24, chunk=128)
+            r.set_scene(cornell_box())
+            r.push_traditional_kernels(shift, None)
+            # fragment=None is not a kernel; register vertex only
+            cache.remove("rz.fragment")
+            r.commit(); r.update()
+            img = r.get_final_image()
+            # everything moved out of frustum -> pure clear color
+            clear = np.asarray([25, 118, 210], np.float32) / 255.0
+            np.testing.assert_allclose(
+                img, np.broadcast_to(clear, img.shape), atol=1e-5
+            )
+        finally:
+            cache.remove("rz.vertex")
+
+    def test_task_hook_culls_all_meshlets(self):
+        import jax.numpy as jnp
+
+        from hala_tpu.programs import KernelCache
+
+        def cull_all(meshlets, eye):
+            return jnp.zeros(
+                meshlets.cone_cutoff.shape, bool
+            )
+
+        cache = KernelCache.get_instance()
+        try:
+            r = RasterizationRenderer(
+                "task", 24, 24, chunk=128, use_mesh_shader=True
+            )
+            r.set_scene(cornell_box())
+            r.push_kernels(mesh=lambda c: c, fragment=None, task=cull_all)
+            cache.remove("rz.fragment")
+            r.commit(); r.update()
+            img = r.get_final_image()
+            clear = np.asarray([25, 118, 210], np.float32) / 255.0
+            np.testing.assert_allclose(
+                img, np.broadcast_to(clear, img.shape), atol=1e-5
+            )
+        finally:
+            cache.remove("rz.task")
+            cache.remove("rz.mesh")

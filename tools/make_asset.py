@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Generate assets/atrium.glb — a deterministic Sponza-class test asset.
 
-A two-story colonnaded atrium (~60k triangles): fluted columns with
+A two-story colonnaded atrium (33,920 triangles at detail=1, the
+checked-in assets/atrium.glb; 167,064 at detail=2.4, the Sponza-scale
+assets/atrium_big.glb): fluted columns with
 capitals, semicircular arcades, paneled walls, a coffered floor with a
 baked marble PNG texture, hanging fabric banners, bronze braziers and
 clay urns. Everything is authored here (seeded numpy) and written as a
@@ -203,9 +205,16 @@ def _xform(part, dx=0.0, dy=0.0, dz=0.0):
 # scene assembly: parts bucketed per material
 # --------------------------------------------------------------------------
 
-def build_scene():
+def build_scene(detail=1.0):
     W, D = 26.0, 14.0          # atrium footprint
     H1, H2 = 4.0, 3.4          # story heights
+
+    def s(v):
+        """Tessellation scale: detail=1 reproduces assets/atrium.glb
+        byte-for-byte (the rs call sequence is unchanged); larger values
+        subdivide every curved/gridded surface for the Sponza-scale
+        asset (~150k triangles at detail=2.4)."""
+        return max(1, int(round(v * detail)))
     buckets = {k: [] for k in (
         "stone", "marble", "brick", "fabric_r", "fabric_g", "fabric_b",
         "bronze", "clay",
@@ -213,18 +222,18 @@ def build_scene():
 
     # floor (coffered marble) + outer walls + roof
     buckets["marble"].append(_grid_quad([-W / 2, 0, -D / 2], [0, 0, D],
-                                        [W, 0, 0], nu=12, nv=8, uv_scale=8))
+                                        [W, 0, 0], nu=s(12), nv=s(8), uv_scale=8))
     buckets["brick"].append(_grid_quad([-W / 2, 0, -D / 2], [W, 0, 0],
-                                       [0, H1 + H2 + 1.2, 0], nu=10, nv=4,
+                                       [0, H1 + H2 + 1.2, 0], nu=s(10), nv=s(4),
                                        uv_scale=6))
     buckets["brick"].append(_grid_quad([W / 2, 0, D / 2], [-W, 0, 0],
-                                       [0, H1 + H2 + 1.2, 0], nu=10, nv=4,
+                                       [0, H1 + H2 + 1.2, 0], nu=s(10), nv=s(4),
                                        uv_scale=6))
     buckets["brick"].append(_grid_quad([-W / 2, 0, D / 2], [0, 0, -D],
-                                       [0, H1 + H2 + 1.2, 0], nu=6, nv=4,
+                                       [0, H1 + H2 + 1.2, 0], nu=s(6), nv=s(4),
                                        uv_scale=4))
     buckets["brick"].append(_grid_quad([W / 2, 0, -D / 2], [0, 0, D],
-                                       [0, H1 + H2 + 1.2, 0], nu=6, nv=4,
+                                       [0, H1 + H2 + 1.2, 0], nu=s(6), nv=s(4),
                                        uv_scale=4))
     # roof slabs leaving a central skylight opening
     roof_y = H1 + H2 + 1.2
@@ -234,7 +243,7 @@ def build_scene():
         ([-W / 2, roof_y, -D * 0.2], [W * 0.3, 0, 0], [0, 0, D * 0.4]),
         ([W * 0.2, roof_y, -D * 0.2], [W * 0.3, 0, 0], [0, 0, D * 0.4]),
     ]:
-        buckets["stone"].append(_grid_quad(corner, ev, eu, nu=4, nv=8))
+        buckets["stone"].append(_grid_quad(corner, ev, eu, nu=s(4), nv=s(8)))
 
     # colonnades: two rows along z = +-(D/2 - 2), both stories
     ncol = 9
@@ -243,44 +252,44 @@ def build_scene():
         for zrow in (-D / 2 + 2.0, D / 2 - 2.0):
             for x in xs:
                 buckets["stone"].append(_box([x, y0 + 0.15, zrow],
-                                             [0.7, 0.3, 0.7]))
+                                             [0.7, 0.3, 0.7], sub=s(1)))
                 buckets["stone"].append(
                     _cylinder([x, y0 + 0.3, zrow], 0.26, h - 0.9,
-                              segments=24))
+                              segments=s(24)))
                 buckets["stone"].append(_box([x, y0 + h - 0.45, zrow],
-                                             [0.8, 0.3, 0.8], sub=1))
+                                             [0.8, 0.3, 0.8], sub=s(1)))
             # architrave beam + arches between columns
             buckets["stone"].append(_box([0.0, y0 + h - 0.15, zrow],
-                                         [W - 3.0, 0.3, 0.6], sub=2))
+                                         [W - 3.0, 0.3, 0.6], sub=s(2)))
             span = xs[1] - xs[0]
             for x0 in xs[:-1]:
                 buckets["brick"].append(
                     _arch([x0 + span / 2, y0 + h - 0.85, zrow],
-                          span / 2 - 0.28, 0.5, 0.35, segments=16))
+                          span / 2 - 0.28, 0.5, 0.35, segments=s(16)))
         # second-story walkway slab
         if story == 0:
             for zrow in (-D / 2 + 1.0, D / 2 - 1.0):
                 buckets["stone"].append(
                     _grid_quad([-W / 2, H1 + 0.45, zrow - 1.0],
-                               [W, 0, 0], [0, 0, 2.0], nu=10, nv=2,
+                               [W, 0, 0], [0, 0, 2.0], nu=s(10), nv=s(2),
                                uv_scale=6))
 
     # balustrades along the second-story walkways
     for zrow in (-D / 2 + 0.4, D / 2 - 0.4):
         buckets["stone"].append(_box([0, H1 + 0.98, zrow],
-                                     [W - 1.5, 0.1, 0.12], sub=2))
-        for x in np.linspace(-W / 2 + 1.0, W / 2 - 1.0, 48):
+                                     [W - 1.5, 0.1, 0.12], sub=s(2)))
+        for x in np.linspace(-W / 2 + 1.0, W / 2 - 1.0, s(48)):
             buckets["stone"].append(
-                _cylinder([x, H1 + 0.5, zrow], 0.05, 0.45, segments=8,
+                _cylinder([x, H1 + 0.5, zrow], 0.05, 0.45, segments=s(8),
                           fluted=False))
 
     # ceiling coffer beams under the roof
-    for x in np.linspace(-W / 2 + 1.5, W / 2 - 1.5, 12):
+    for x in np.linspace(-W / 2 + 1.5, W / 2 - 1.5, s(12)):
         buckets["stone"].append(_box([x, H1 + H2 + 1.0, 0],
-                                     [0.25, 0.35, D - 1.0], sub=2))
-    for z in np.linspace(-D / 2 + 1.5, D / 2 - 1.5, 7):
+                                     [0.25, 0.35, D - 1.0], sub=s(2)))
+    for z in np.linspace(-D / 2 + 1.5, D / 2 - 1.5, s(7)):
         buckets["stone"].append(_box([0, H1 + H2 + 1.05, z],
-                                     [W - 1.0, 0.25, 0.25], sub=2))
+                                     [W - 1.0, 0.25, 0.25], sub=s(2)))
 
     # hanging banners off the upper architrave
     cols = ["fabric_r", "fabric_g", "fabric_b"]
@@ -288,18 +297,19 @@ def build_scene():
         for zrow in (-D / 2 + 2.6, D / 2 - 2.6):
             buckets[cols[k % 3]].append(
                 _banner([x, H1 + H2 - 0.4, zrow], 1.4, 2.2,
-                        sway=0.25 + 0.1 * rs.rand()))
+                        sway=0.25 + 0.1 * rs.rand(),
+                        nu=s(6), nv=s(10)))
 
     # braziers (bronze) + urns (clay) on the floor
     for x in np.linspace(-W / 2 + 3, W / 2 - 3, 5):
-        buckets["bronze"].append(_sphere([x, 0.75, 0.0], 0.45, squash=0.6))
+        buckets["bronze"].append(_sphere([x, 0.75, 0.0], 0.45, su=s(18), sv=s(12), squash=0.6))
         buckets["bronze"].append(_cylinder([x, 0.0, 0.0], 0.12, 0.6,
-                                           segments=10, fluted=False))
+                                           segments=s(10), fluted=False))
     for _ in range(22):
         x = rs.uniform(-W / 2 + 1.5, W / 2 - 1.5)
         z = rs.choice([-1, 1]) * rs.uniform(D / 2 - 3.4, D / 2 - 2.6)
         r = rs.uniform(0.25, 0.45)
-        buckets["clay"].append(_sphere([x, r * 0.9, z], r, squash=1.25))
+        buckets["clay"].append(_sphere([x, r * 0.9, z], r, su=s(18), sv=s(12), squash=1.25))
 
     return {k: _merge(v) for k, v in buckets.items() if v}
 
@@ -339,8 +349,8 @@ def brick_png(size=128):
 # GLB writer
 # --------------------------------------------------------------------------
 
-def write_glb(path):
-    parts = build_scene()
+def write_glb(path, detail=1.0):
+    parts = build_scene(detail)
     mats = {
         "stone": dict(baseColorFactor=[0.62, 0.6, 0.56, 1], roughnessFactor=0.9,
                       metallicFactor=0.0),
@@ -496,4 +506,7 @@ def write_glb(path):
 
 
 if __name__ == "__main__":
-    write_glb(sys.argv[1] if len(sys.argv) > 1 else "assets/atrium.glb")
+    write_glb(
+        sys.argv[1] if len(sys.argv) > 1 else "assets/atrium.glb",
+        float(sys.argv[2]) if len(sys.argv) > 2 else 1.0,
+    )
