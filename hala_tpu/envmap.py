@@ -57,6 +57,21 @@ class EnvMap:
     conditional: jax.Array      # (H, W) f32 — inverted per-row CDF lookup
     luminance: jax.Array        # (H, W) f32 — texel luminance (pdf eval)
     total_luminance: jax.Array  # () f32
+    # Derived 2x2-neighborhood table (H, W, 16): for cell (y, x) the
+    # rgb+luminance of [c(y,x) | c(y,x+1 wrap) | c(y+1 clamp,x) |
+    # c(y+1,x+1)]. One 16-wide row take then serves an ENTIRE bilinear
+    # fetch AND the nearest-texel pdf — TPU element gathers cost ~9 ns
+    # PER ROW nearly independent of row width, and the env path's ~9
+    # per-bounce gathers were the whole envmap-config gap (round-3
+    # ledger). None for large maps (memory x16).
+    quad: jax.Array | None = None
+    # Derived per-texel sample table (H, W, 8): [rgb | luminance |
+    # dir0.xyz | sin_theta] where dir0 = uv_to_dir(x/W, y/H, rotation=0)
+    # for the texel the inverted-CDF sample lands on. env_sample then
+    # needs ZERO per-element transcendentals: env_rotation is a pure
+    # Y-rotation, applied as a scalar 2x2 rotation of dir0.xz, and the
+    # pdf's sin(theta) rides lane 7. None for large maps (memory x8).
+    stab: jax.Array | None = None
     width: int = 0
     height: int = 0
     name: str = "envmap"
@@ -100,12 +115,16 @@ class EnvMap:
                 logger.warning("Could not write envmap cache %s", cache_path)
 
         lum = (rgb * _LUMA).sum(-1)
+        quad = _build_quad(rgb, lum)
+        stab = _build_stab(rgb, lum)
         return EnvMap(
             image=jnp.asarray(rgb),
             marginal=jnp.asarray(marginal),
             conditional=jnp.asarray(conditional),
             luminance=jnp.asarray(lum),
             total_luminance=jnp.float32(total),
+            quad=None if quad is None else jnp.asarray(quad),
+            stab=None if stab is None else jnp.asarray(stab),
             width=w,
             height=h,
             name=name,
@@ -117,16 +136,62 @@ class EnvMap:
         rgb = np.asarray(rgb, np.float32)
         total, marginal, conditional = build_distribution_maps(rgb)
         lum = (rgb * _LUMA).sum(-1)
+        quad = _build_quad(rgb, lum)
+        stab = _build_stab(rgb, lum)
         return EnvMap(
             image=jnp.asarray(rgb),
             marginal=jnp.asarray(marginal),
             conditional=jnp.asarray(conditional),
             luminance=jnp.asarray(lum),
             total_luminance=jnp.float32(total),
+            quad=None if quad is None else jnp.asarray(quad),
+            stab=None if stab is None else jnp.asarray(stab),
             width=rgb.shape[1],
             height=rgb.shape[0],
             name=name,
         )
+
+
+# Quad tables above this texel count are skipped (16x memory).
+_QUAD_MAX_TEXELS = 1 << 22
+
+
+def _build_quad(rgb: np.ndarray, lum: np.ndarray) -> "np.ndarray | None":
+    """(H, W, 16) 2x2-neighborhood table (see EnvMap.quad)."""
+    h, w = rgb.shape[:2]
+    if h * w > _QUAD_MAX_TEXELS:
+        return None
+    packed = np.concatenate([rgb, lum[..., None]], axis=-1)  # (H, W, 4)
+    px = np.roll(packed, -1, axis=1)                # x+1 with wrap
+    py = np.concatenate([packed[1:], packed[-1:]])  # y+1 with clamp
+    pxy = np.roll(py, -1, axis=1)
+    return np.concatenate([packed, px, py, pxy], axis=-1).astype(np.float32)
+
+
+def _build_stab(rgb: np.ndarray, lum: np.ndarray) -> "np.ndarray | None":
+    """(H, W, 8) per-texel sample table (see EnvMap.stab).
+
+    dir0 mirrors ops.env.uv_to_dir(x/W, y/H, rotation=0) in f32: the
+    inverted-CDF tables only ever emit u = col/W, v = row/H, so the
+    direction (and the pdf's sin(theta)) is a pure per-texel constant
+    up to the runtime Y-rotation.
+    """
+    h, w = rgb.shape[:2]
+    if h * w > _QUAD_MAX_TEXELS:
+        return None
+    u = (np.arange(w, dtype=np.float32) / np.float32(w))[None, :]  # (1, W)
+    v = (np.arange(h, dtype=np.float32) / np.float32(h))[:, None]  # (H, 1)
+    phi = ((u - np.float32(0.5)) * np.float32(2.0 * np.pi)).astype(np.float32)
+    theta = (v * np.float32(np.pi)).astype(np.float32)
+    sin_t = np.sin(theta).astype(np.float32)                       # (H, 1)
+    dir0 = np.empty((h, w, 3), np.float32)
+    dir0[..., 0] = sin_t * np.cos(phi)
+    dir0[..., 1] = np.broadcast_to(np.cos(theta), (h, w))
+    dir0[..., 2] = sin_t * np.sin(phi)
+    sin_clamped = np.broadcast_to(np.maximum(sin_t, np.float32(1e-6)), (h, w))
+    return np.concatenate(
+        [rgb, lum[..., None], dir0, sin_clamped[..., None]], axis=-1
+    ).astype(np.float32)
 
 
 def build_distribution_maps(rgb: np.ndarray):

@@ -104,3 +104,65 @@ class TestCacheRoundtrip:
         raw = np.fromfile(p, "<f4")
         assert raw[0] == pytest.approx(total, rel=1e-6)
         assert raw.size == 1 + 4 + 32
+
+
+class TestPackedFetchTables:
+    """The derived quad/stab row-packed tables must reproduce the plain
+    take()-based fetch paths bit-for-bit (quad) / to float-composition
+    tolerance (stab's precomputed trig)."""
+
+    def test_quad_matches_plain_bilinear(self, rs):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from hala_tpu.ops.env import env_eval, env_radiance
+
+        rgb = rs.uniform(0.05, 3.0, (16, 32, 3)).astype(np.float32)
+        env = EnvMap.from_array(rgb)
+        assert env.quad is not None and env.quad.shape == (16, 32, 16)
+        plain = dataclasses.replace(env, quad=None, stab=None)
+        n = 4096
+        z = rs.uniform(-1, 1, n)
+        phi = rs.uniform(0, 2 * np.pi, n)
+        r = np.sqrt(1 - z * z)
+        d = jnp.asarray(
+            np.stack([r * np.cos(phi), z, r * np.sin(phi)], -1), jnp.float32
+        )
+        for rot in (0.0, 0.73):
+            rad_q = env_radiance(env, d, jnp.float32(rot), jnp.float32(1.5))
+            rad_p = env_radiance(plain, d, jnp.float32(rot), jnp.float32(1.5))
+            np.testing.assert_array_equal(np.asarray(rad_q), np.asarray(rad_p))
+            eq, pq = env_eval(env, d, jnp.float32(rot), jnp.float32(1.5))
+            ep, pp = env_eval(plain, d, jnp.float32(rot), jnp.float32(1.5))
+            np.testing.assert_array_equal(np.asarray(eq), np.asarray(ep))
+            np.testing.assert_array_equal(np.asarray(pq), np.asarray(pp))
+
+    def test_stab_matches_plain_sample(self, rs):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from hala_tpu.ops.env import env_sample
+
+        rgb = rs.uniform(0.05, 3.0, (16, 32, 3)).astype(np.float32)
+        rgb[3:5, 10:14] = 40.0
+        env = EnvMap.from_array(rgb)
+        assert env.stab is not None and env.stab.shape == (16, 32, 8)
+        plain = dataclasses.replace(env, quad=None, stab=None)
+        rnd = jnp.asarray(rs.uniform(0, 1, (4096, 2)).astype(np.float32))
+        for rot in (0.0, 0.73):
+            wi_s, rad_s, pdf_s = env_sample(
+                env, rnd, jnp.float32(rot), jnp.float32(2.0)
+            )
+            wi_p, rad_p, pdf_p = env_sample(
+                plain, rnd, jnp.float32(rot), jnp.float32(2.0)
+            )
+            assert np.all(np.linalg.norm(np.asarray(wi_s), axis=-1) < 1.001)
+            np.testing.assert_allclose(
+                np.asarray(wi_s), np.asarray(wi_p), atol=1e-6
+            )
+            np.testing.assert_array_equal(np.asarray(rad_s), np.asarray(rad_p))
+            np.testing.assert_allclose(
+                np.asarray(pdf_s), np.asarray(pdf_p), rtol=1e-5
+            )
