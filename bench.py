@@ -135,12 +135,14 @@ def bench_sponza():
     """Config 4: Sponza-scale scene loaded from a REAL .glb on disk
     (assets/atrium_big.glb: 167k triangles, embedded PNG textures, quad
     area lights) — on-the-fly AS build (binned-SAH ragged clusters, the
-    LBVH role) + rank-iteration wavefront traversal with any-hit shadow
+    LBVH role) + VMEM matrix traversal with split any-hit shadow
     dispatch + free dead-ray compaction, 1080p-class film. The round-2
     metric of the same name measured the 34k-triangle atrium; the
     asset was scaled ~5x to an honest Sponza class (round-2 verdict
     item 4), so cross-round comparison under this key spans different
-    inputs."""
+    inputs. (The wavefront kernel stays out of full frames until its
+    composition-level compile wall is solved — DESIGN.md round-3
+    ledger.)"""
     import os
 
     from hala_tpu.models.integrator import RenderSettings

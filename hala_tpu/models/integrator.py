@@ -48,6 +48,19 @@ ENV_MAP = 1
 
 _RAY_EPS = 1e-4
 
+# The auto policy routes shadow-class queries to the wavefront any-hit
+# kernel only below this cluster count. The kernel is measured-fast
+# standalone (15.5 vs ~60 ms per 131k rays at 447 clusters, round-3
+# ledger), but a FULL-FRAME jit containing the cull + wavefront pair
+# never finished compilation on the axon TPU — >48 min at 1861
+# clusters and >22 min at 369 before being killed — while the same
+# frame with the matrix any-hit fallback compiles in ~200 s and runs
+# 6.1 s. The hang is composition-level, not cluster-count scaling, so
+# auto keeps the wavefront OFF (cap 0) until the compile wall is
+# understood; explicit intersector="wavefront" is unaffected and stays
+# covered by tests + the driver dryrun in interpret mode.
+WAVEFRONT_AUTO_CLUSTER_CAP = 0
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderSettings:
@@ -351,6 +364,7 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
             settings.intersector == "auto"
             and c < _ID_MASK
             and c <= CULL_VMEM_CLUSTER_CAP
+            and c <= WAVEFRONT_AUTO_CLUSTER_CAP
         ):
             # shadow-class queries: any-hit wavefront — blocked lanes
             # retire on first hit and the tight t_max prunes candidate

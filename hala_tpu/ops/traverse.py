@@ -618,9 +618,15 @@ def _matrix_traverse(
 
         span = min(_MT_ITERS, TRI_CHUNK // subs)
         n_pre = span // _PRETEST_TRIS if span % _PRETEST_TRIS == 0 else 0
-        for gi in range(bs // _MT_GROUP):
-            lo = gi * _MT_GROUP
-            hi = lo + _MT_GROUP
+        # The predication group can never exceed the tile height: big
+        # scenes shrink bs below _MT_GROUP (8 MB key-matrix cap in
+        # intersect_matrix), and range(bs // 16) == range(0) at bs=8
+        # silently tested NO triangles — every ray missed (caught on
+        # atrium_big: 1861 clusters -> bs=8 -> sky-only renders).
+        g_sz = min(_MT_GROUP, bs)
+        for gi in range(bs // g_sz):
+            lo = gi * g_sz
+            hi = lo + g_sz
             g_mask = in_run[lo:hi, :]
 
             @pl.when(jnp.any(g_mask))
@@ -748,7 +754,9 @@ def _matrix_traverse(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "with_stats", "any_hit", "subs")
+    jax.jit,
+    static_argnames=("interpret", "with_stats", "any_hit", "subs",
+                     "sublanes"),
 )
 def intersect_matrix(
     o: jnp.ndarray,
@@ -759,6 +767,7 @@ def intersect_matrix(
     with_stats: bool = False,
     any_hit: bool = False,
     subs: int = 1,
+    sublanes: int | None = None,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
@@ -804,7 +813,9 @@ def intersect_matrix(
     # 16 MB — cap the keys at 8 MB and shrink the tile for big scenes
     # (wider tiles only amortize per-run fixed costs, so halving is a
     # mild cost; a VMEM OOM is not).
-    bs = MATRIX_SUBLANES
+    # `sublanes` pins the tile height for tests (the bs=8 regression:
+    # big scenes shrink bs below the 16-sublane predication group).
+    bs = MATRIX_SUBLANES if sublanes is None else sublanes
     while bs > 8 and c * bs * LANES * 4 > 8 * 2**20:
         bs //= 2
     block = bs * LANES

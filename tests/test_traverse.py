@@ -123,6 +123,32 @@ class TestMatrix:
         )
         assert (np.asarray(hit.tri) == -1).all()
 
+    @pytest.mark.parametrize("bs", [8, 16])
+    def test_short_tiles_exact(self, geom, rs, bs):
+        """Tile heights BELOW the 16-sublane predication group must
+        still test triangles. Scenes past ~1024 clusters shrink the
+        adaptive tile to bs=8 (8 MB key-matrix cap), and an unguarded
+        range(bs // 16) == range(0) silently skipped the entire
+        Moller-Trumbore stage — every ray missed and large-scene
+        renders were sky-only (caught on atrium_big, 1861 clusters)."""
+        g = geom
+        o, d = _rays(1024, rs)
+        bf = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128
+        )
+        hit = intersect_matrix(o, d, g, interpret=True, sublanes=bs)
+        _assert_hits_equal(hit, bf)
+        occ = intersect_matrix(
+            o, d, g, t_max=jnp.full((1024,), 2.5), interpret=True,
+            any_hit=True, sublanes=bs,
+        )
+        bf_t = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=2.5, chunk=128
+        )
+        np.testing.assert_array_equal(
+            np.asarray(occ.tri) >= 0, np.asarray(bf_t.tri) >= 0
+        )
+
 
 def _assert_hits_close(hit, bf):
     """MXU-matmul parity: the fp32 MXU contraction rounds differently

@@ -29,9 +29,14 @@ from hala_tpu.scene.loader.uploader import SceneUploader
 
 stamp("imports done")
 
+asset = sys.argv[1] if len(sys.argv) > 1 else "atrium_big.glb"
+width = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
+height = int(sys.argv[3]) if len(sys.argv) > 3 else 1088
+intersector = sys.argv[4] if len(sys.argv) > 4 else "auto"
+
 path = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "assets", "atrium_big.glb",
+    "assets", asset,
 )
 cpu_scene = Scene.load(path)
 stamp(f"Scene.load done ({len(cpu_scene.meshes)} meshes)")
@@ -41,9 +46,10 @@ jax.block_until_ready(scene.geometry.tri_v0)
 stamp(f"upload done (clusters={scene.geometry.cluster_min.shape[0]})")
 
 settings = RenderSettings(
-    width=1920, height=1088, max_depth=4, rr_depth=2,
-    tile_size=131072, intersector="auto", sort_rays=True,
+    width=width, height=height, max_depth=4, rr_depth=2,
+    tile_size=131072, intersector=intersector, sort_rays=True,
 )
+stamp(f"config: {asset} {width}x{height} intersector={intersector}")
 uniforms = Uniforms.default()
 film = Film.create(settings.width, settings.height)
 stamp("film created; starting frame 0 (compile)")
@@ -59,3 +65,12 @@ for f in range(1, 4):
     dt = time.perf_counter() - t0
     r = int(rays)
     stamp(f"frame {f}: {dt*1e3:.1f} ms, rays={r}, {r/dt/1e6:.1f} Mrays/s")
+
+import numpy as np
+
+acc = np.asarray(film.accum)
+alb = np.asarray(film.albedo)
+stamp(
+    f"film accum mean={acc.mean():.5f} max={acc.max():.3f} "
+    f"albedo mean={alb.mean():.5f} nonzero={float((acc[..., :3] > 0).mean()):.4f}"
+)
