@@ -72,6 +72,14 @@ class EnvMap:
     # Y-rotation, applied as a scalar 2x2 rotation of dir0.xz, and the
     # pdf's sin(theta) rides lane 7. None for large maps (memory x8).
     stab: jax.Array | None = None
+    # Fused inverted-CDF sample table (H, W, 8): sstab[vi, ui] is the
+    # stab row of the texel the 2-level CDF inversion lands on for
+    # integer draw (vi, ui) — i.e. stab[vrow(vi), xi(vrow, ui)]. The
+    # whole of env_sample's 3-take chain (marginal -> conditional ->
+    # stab) collapses to ONE row take: both inversions are texel-grid
+    # to texel-grid, so their composition is a precomputable
+    # permutation. None for large maps (memory x8).
+    sstab: jax.Array | None = None
     width: int = 0
     height: int = 0
     name: str = "envmap"
@@ -117,6 +125,7 @@ class EnvMap:
         lum = (rgb * _LUMA).sum(-1)
         quad = _build_quad(rgb, lum)
         stab = _build_stab(rgb, lum)
+        sstab = _build_sstab(marginal, conditional, stab)
         return EnvMap(
             image=jnp.asarray(rgb),
             marginal=jnp.asarray(marginal),
@@ -125,6 +134,7 @@ class EnvMap:
             total_luminance=jnp.float32(total),
             quad=None if quad is None else jnp.asarray(quad),
             stab=None if stab is None else jnp.asarray(stab),
+            sstab=None if sstab is None else jnp.asarray(sstab),
             width=w,
             height=h,
             name=name,
@@ -138,6 +148,7 @@ class EnvMap:
         lum = (rgb * _LUMA).sum(-1)
         quad = _build_quad(rgb, lum)
         stab = _build_stab(rgb, lum)
+        sstab = _build_sstab(marginal, conditional, stab)
         return EnvMap(
             image=jnp.asarray(rgb),
             marginal=jnp.asarray(marginal),
@@ -146,6 +157,7 @@ class EnvMap:
             total_luminance=jnp.float32(total),
             quad=None if quad is None else jnp.asarray(quad),
             stab=None if stab is None else jnp.asarray(stab),
+            sstab=None if sstab is None else jnp.asarray(sstab),
             width=rgb.shape[1],
             height=rgb.shape[0],
             name=name,
@@ -192,6 +204,26 @@ def _build_stab(rgb: np.ndarray, lum: np.ndarray) -> "np.ndarray | None":
     return np.concatenate(
         [rgb, lum[..., None], dir0, sin_clamped[..., None]], axis=-1
     ).astype(np.float32)
+
+
+def _build_sstab(
+    marginal: np.ndarray, conditional: np.ndarray, stab: "np.ndarray | None"
+) -> "np.ndarray | None":
+    """(H, W, 8) fused sample table (see EnvMap.sstab).
+
+    Reproduces ops.env.env_sample's two inversion steps in the exact
+    f32-multiply-then-truncate semantics the kernel used, so swapping
+    three takes for one is bit-identical.
+    """
+    if stab is None:
+        return None
+    h, w = conditional.shape
+    vi = np.arange(h, dtype=np.int32)
+    v = np.asarray(marginal, np.float32)[vi]
+    vrow = np.clip((v * np.float32(h)).astype(np.int32), 0, h - 1)  # (H,)
+    u = np.asarray(conditional, np.float32)[vrow, :]                # (H, W)
+    xi = np.clip((u * np.float32(w)).astype(np.int32), 0, w - 1)
+    return stab[vrow[:, None], xi]
 
 
 def build_distribution_maps(rgb: np.ndarray):

@@ -177,9 +177,23 @@ def env_sample(env, rnd: jnp.ndarray, rotation, intensity):
     """
     h, w = env.height, env.width
     vi = jnp.clip((rnd[:, 0] * h).astype(jnp.int32), 0, h - 1)
+    ui = jnp.clip((rnd[:, 1] * w).astype(jnp.int32), 0, w - 1)
+    if env.sstab is not None:
+        # Fused table: the marginal->conditional->stab chain is a
+        # precomputed texel permutation (EnvMap.sstab), so the whole
+        # sample is ONE row take instead of three dependent ones.
+        row = jnp.take(env.sstab.reshape(h * w, 8), vi * w + ui, axis=0)
+        delta = rotation * TWO_PI
+        c, s = jnp.cos(delta), jnp.sin(delta)
+        x0, y0, z0 = row[:, 4], row[:, 5], row[:, 6]
+        wi = jnp.stack([x0 * c + z0 * s, y0, z0 * c - x0 * s], axis=-1)
+        radiance = row[:, :3] * intensity
+        p_texel = row[:, 3] / jnp.maximum(env.total_luminance, _EPS)
+        pdf = p_texel * (w * h) / (2.0 * jnp.pi * jnp.pi * row[:, 7])
+        return wi, radiance, pdf
+
     v = jnp.take(env.marginal, vi)  # quantized to texel grid
     vrow = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    ui = jnp.clip((rnd[:, 1] * w).astype(jnp.int32), 0, w - 1)
     u = jnp.take(env.conditional.reshape(-1), vrow * w + ui)
 
     xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)

@@ -488,7 +488,7 @@ def _matrix_kernel_body(
     ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
     tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
     t_out, tri_out, u_out, v_out, runs_out,
-    keys,                           # scratch VMEM (C*MATRIX_SUBLANES, LANES)
+    rmin,                           # scratch VMEM (ceil(C/LANES)|8, LANES)
     tri_smem,                       # scratch SMEM (16, TRI_CHUNK)
     sem,
 ):
@@ -496,7 +496,7 @@ def _matrix_kernel_body(
         num_clusters, subs, cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
-        keys, tri_smem, sem, any_hit=False,
+        rmin, tri_smem, sem, any_hit=False,
     )
 
 
@@ -510,7 +510,7 @@ def _matrix_occluded_body(
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
     t_out, tri_out, u_out, v_out, runs_out,
-    keys, tri_smem, sem,
+    rmin, tri_smem, sem,
 ):
     """Any-hit variant: a blocked lane zeroes its remaining range, so
     its liveness collapses immediately — shadow queries touch far fewer
@@ -519,7 +519,7 @@ def _matrix_occluded_body(
         num_clusters, subs, cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
-        keys, tri_smem, sem, any_hit=True,
+        rmin, tri_smem, sem, any_hit=True,
     )
 
 
@@ -530,6 +530,22 @@ def _matrix_occluded_body(
 # serve 1-2 groups).
 _MT_GROUP = 16
 
+# The kernel is KEYLESS: no (C*bs, LANES) per-lane key matrix. The
+# fill pass reduces each cluster's slab test straight to one packed
+# scalar (min tn over the tile | cluster id) accumulated into a tiny
+# (ceil(C/LANES), LANES) VMEM tile via a masked select, and visits
+# recompute the slab row on the fly. Selection is then a single vector
+# min over that tile per visit — O(1) instead of the O(C) fold that
+# dominated big scenes (644 ms/131k sorted closest at 1861 clusters,
+# DESIGN.md round-3) — and with no key matrix the 8 MB VMEM cap no
+# longer shrinks the tile height, so big scenes keep 64-sublane tiles
+# (8x fewer fill-loop trips than the bs=8 they were forced into).
+
+
+def _rmin_rows(c: int) -> int:
+    rows = -(-c // LANES)   # ceil(C / LANES) packed scalars per row
+    return -(-rows // 8) * 8  # sublane-pad to 8
+
 
 def _matrix_traverse(
     num_clusters, subs,
@@ -537,7 +553,7 @@ def _matrix_traverse(
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
     t_out, tri_out, u_out, v_out, runs_out,
-    keys, tri_smem, sem,
+    rmin, tri_smem, sem,
     any_hit: bool,
 ):
     bs = ox.shape[0]  # tile height (intersect_matrix adapts it to C)
@@ -562,7 +578,8 @@ def _matrix_traverse(
 
     tm0 = tmax[:]
 
-    def fill_row(c, _):
+    def slab(c, t_lim):
+        """Cluster c's slab test against the whole tile: (tn, live)."""
         t0x = (cmin_ref[c, 0] - rox) * invx
         t1x = (cmax_ref[c, 0] - rox) * invx
         t0y = (cmin_ref[c, 1] - roy) * invy
@@ -577,52 +594,65 @@ def _matrix_traverse(
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
-        hit = (tn <= tf) & (tf > 0.0) & (tn < tm0)
+        return tn, (tn <= tf) & (tf > 0.0) & (tn < t_lim)
+
+    rm_rows = rmin.shape[0]
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (rm_rows, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (rm_rows, LANES), 1)
+    )
+    rmin[:] = jnp.full((rm_rows, LANES), _INF_KEY, jnp.int32)
+
+    def fill_row(c, _):
+        tn, hit = slab(c, tm0)
         bits = jax.lax.bitcast_convert_type(
             jnp.maximum(tn, 0.0), jnp.int32
         )
         key = (bits & jnp.int32(~_ID_MASK)) | c
-        keys[pl.ds(c * bs, bs), :] = jnp.where(hit, key, inf_key)
+        kmin = jnp.min(jnp.where(hit, key, inf_key))
+        rmin[:] = jnp.where(lin == c, kmin, rmin[:])
         return 0
 
     jax.lax.fori_loop(0, num_clusters, fill_row, 0)
 
     def next_key():
-        # Nearest live cluster over the whole matrix: i32 min of packed
-        # keys masked by per-lane t_best (one scalar reduction total).
-        def fold(c, m):
-            return jnp.minimum(m, keys[pl.ds(c * bs, bs), :])
+        # Nearest cluster any lane's slab test admitted: one vector min
+        # over the rmin tile (the packed key carries the cluster id).
+        return jnp.min(rmin[:])
 
-        m = jax.lax.fori_loop(
-            0, num_clusters,
-            fold, jnp.full((bs, LANES), _INF_KEY, jnp.int32),
-        )
-        live = m < _pack_t(t_out[:])
-        return jnp.min(jnp.where(live, m, inf_key))
+    def bound():
+        # Tile-level liveness bound: once every remaining key is at or
+        # beyond every lane's own t_best, no visit can improve a lane.
+        return jnp.max(_pack_t(t_out[:]))
 
     def run_counted(carry):
-        skey, cnt = carry
+        skey, _, cnt = carry
         cid = skey & jnp.int32(_ID_MASK)
-        key_row = keys[pl.ds(cid * bs, bs), :]
-        in_run = key_row < _pack_t(t_out[:])
-        keys[pl.ds(cid * bs, bs), :] = jnp.full(
-            (bs, LANES), _INF_KEY, jnp.int32
-        )
+        # Recompute the slab row (keyless): exact per-lane want-mask
+        # against the CURRENT t_best, tighter than a cached key.
+        _, in_run = slab(cid, t_out[:])
+        rmin[:] = jnp.where(lin == cid, inf_key, rmin[:])
 
         chunk = cid // subs
         sub_off = (cid % subs) * (TRI_CHUNK // subs)
-        cp = pltpu.make_async_copy(tri_hbm.at[chunk], tri_smem, sem)
-        cp.start()
-        cp.wait()
         base = chunk * TRI_CHUNK + sub_off
+
+        # The selection bound is tile-global, so a selected cluster may
+        # interest no lane anymore — skip its DMA entirely (the group
+        # loops below already skip via their own any(g_mask) guards).
+        @pl.when(jnp.any(in_run))
+        def _fetch():
+            cp = pltpu.make_async_copy(tri_hbm.at[chunk], tri_smem, sem)
+            cp.start()
+            cp.wait()
 
         span = min(_MT_ITERS, TRI_CHUNK // subs)
         n_pre = span // _PRETEST_TRIS if span % _PRETEST_TRIS == 0 else 0
-        # The predication group can never exceed the tile height: big
-        # scenes shrink bs below _MT_GROUP (8 MB key-matrix cap in
-        # intersect_matrix), and range(bs // 16) == range(0) at bs=8
-        # silently tested NO triangles — every ray missed (caught on
-        # atrium_big: 1861 clusters -> bs=8 -> sky-only renders).
+        # The predication group can never exceed the tile height: tests
+        # pin bs below _MT_GROUP via `sublanes`, and range(bs // 16) ==
+        # range(0) at bs=8 silently tested NO triangles — every ray
+        # missed (caught on atrium_big when the old keyed kernel shrank
+        # big-scene tiles to bs=8: sky-only renders).
         g_sz = min(_MT_GROUP, bs)
         for gi in range(bs // g_sz):
             lo = gi * g_sz
@@ -745,10 +775,11 @@ def _matrix_traverse(
                                 0, _PRETEST_TRIS, span_body, 0
                             )
 
-        return next_key(), cnt + 1
+        return next_key(), bound(), cnt + 1
 
-    _, n_runs = jax.lax.while_loop(
-        lambda c: c[0] < inf_key, run_counted, (next_key(), jnp.int32(0))
+    _, _, n_runs = jax.lax.while_loop(
+        lambda c: c[0] < c[1], run_counted,
+        (next_key(), bound(), jnp.int32(0)),
     )
     runs_out[:] = jnp.full(t_out.shape, 1, jnp.int32) * n_runs
 
@@ -808,16 +839,11 @@ def intersect_matrix(
     else:
         tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
 
-    # Tile height adapts to the cluster count: the per-tile key matrix
-    # is (c * bs, LANES) i32 scratch and Mosaic's scoped-VMEM budget is
-    # 16 MB — cap the keys at 8 MB and shrink the tile for big scenes
-    # (wider tiles only amortize per-run fixed costs, so halving is a
-    # mild cost; a VMEM OOM is not).
-    # `sublanes` pins the tile height for tests (the bs=8 regression:
-    # big scenes shrink bs below the 16-sublane predication group).
+    # The keyless kernel's VMEM footprint is O(C) (one packed scalar
+    # per cluster), not O(C * bs), so every scene keeps the full
+    # 64-sublane tile height. `sublanes` pins it for tests (the bs=8
+    # regression: tiles below the 16-sublane predication group).
     bs = MATRIX_SUBLANES if sublanes is None else sublanes
-    while bs > 8 and c * bs * LANES * 4 > 8 * 2**20:
-        bs //= 2
     block = bs * LANES
     n_pad = -(-n // block) * block
     if n_pad != n:
@@ -863,7 +889,7 @@ def intersect_matrix(
             out_struct(shape2, jnp.int32, comp(tm_p)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c * bs, LANES), jnp.int32),
+            pltpu.VMEM((_rmin_rows(c), LANES), jnp.int32),
             pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
