@@ -206,7 +206,7 @@ def _shade(scene, frag, view_pos):
 
 @partial(jax.jit, static_argnames=("settings", "hooks"))
 def gbuffer_pass(scene, camera_index, settings: RasterSettings,
-                 hooks: RasterHooks | None = None):
+                 hooks: RasterHooks | None = None, prim_count=None):
     """Visibility + G-buffer fill (deferred first subpass:
     record_deferred_command_buffer G-buffer stage / create_gbuffer_images,
     rz_renderer.rs:1149-1247, 1455-1570). Returns the FragmentBuffer plus
@@ -237,6 +237,15 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings,
     clip = transform_vertices(corners.reshape(-1, 3), vp).reshape(-1, 3, 4)
     screen, depth, inv_w = clip_to_screen(clip, rw, rh)
     valid = (geom.tri_mat >= 0) & jnp.all(clip[..., 3] > 1e-6, axis=-1)
+    if prim_count is not None:
+        # Indirect work sizing (draw_indirect role,
+        # graphics_program.rs:469-643): the primitive count is a
+        # DEVICE-computed i32 consumed without any host round trip —
+        # the TPU analog of a VkDrawIndirectCommand buffer read. Shapes
+        # stay static; the count masks primitive validity.
+        valid = valid & (
+            jnp.arange(valid.shape[0], dtype=jnp.int32) < prim_count
+        )
 
     # Mesh-shader-style meshlet cone culling (the task-shader role,
     # rz_renderer.rs draw_mesh_tasks + meshopt cone test): a meshlet is
@@ -295,7 +304,7 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings,
 
 @partial(jax.jit, static_argnames=("settings", "hooks"))
 def raster_frame(scene, camera_index, settings: RasterSettings,
-                 hooks: RasterHooks | None = None):
+                 hooks: RasterHooks | None = None, prim_count=None):
     """FORWARD path: rasterize + shade one frame in a single fused jit.
     Returns (color (H,W,3), gbuffer dict with albedo/normal/depth).
 
@@ -310,7 +319,7 @@ def raster_frame(scene, camera_index, settings: RasterSettings,
     h, w = settings.height, settings.width
     ss = settings.msaa
     rw, rh = w * ss, h * ss
-    frag = gbuffer_pass(scene, camera_index, settings, hooks)
+    frag = gbuffer_pass(scene, camera_index, settings, hooks, prim_count)
     cam_pos = scene.cameras.position[camera_index]
     color, albedo, normal, _ = _shade(scene, frag, cam_pos)
     if hooks is not None and hooks.fragment is not None:

@@ -478,12 +478,14 @@ MATRIX_SUBLANES = 64
 MATRIX_BLOCK = MATRIX_SUBLANES * LANES
 
 
-def _make_matrix_kernel(num_clusters: int, subs: int):
-    return functools.partial(_matrix_kernel_body, num_clusters, subs)
+def _make_matrix_kernel(num_clusters: int, subs: int, mt_group: int):
+    return functools.partial(
+        _matrix_kernel_body, num_clusters, subs, mt_group
+    )
 
 
 def _matrix_kernel_body(
-    num_clusters, subs,
+    num_clusters, subs, mt_group,
     cmin_ref, cmax_ref,             # VMEM (C, 3)
     ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
     tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
@@ -493,19 +495,21 @@ def _matrix_kernel_body(
     sem,
 ):
     _matrix_traverse(
-        num_clusters, subs, cmin_ref, cmax_ref,
+        num_clusters, subs, mt_group, cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
         rmin, tri_smem, sem, any_hit=False,
     )
 
 
-def _make_matrix_occluded_kernel(num_clusters: int, subs: int):
-    return functools.partial(_matrix_occluded_body, num_clusters, subs)
+def _make_matrix_occluded_kernel(num_clusters: int, subs: int, mt_group: int):
+    return functools.partial(
+        _matrix_occluded_body, num_clusters, subs, mt_group
+    )
 
 
 def _matrix_occluded_body(
-    num_clusters, subs,
+    num_clusters, subs, mt_group,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
@@ -516,7 +520,7 @@ def _matrix_occluded_body(
     its liveness collapses immediately — shadow queries touch far fewer
     clusters than closest-hit (no need to ORDER hits, just find one)."""
     _matrix_traverse(
-        num_clusters, subs, cmin_ref, cmax_ref,
+        num_clusters, subs, mt_group, cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
         rmin, tri_smem, sem, any_hit=True,
@@ -548,7 +552,7 @@ def _rmin_rows(c: int) -> int:
 
 
 def _matrix_traverse(
-    num_clusters, subs,
+    num_clusters, subs, mt_group,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
@@ -653,7 +657,7 @@ def _matrix_traverse(
         # range(0) at bs=8 silently tested NO triangles — every ray
         # missed (caught on atrium_big when the old keyed kernel shrank
         # big-scene tiles to bs=8: sky-only renders).
-        g_sz = min(_MT_GROUP, bs)
+        g_sz = min(mt_group, bs)
         for gi in range(bs // g_sz):
             lo = gi * g_sz
             hi = lo + g_sz
@@ -787,7 +791,7 @@ def _matrix_traverse(
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "with_stats", "any_hit", "subs",
-                     "sublanes"),
+                     "sublanes", "mt_group"),
 )
 def intersect_matrix(
     o: jnp.ndarray,
@@ -799,6 +803,7 @@ def intersect_matrix(
     any_hit: bool = False,
     subs: int = 1,
     sublanes: int | None = None,
+    mt_group: int | None = None,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
@@ -872,9 +877,10 @@ def intersect_matrix(
     )
     tri_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    mg = _MT_GROUP if mt_group is None else mt_group
     kern = (
-        _make_matrix_occluded_kernel(c, subs) if any_hit
-        else _make_matrix_kernel(c, subs)
+        _make_matrix_occluded_kernel(c, subs, mg) if any_hit
+        else _make_matrix_kernel(c, subs, mg)
     )
     t_b, tri_b, u_b, v_b, runs_b = pl.pallas_call(
         kern,
@@ -1430,7 +1436,7 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
     jax.jit,
     static_argnames=(
         "interpret", "any_hit", "subs", "kernel", "wavefront_k",
-        "wavefront_m",
+        "wavefront_m", "sublanes", "mt_group",
     ),
 )
 def matrix_query(
@@ -1438,6 +1444,7 @@ def matrix_query(
     interpret: bool = False, any_hit: bool = False, subs: int = 1,
     kernel: str = "matrix",
     wavefront_k: int = 16, wavefront_m: int = 32,
+    sublanes: int | None = None, mt_group: int | None = None,
 ) -> Hit:
     """Coherence-sorted traversal with FUSED payload sorts.
 
@@ -1480,7 +1487,8 @@ def matrix_query(
     else:
         hit = intersect_matrix(
             o_s, d_s, geometry, t_max=tm_s, interpret=interpret,
-            any_hit=any_hit, subs=subs,
+            any_hit=any_hit, subs=subs, sublanes=sublanes,
+            mt_group=mt_group,
         )
     (_, t_o, tri_o, u_o, v_o) = jax.lax.sort(
         (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1

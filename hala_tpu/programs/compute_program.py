@@ -15,6 +15,7 @@ import dataclasses
 import json
 
 import jax
+import jax.numpy as jnp
 
 from .shader_cache import KernelCache
 
@@ -45,9 +46,24 @@ class ComputeProgramDesc:
 class ComputeProgram:
     def __init__(self, desc: ComputeProgramDesc):
         self.desc = desc
-        kernel = KernelCache.get_instance().load(desc.shader_file_path)
+        cache = KernelCache.get_instance()
+        # from_memory-registered names resolve first (shader_cache.rs
+        # from_memory shaders feed programs the same as file loads).
+        kernel = cache.get(desc.shader_file_path)
+        if kernel is None:
+            kernel = cache.load(desc.shader_file_path)
         self._fn = jax.jit(kernel, static_argnames=desc.static_argnames)
 
     def dispatch(self, *buffers, **push_constants):
         """compute_program.rs:144-168 dispatch: run the jitted kernel."""
         return self._fn(*buffers, **push_constants)
+
+    def dispatch_indirect(self, count, *buffers, **push_constants):
+        """compute_program.rs:144-168 dispatch_indirect: the work count
+        is read from a DEVICE buffer, never the host. TPU analog:
+        `count` is a device-computed i32 passed to the kernel as its
+        first argument; the kernel's contract is to mask its
+        statically-shaped work by it (shapes cannot be data-dependent
+        under XLA). No host sync happens on the count."""
+        return self._fn(jnp.asarray(count, jnp.int32), *buffers,
+                        **push_constants)

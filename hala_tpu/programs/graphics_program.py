@@ -67,3 +67,24 @@ class GraphicsProgram:
         return raster_frame(
             self.scene, jnp.int32(camera_index), settings
         )
+
+    def draw_indirect(
+        self, prim_count, width: int, height: int, camera_index: int = 0
+    ):
+        """Indirect draw family (graphics_program.rs:469-643:
+        draw[_indexed]_indirect[_count] read a VkDrawIndirectCommand
+        from a DEVICE buffer). TPU analog: `prim_count` is a
+        device-computed i32 scalar (or 0-d array) consumed inside the
+        jit with no host round trip — shapes stay static and the count
+        masks primitive validity. The `_count` variants collapse to the
+        same mechanism: pass `counts[i]` (still a device value)."""
+        settings = RasterSettings(
+            width=width,
+            height=height,
+            deferred=self.desc.deferred,
+            msaa=self.desc.multisample_count,
+        )
+        return raster_frame(
+            self.scene, jnp.int32(camera_index), settings,
+            prim_count=jnp.asarray(prim_count, jnp.int32),
+        )

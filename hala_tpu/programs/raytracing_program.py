@@ -92,6 +92,43 @@ class RayTracingProgram:
             hooks=self._resolve_hooks(),
         )
 
+    def trace_rays_indirect(
+        self,
+        film: Film,
+        pixel_count,
+        width: int,
+        height: int,
+        frame_index=0,
+        uniforms: Uniforms | None = None,
+    ):
+        """raytracing_program.rs:330-340 trace_rays_indirect: the trace
+        dimensions are read from a DEVICE buffer (the reference's
+        VkTraceRaysIndirectCommand). TPU analog: shapes must be static
+        under XLA, so the full static grid is traced and `pixel_count`
+        — a device-computed i32, never host-synced — masks which pixels
+        commit to the film (row-major prefix, the exact set a
+        {width, count/width} command would cover)."""
+        import jax.numpy as _jnp
+
+        new_film, rays = self.trace_rays(
+            Film(
+                accum=film.accum + 0.0,
+                albedo=film.albedo + 0.0,
+                normal=film.normal + 0.0,
+            ),
+            width, height, frame_index, uniforms,
+        )
+        pid = _jnp.arange(height * width, dtype=_jnp.int32).reshape(
+            height, width, 1
+        )
+        keep = pid < _jnp.asarray(pixel_count, _jnp.int32)
+        merged = Film(
+            accum=_jnp.where(keep, new_film.accum, film.accum),
+            albedo=_jnp.where(keep, new_film.albedo, film.albedo),
+            normal=_jnp.where(keep, new_film.normal, film.normal),
+        )
+        return merged, rays
+
     def _resolve_hooks(self):
         """Resolve the desc's shader paths into the frame dispatch table
         (the SBT role): `builtin:*` keeps the built-in integrator stage,

@@ -61,6 +61,30 @@ class TestComputeProgram:
         back = ComputeProgramDesc.from_json(desc.to_json())
         assert back == desc
 
+    def test_dispatch_indirect_masks_by_device_count(self):
+        """compute_program.rs:144-168 dispatch_indirect role: the work
+        count is a DEVICE value; the kernel masks its static-shape work
+        by it with no host sync."""
+        cache = KernelCache.get_instance()
+        cache.from_memory(
+            "test.masked_double",
+            lambda count, buf: jnp.where(
+                jnp.arange(buf.shape[0], dtype=jnp.int32) < count,
+                buf * 2.0, buf,
+            ),
+        )
+        try:
+            prog = ComputeProgram(
+                ComputeProgramDesc(shader_file_path="test.masked_double")
+            )
+            buf = jnp.arange(8, dtype=jnp.float32)
+            count = jnp.int32(3) + jnp.int32(2)  # device-computed count
+            out = np.asarray(prog.dispatch_indirect(count, buf))
+            np.testing.assert_allclose(out[:5], np.arange(5) * 2.0)
+            np.testing.assert_allclose(out[5:], np.arange(5, 8))
+        finally:
+            cache.remove("test.masked_double")
+
 
 class TestRayTracingProgram:
     def test_desc_defaults(self):
@@ -77,6 +101,23 @@ class TestRayTracingProgram:
         assert np.isfinite(np.asarray(film.accum)).all()
         assert float(rays) > 0
 
+    def test_trace_rays_indirect_masks_pixels(self, cornell_device_scene):
+        """raytracing_program.rs:330-340 trace_rays_indirect role: a
+        device-computed pixel count bounds the committed trace region;
+        the prefix matches trace_rays, the suffix keeps the old film."""
+        desc = RayTracingProgramDesc(ray_recursion_depth=2)
+        prog = RayTracingProgram(desc, cornell_device_scene)
+        base = Film.create(16, 16)
+        full, _ = prog.trace_rays(Film.create(16, 16), 16, 16, frame_index=0)
+        count = jnp.int32(16 * 8)  # top half of the film
+        part, _ = prog.trace_rays_indirect(base, count, 16, 16, frame_index=0)
+        np.testing.assert_array_equal(
+            np.asarray(part.accum)[:8], np.asarray(full.accum)[:8]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(part.accum)[8:], np.asarray(base.accum)[8:]
+        )
+
 
 class TestGraphicsProgram:
     def test_draw(self, cornell_device_scene):
@@ -85,6 +126,23 @@ class TestGraphicsProgram:
         color, gbuffer = prog.draw(24, 24)
         assert color.shape == (24, 24, 3)
         assert np.isfinite(np.asarray(color)).all()
+
+    def test_draw_indirect_masks_primitives(self, cornell_device_scene):
+        """graphics_program.rs:469-643 draw_indirect role: the primitive
+        count is a device value masking primitive validity. Full count
+        == draw(); zero count == background only."""
+        desc = GraphicsProgramDesc()
+        prog = GraphicsProgram(desc, cornell_device_scene)
+        color_full, _ = prog.draw(24, 24)
+        n_prims = cornell_device_scene.geometry.tri_mat.shape[0]
+        color_all, _ = prog.draw_indirect(jnp.int32(n_prims), 24, 24)
+        np.testing.assert_array_equal(
+            np.asarray(color_full), np.asarray(color_all)
+        )
+        color_none, _ = prog.draw_indirect(jnp.int32(0), 24, 24)
+        assert not np.array_equal(
+            np.asarray(color_none), np.asarray(color_full)
+        )
 
     def test_mesh_shader_flag(self):
         d = GraphicsProgramDesc(mesh_shader_file_path="builtin:meshlet")
