@@ -210,6 +210,11 @@ def cull_topk(o, d, t_max, cluster_min, cluster_max,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # The keys scratch (8 MB at the 2560-cluster cap) plus the
+            # blocked fill temporaries brush past the 16 MB scoped-VMEM
+            # default when composed into larger jits (measured: 16.91 MB
+            # inside intersect_dense at 1861 clusters); v5e has 128 MB.
+            vmem_limit_bytes=48 * 2**20,
         ),
         interpret=interpret,
     )(

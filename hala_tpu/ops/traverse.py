@@ -478,14 +478,15 @@ MATRIX_SUBLANES = 64
 MATRIX_BLOCK = MATRIX_SUBLANES * LANES
 
 
-def _make_matrix_kernel(num_clusters: int, subs: int, mt_group: int):
+def _make_matrix_kernel(num_clusters: int, subs: int, mt_group: int,
+                        pretest: bool):
     return functools.partial(
-        _matrix_kernel_body, num_clusters, subs, mt_group
+        _matrix_kernel_body, num_clusters, subs, mt_group, pretest
     )
 
 
 def _matrix_kernel_body(
-    num_clusters, subs, mt_group,
+    num_clusters, subs, mt_group, pretest,
     cmin_ref, cmax_ref,             # VMEM (C, 3)
     ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
     tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
@@ -495,21 +496,22 @@ def _matrix_kernel_body(
     sem,
 ):
     _matrix_traverse(
-        num_clusters, subs, mt_group, cmin_ref, cmax_ref,
+        num_clusters, subs, mt_group, pretest, cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
         rmin, tri_smem, sem, any_hit=False,
     )
 
 
-def _make_matrix_occluded_kernel(num_clusters: int, subs: int, mt_group: int):
+def _make_matrix_occluded_kernel(num_clusters: int, subs: int,
+                                 mt_group: int, pretest: bool):
     return functools.partial(
-        _matrix_occluded_body, num_clusters, subs, mt_group
+        _matrix_occluded_body, num_clusters, subs, mt_group, pretest
     )
 
 
 def _matrix_occluded_body(
-    num_clusters, subs, mt_group,
+    num_clusters, subs, mt_group, pretest,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
@@ -520,7 +522,7 @@ def _matrix_occluded_body(
     its liveness collapses immediately — shadow queries touch far fewer
     clusters than closest-hit (no need to ORDER hits, just find one)."""
     _matrix_traverse(
-        num_clusters, subs, mt_group, cmin_ref, cmax_ref,
+        num_clusters, subs, mt_group, pretest, cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
         rmin, tri_smem, sem, any_hit=True,
@@ -552,7 +554,7 @@ def _rmin_rows(c: int) -> int:
 
 
 def _matrix_traverse(
-    num_clusters, subs, mt_group,
+    num_clusters, subs, mt_group, pretest,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
@@ -651,7 +653,10 @@ def _matrix_traverse(
             cp.wait()
 
         span = min(_MT_ITERS, TRI_CHUNK // subs)
-        n_pre = span // _PRETEST_TRIS if span % _PRETEST_TRIS == 0 else 0
+        n_pre = (
+            span // _PRETEST_TRIS
+            if pretest and span % _PRETEST_TRIS == 0 else 0
+        )
         # The predication group can never exceed the tile height: tests
         # pin bs below _MT_GROUP via `sublanes`, and range(bs // 16) ==
         # range(0) at bs=8 silently tested NO triangles — every ray
@@ -791,7 +796,7 @@ def _matrix_traverse(
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "with_stats", "any_hit", "subs",
-                     "sublanes", "mt_group"),
+                     "sublanes", "mt_group", "pretest"),
 )
 def intersect_matrix(
     o: jnp.ndarray,
@@ -804,6 +809,7 @@ def intersect_matrix(
     subs: int = 1,
     sublanes: int | None = None,
     mt_group: int | None = None,
+    pretest: bool = True,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
@@ -879,8 +885,8 @@ def intersect_matrix(
 
     mg = _MT_GROUP if mt_group is None else mt_group
     kern = (
-        _make_matrix_occluded_kernel(c, subs, mg) if any_hit
-        else _make_matrix_kernel(c, subs, mg)
+        _make_matrix_occluded_kernel(c, subs, mg, pretest) if any_hit
+        else _make_matrix_kernel(c, subs, mg, pretest)
     )
     t_b, tri_b, u_b, v_b, runs_b = pl.pallas_call(
         kern,
@@ -1391,12 +1397,38 @@ def intersect_grouped(
         )
 
     fb = jax.lax.cond(jnp.any(need), run_fb, no_fb, 0)
-    closer = need & (fb.tri >= 0) & (fb.t < t_fin)
+    kern = Hit(t=t_fin, tri=tri_fin, u=u_fin, v=v_fin)
+    if not any_hit:
+        # Canonicalize BOTH merge candidates and break exact ties by
+        # triangle id (ops/wavefront.py merge, round-2 advisor finding):
+        # which engine resolved a ray depends on its GROUP's truncation
+        # state, which under sharding depends on the device count; the
+        # MXU kernel and the matrix fallback round t differently.
+        # Re-evaluating the winners with the canonical XLA
+        # Moller-Trumbore makes the reported bits a pure function of
+        # (ray, winning triangle) again.
+        from .intersect import canonical_hit
+
+        kern = canonical_hit(
+            o, d, geometry.tri_v0, geometry.tri_e1, geometry.tri_e2,
+            kern,
+        )
+        fbc = canonical_hit(
+            o, d, geometry.tri_v0, geometry.tri_e1, geometry.tri_e2, fb
+        )
+        fb = Hit(
+            t=jnp.where(fb.tri >= 0, fbc.t, fb.t),
+            tri=fb.tri, u=fbc.u, v=fbc.v,
+        )
+    closer = need & (fb.tri >= 0) & (
+        (fb.t < kern.t)
+        | ((fb.t == kern.t) & ((fb.tri < kern.tri) | (kern.tri < 0)))
+    )
     hit = Hit(
-        t=jnp.where(closer, fb.t, t_fin)[:n],
-        tri=jnp.where(closer, fb.tri, tri_fin)[:n],
-        u=jnp.where(closer, fb.u, u_fin)[:n],
-        v=jnp.where(closer, fb.v, v_fin)[:n],
+        t=jnp.where(closer, fb.t, kern.t)[:n],
+        tri=jnp.where(closer, fb.tri, kern.tri)[:n],
+        u=jnp.where(closer, fb.u, kern.u)[:n],
+        v=jnp.where(closer, fb.v, kern.v)[:n],
     )
     if with_stats:
         return hit, usz
@@ -1436,7 +1468,7 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
     jax.jit,
     static_argnames=(
         "interpret", "any_hit", "subs", "kernel", "wavefront_k",
-        "wavefront_m", "sublanes", "mt_group",
+        "wavefront_m", "sublanes", "mt_group", "pretest",
     ),
 )
 def matrix_query(
@@ -1445,6 +1477,7 @@ def matrix_query(
     kernel: str = "matrix",
     wavefront_k: int = 16, wavefront_m: int = 32,
     sublanes: int | None = None, mt_group: int | None = None,
+    pretest: bool = True,
 ) -> Hit:
     """Coherence-sorted traversal with FUSED payload sorts.
 
@@ -1488,7 +1521,7 @@ def matrix_query(
         hit = intersect_matrix(
             o_s, d_s, geometry, t_max=tm_s, interpret=interpret,
             any_hit=any_hit, subs=subs, sublanes=sublanes,
-            mt_group=mt_group,
+            mt_group=mt_group, pretest=pretest,
         )
     (_, t_o, tri_o, u_o, v_o) = jax.lax.sort(
         (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1

@@ -192,6 +192,36 @@ class TestGrouped:
         )
         _assert_hits_close(hit, bf)
 
+    def test_group_composition_bit_identity(self, geom, rs):
+        """Round-2 advisor finding: with k_cap truncation firing, which
+        engine (MXU kernel vs matrix fallback) resolves a ray depends
+        on its GROUP's union; canonical re-eval of both merge
+        candidates (ops/intersect.canonical_hit) makes the reported
+        bits a pure function of (ray, winning triangle) — so the same
+        ray in a different batch order must get identical bits."""
+        from hala_tpu.ops.traverse import intersect_grouped
+
+        g = geom
+        o, d = _rays(512, rs)
+        perm = jnp.asarray(rs.permutation(512))
+        hit_a = intersect_grouped(o, d, g, interpret=True, k_cap=2)
+        hit_b = intersect_grouped(
+            o[perm], d[perm], g, interpret=True, k_cap=2
+        )
+        pa = np.asarray(perm)
+        np.testing.assert_array_equal(
+            np.asarray(hit_a.t)[pa], np.asarray(hit_b.t)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit_a.tri)[pa], np.asarray(hit_b.tri)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit_a.u)[pa], np.asarray(hit_b.u)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit_a.v)[pa], np.asarray(hit_b.v)
+        )
+
     def test_any_hit(self, geom, rs):
         from hala_tpu.ops.intersect import occluded_bruteforce
         from hala_tpu.ops.traverse import intersect_grouped

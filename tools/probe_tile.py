@@ -71,16 +71,57 @@ def timed(tag, fn, reps=20):
     return dt
 
 
-for bs, mg in [(64, 16), (64, 8), (128, 16), (128, 8), (256, 8)]:
+SWEEPS = {
+    # round 1: tile height x fine groups (mg=8 lost ~30% everywhere ->
+    # the kernel is per-group-overhead-bound, not MT-lane-bound)
+    "1": [(64, 16, True), (64, 8, True), (128, 16, True),
+          (128, 8, True), (256, 8, True)],
+    # round 2: coarser groups + pretest ablation at the round-1 winner
+    "2": [(128, 32, True), (64, 32, True), (256, 16, True),
+          (128, 16, False), (128, 64, True)],
+}
+sweep = SWEEPS[os.environ.get("SWEEP", "2")]
+
+for bs, mg, pre in sweep:
+    tag = f"bs={bs} mg={mg} pre={int(pre)}"
     timed(
-        f"closest bs={bs} mg={mg}",
-        lambda bs=bs, mg=mg: matrix_query(
-            o, dd, g, sublanes=bs, mt_group=mg
+        f"closest {tag}",
+        lambda bs=bs, mg=mg, pre=pre: matrix_query(
+            o, dd, g, sublanes=bs, mt_group=mg, pretest=pre
         ),
     )
     timed(
-        f"any-hit bs={bs} mg={mg}",
-        lambda bs=bs, mg=mg: matrix_query(
-            o, dd, g, t_max=far, any_hit=True, sublanes=bs, mt_group=mg
+        f"any-hit {tag}",
+        lambda bs=bs, mg=mg, pre=pre: matrix_query(
+            o, dd, g, t_max=far, any_hit=True, sublanes=bs, mt_group=mg,
+            pretest=pre,
         ),
     )
+
+if os.environ.get("RUNS"):
+    # Visit-count statistics: how many while_loop rounds each kernel
+    # tile pays on COHERENCE-SORTED rays (the frame path) — per-visit
+    # cost = kernel time / total visits.
+    from hala_tpu.ops.traverse import _coherence_key, intersect_matrix
+
+    @jax.jit
+    def sorted_stats(o, d, tm):
+        key = _coherence_key(o, d, tm, g.cluster_min, g.cluster_max)
+        _, o0, o1, o2, d0, d1, d2, tms = jax.lax.sort(
+            (key, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2], tm),
+            num_keys=1,
+        )
+        os_ = jnp.stack([o0, o1, o2], axis=1)
+        ds_ = jnp.stack([d0, d1, d2], axis=1)
+        _, runs = intersect_matrix(os_, ds_, g, t_max=tms,
+                                   with_stats=True)
+        _, runs_ah = intersect_matrix(os_, ds_, g, t_max=tms,
+                                      with_stats=True, any_hit=True)
+        return runs, runs_ah
+
+    runs, runs_ah = sorted_stats(o, dd, far)
+    for tag, r in (("closest", np.asarray(runs)),
+                   ("any-hit", np.asarray(runs_ah))):
+        stamp(f"sorted {tag} visits/tile: mean {r.mean():.0f} "
+              f"min {r.min()} max {r.max()} tiles {r.shape[0]}")
