@@ -96,6 +96,15 @@ class RenderSettings:
     traverse_k: int = 12         # candidate clusters per ray ("traverse")
     wavefront_k: int = 16        # per-ray candidate clusters ("wavefront")
     wavefront_m: int = 32        # per-group merged-list cap ("wavefront")
+    # Dense any-hit shadow dispatch (ops/dense.py): when > 0 and the
+    # scene fits the cull cap, the split shadow-class query gathers each
+    # ray's K nearest candidate chunks and tests them with pure-XLA
+    # vectorized MT (exact via the truncation fallback). Shadow
+    # segments are short, so candidate lists are far smaller than
+    # closest-hit ones; unlike the wavefront kernel this path has no
+    # Mosaic composition wall inside full-frame jits. 0 = matrix
+    # any-hit (default).
+    shadow_dense_k: int = 0
     # Max alpha-tested surfaces a shadow ray may stochastically pass
     # through (any-hit-shader parity: the reference's hit shaders can
     # continue through stacked transparent surfaces). 1 = legacy
@@ -360,6 +369,14 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
 
         tf = t_far * (1.0 - 1e-4)
         c = g.tri_packed.shape[0]
+        if settings.shadow_dense_k > 0:
+            from ..ops.dense import DENSE_MAX_CLUSTERS, occluded_dense
+
+            if c <= DENSE_MAX_CLUSTERS:
+                return occluded_dense(
+                    o, d, tf, g, k=settings.shadow_dense_k,
+                    interpret=settings.interpret_pallas,
+                )
         if (
             settings.intersector == "auto"
             and c < _ID_MASK

@@ -16,7 +16,7 @@ and the 12 sacrificed mantissa bits round tn DOWN — conservative for
 every consumer (ordering is efficiency-only; the unresolved-lane bound
 compares hit-t bits against a lower bound of the true entry distance).
 
-Role parity: the候selection half of the hardware BVH traversal the
+Role parity: the selection half of the hardware BVH traversal the
 reference gets from trace_rays (/root/reference/src/scene/loader/
 gpu_uploader.rs:774-967).
 """

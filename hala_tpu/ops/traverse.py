@@ -470,71 +470,117 @@ _ID_BITS = 12
 _ID_MASK = (1 << _ID_BITS) - 1
 _INF_KEY = 0x7FFFFFFF
 MATRIX_MAX_CLUSTERS = 1 << _ID_BITS
-# 8192-ray tiles for the matrix kernel: per-run fixed costs (selection
+# 16384-ray tiles for the matrix kernel: per-run fixed costs (selection
 # fold, scalar reduction, DMA wait) are tile-count-bound, and the wider
-# tile measured best (BS sweep on sponza_like: 8/16/32/64 ->
-# 42.3/28.0/22.1/20.6 ms unsorted, 15.1 ms sorted at 64).
-MATRIX_SUBLANES = 64
+# tile measured best (round-3 sweep on atrium_big 1861 clusters/131k
+# sorted rays, tools/probe_tile.py: bs 64/128/256 at mg=16 ->
+# 145/139/137 ms closest; bs=128 mg=32 -> 127.5 closest / 69.3 any-hit,
+# the overall winner).
+MATRIX_SUBLANES = 128
 MATRIX_BLOCK = MATRIX_SUBLANES * LANES
 
 
 def _make_matrix_kernel(num_clusters: int, subs: int, mt_group: int,
-                        pretest: bool):
+                        pretest: bool, worklist: bool):
     return functools.partial(
-        _matrix_kernel_body, num_clusters, subs, mt_group, pretest
+        _matrix_kernel_body, num_clusters, subs, mt_group, pretest,
+        worklist,
     )
 
 
 def _matrix_kernel_body(
-    num_clusters, subs, mt_group, pretest,
+    num_clusters, subs, mt_group, pretest, worklist,
     cmin_ref, cmax_ref,             # VMEM (C, 3)
     ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
     tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
     t_out, tri_out, u_out, v_out, runs_out,
     rmin,                           # scratch VMEM (ceil(C/LANES)|8, LANES)
     tri_smem,                       # scratch SMEM (16, TRI_CHUNK)
+    invx_s, invy_s, invz_s,         # scratch VMEM (bs, LANES) f32
+    inrun_s,                        # scratch VMEM (bs, LANES) i32
     sem,
 ):
     _matrix_traverse(
-        num_clusters, subs, mt_group, pretest, cmin_ref, cmax_ref,
+        num_clusters, subs, mt_group, pretest, worklist,
+        cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
-        rmin, tri_smem, sem, any_hit=False,
+        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem,
+        any_hit=False,
     )
 
 
 def _make_matrix_occluded_kernel(num_clusters: int, subs: int,
-                                 mt_group: int, pretest: bool):
+                                 mt_group: int, pretest: bool,
+                                 worklist: bool):
     return functools.partial(
-        _matrix_occluded_body, num_clusters, subs, mt_group, pretest
+        _matrix_occluded_body, num_clusters, subs, mt_group, pretest,
+        worklist,
     )
 
 
 def _matrix_occluded_body(
-    num_clusters, subs, mt_group, pretest,
+    num_clusters, subs, mt_group, pretest, worklist,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
     t_out, tri_out, u_out, v_out, runs_out,
-    rmin, tri_smem, sem,
+    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem,
 ):
     """Any-hit variant: a blocked lane zeroes its remaining range, so
     its liveness collapses immediately — shadow queries touch far fewer
     clusters than closest-hit (no need to ORDER hits, just find one)."""
     _matrix_traverse(
-        num_clusters, subs, mt_group, pretest, cmin_ref, cmax_ref,
+        num_clusters, subs, mt_group, pretest, worklist,
+        cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
-        rmin, tri_smem, sem, any_hit=True,
+        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem,
+        any_hit=True,
     )
 
 
-# 16-sublane MT groups: lanes wanting the selected cluster are CLUMPED
+# 32-sublane MT groups: lanes wanting the selected cluster are CLUMPED
 # after any coherence ordering, so predicating the Moller-Trumbore loop
-# per 16-sublane group skips most of the tile for most runs (the
-# all-lanes loop measured ~9.4 us/run at 64 sublanes; typical runs only
-# serve 1-2 groups).
-_MT_GROUP = 16
+# per group skips most of the tile for most runs. The round-3 sweep
+# (tools/probe_tile.py, atrium_big) showed the kernel is per-group
+# SCALAR-OVERHEAD-bound, not MT-lane-bound: mg=8 loses ~30%, mg=32
+# wins ~9% over mg=16 at bs=128 (127.5 vs 139 ms closest /131k).
+_MT_GROUP = 32
+
+# Worklist engine: 4-bit nibble sentinel terminating a packed work list.
+_NIB = 0xF
+
+
+def _pack_worklist(flags):
+    """Pack the ids of wanting entries into ONE i32 as 4-bit nibbles
+    (low-to-high in list order), 0xF-terminated. All math stays in the
+    VECTOR domain, so the caller pays a single vector->scalar sync for
+    the whole list — the round-3 sweep showed the branch engine is
+    bound by exactly these syncs (one `jnp.any` + `pl.when` region per
+    group and per pretest span, ~1-2 us each).
+
+    flags: list of (1, 1) i32 arrays holding 0/1; at most 8 entries.
+    """
+    assert len(flags) <= 8
+    zero = jnp.zeros_like(flags[0])
+    cnt = zero
+    packed = zero
+    for i, w in enumerate(flags):
+        packed = packed | jnp.where(
+            w != 0, jax.lax.shift_left(zero + i, 4 * cnt), zero
+        )
+        cnt = cnt + w
+    # Sentinel-fill every nibble past the last entry. cnt == 8 leaves
+    # no room (and a 32-bit shift would be UB), hence the clamp+select —
+    # an all-8 list carries NO sentinel, so drain loops MUST also bound
+    # their iteration count (the round-3 hang: 8 wanting pretest spans
+    # left nibble 0 spinning forever after the word shifted empty).
+    sa = 4 * jnp.minimum(cnt, 7)
+    hi = jnp.where(
+        cnt >= 8, zero, jax.lax.shift_left(zero - 1, sa)
+    )
+    return packed | hi
 
 # The kernel is KEYLESS: no (C*bs, LANES) per-lane key matrix. The
 # fill pass reduces each cluster's slab test straight to one packed
@@ -554,12 +600,12 @@ def _rmin_rows(c: int) -> int:
 
 
 def _matrix_traverse(
-    num_clusters, subs, mt_group, pretest,
+    num_clusters, subs, mt_group, pretest, worklist,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
     t_out, tri_out, u_out, v_out, runs_out,
-    rmin, tri_smem, sem,
+    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem,
     any_hit: bool,
 ):
     bs = ox.shape[0]  # tile height (intersect_matrix adapts it to C)
@@ -575,6 +621,13 @@ def _matrix_traverse(
     invx = jnp.where(jnp.abs(rdx) < 1e-12, big, 1.0 / rdx)
     invy = jnp.where(jnp.abs(rdy) < 1e-12, big, 1.0 / rdy)
     invz = jnp.where(jnp.abs(rdz) < 1e-12, big, 1.0 / rdz)
+    if worklist:
+        # The worklist visit path reads per-group ray slices back from
+        # refs with dynamic sublane offsets; park the reciprocals in
+        # scratch once so group bodies need no divides.
+        invx_s[:] = invx
+        invy_s[:] = invy
+        invz_s[:] = invz
 
     def _pack_t(t):
         # Upper liveness bound per lane; non-positive range -> -1 so no
@@ -631,17 +684,193 @@ def _matrix_traverse(
         # beyond every lane's own t_best, no visit can improve a lane.
         return jnp.max(_pack_t(t_out[:]))
 
+    def _worklist_visit(cid, chunk, sub_off, base, span, n_pre):
+        """Worklist visit path: the branch engine pays one `jnp.any` +
+        `pl.when` region per MT group and per pretest span (~20
+        vector->scalar syncs / branches per visit, the measured
+        per-visit wall); here each level packs its wanting-entry ids
+        into ONE nibble list (vector-domain, single scalar sync) and a
+        data-dependent while_loop drains exactly the wanting entries
+        via dynamic sublane slices. The triangle DMA starts before the
+        mask build so its latency hides under the vector work."""
+        g_sz = min(mt_group, bs)
+        n_groups = bs // g_sz
+        nib = jnp.int32(_NIB)
+
+        cp = pltpu.make_async_copy(tri_hbm.at[chunk], tri_smem, sem)
+        cp.start()
+
+        _, in_run = slab(cid, t_out[:])
+        inrun_s[:] = in_run.astype(jnp.int32)
+        flags = [
+            jnp.max(
+                in_run[g * g_sz:(g + 1) * g_sz].astype(jnp.int32),
+                axis=(0, 1), keepdims=True,
+            )
+            for g in range(n_groups)
+        ]
+        pk0 = _pack_worklist(flags)[0, 0]
+        cp.wait()
+
+        def g_body(pkc):
+            g = pkc & nib
+            lo = g * g_sz
+            gsl = pl.ds(lo, g_sz)
+            g_ox, g_oy, g_oz = ox[gsl], oy[gsl], oz[gsl]
+            g_dx, g_dy, g_dz = dx[gsl], dy[gsl], dz[gsl]
+            g_ix = invx_s[gsl]
+            g_iy = invy_s[gsl]
+            g_iz = invz_s[gsl]
+            g_mask = inrun_s[gsl] != 0
+
+            def mt_span(k0, k_n):
+                def tri_body(k, _):
+                    t = sub_off + k0 + k
+                    av0x = tri_smem[0, t]
+                    av0y = tri_smem[1, t]
+                    av0z = tri_smem[2, t]
+                    ae1x = tri_smem[3, t]
+                    ae1y = tri_smem[4, t]
+                    ae1z = tri_smem[5, t]
+                    ae2x = tri_smem[6, t]
+                    ae2y = tri_smem[7, t]
+                    ae2z = tri_smem[8, t]
+
+                    px = g_dy * ae2z - g_dz * ae2y
+                    py = g_dz * ae2x - g_dx * ae2z
+                    pz = g_dx * ae2y - g_dy * ae2x
+                    det = px * ae1x + py * ae1y + pz * ae1z
+                    inv_det = jnp.where(
+                        jnp.abs(det) > _EPS, 1.0 / det, 0.0
+                    )
+                    tx = g_ox - av0x
+                    ty = g_oy - av0y
+                    tz = g_oz - av0z
+                    u = (tx * px + ty * py + tz * pz) * inv_det
+                    qx = ty * ae1z - tz * ae1y
+                    qy = tz * ae1x - tx * ae1z
+                    qz = tx * ae1y - ty * ae1x
+                    v = (g_dx * qx + g_dy * qy + g_dz * qz) * inv_det
+                    tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
+
+                    t_cur = t_out[gsl]
+                    ok = (
+                        g_mask
+                        & (jnp.abs(det) > _EPS)
+                        & (u >= 0.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (tt > _T_MIN)
+                        & (tt < t_cur)
+                    )
+                    if any_hit:
+                        t_out[gsl] = jnp.where(ok, 0.0, t_cur)
+                        tri_out[gsl] = jnp.where(
+                            ok, base + k0 + k, tri_out[gsl]
+                        )
+                    else:
+                        t_out[gsl] = jnp.where(ok, tt, t_cur)
+                        tri_out[gsl] = jnp.where(
+                            ok, base + k0 + k, tri_out[gsl]
+                        )
+                        u_out[gsl] = jnp.where(ok, u, u_out[gsl])
+                        v_out[gsl] = jnp.where(ok, v, v_out[gsl])
+                    return 0
+
+                jax.lax.fori_loop(0, k_n, tri_body, 0)
+
+            if n_pre == 0:
+                mt_span(jnp.int32(0), span)
+            else:
+                sflags = []
+                for p in range(n_pre):
+                    lane0 = (sub_off // _PRETEST_TRIS + p) * 6
+                    bnx = tri_smem[9, lane0 + 0]
+                    bny = tri_smem[9, lane0 + 1]
+                    bnz = tri_smem[9, lane0 + 2]
+                    bxx = tri_smem[9, lane0 + 3]
+                    bxy = tri_smem[9, lane0 + 4]
+                    bxz = tri_smem[9, lane0 + 5]
+                    p0x = (bnx - g_ox) * g_ix
+                    p1x = (bxx - g_ox) * g_ix
+                    p0y = (bny - g_oy) * g_iy
+                    p1y = (bxy - g_oy) * g_iy
+                    p0z = (bnz - g_oz) * g_iz
+                    p1z = (bxz - g_oz) * g_iz
+                    ptn = jnp.maximum(
+                        jnp.maximum(
+                            jnp.minimum(p0x, p1x),
+                            jnp.minimum(p0y, p1y),
+                        ),
+                        jnp.minimum(p0z, p1z),
+                    )
+                    ptf = jnp.minimum(
+                        jnp.minimum(
+                            jnp.maximum(p0x, p1x),
+                            jnp.maximum(p0y, p1y),
+                        ),
+                        jnp.maximum(p0z, p1z),
+                    )
+                    pre = (
+                        g_mask
+                        & (ptn <= ptf)
+                        & (ptf > 0.0)
+                        & (ptn < t_out[gsl])
+                    )
+                    sflags.append(
+                        jnp.max(
+                            pre.astype(jnp.int32),
+                            axis=(0, 1), keepdims=True,
+                        )
+                    )
+                sp0 = _pack_worklist(sflags)[0, 0]
+
+                def s_body(carry):
+                    spc, si = carry
+                    mt_span((spc & nib) * _PRETEST_TRIS, _PRETEST_TRIS)
+                    return (
+                        jax.lax.shift_right_logical(spc, 4), si + 1
+                    )
+
+                jax.lax.while_loop(
+                    lambda c: ((c[0] & nib) != nib)
+                    & (c[1] < len(sflags)),
+                    s_body, (sp0, jnp.int32(0)),
+                )
+            return jax.lax.shift_right_logical(pkc, 4)
+
+        def g_loop(carry):
+            pkc, gi = carry
+            return g_body(pkc), gi + 1
+
+        jax.lax.while_loop(
+            lambda c: ((c[0] & nib) != nib) & (c[1] < n_groups),
+            g_loop, (pk0, jnp.int32(0)),
+        )
+
     def run_counted(carry):
         skey, _, cnt = carry
         cid = skey & jnp.int32(_ID_MASK)
-        # Recompute the slab row (keyless): exact per-lane want-mask
-        # against the CURRENT t_best, tighter than a cached key.
-        _, in_run = slab(cid, t_out[:])
         rmin[:] = jnp.where(lin == cid, inf_key, rmin[:])
 
         chunk = cid // subs
         sub_off = (cid % subs) * (TRI_CHUNK // subs)
         base = chunk * TRI_CHUNK + sub_off
+
+        span = min(_MT_ITERS, TRI_CHUNK // subs)
+        n_pre = (
+            span // _PRETEST_TRIS
+            if pretest and span % _PRETEST_TRIS == 0 else 0
+        )
+
+        if worklist:
+            _worklist_visit(cid, chunk, sub_off, base, span, n_pre)
+            return next_key(), bound(), cnt + 1
+
+        # --- branch engine (original visit path) ---
+        # Recompute the slab row (keyless): exact per-lane want-mask
+        # against the CURRENT t_best, tighter than a cached key.
+        _, in_run = slab(cid, t_out[:])
 
         # The selection bound is tile-global, so a selected cluster may
         # interest no lane anymore — skip its DMA entirely (the group
@@ -651,12 +880,6 @@ def _matrix_traverse(
             cp = pltpu.make_async_copy(tri_hbm.at[chunk], tri_smem, sem)
             cp.start()
             cp.wait()
-
-        span = min(_MT_ITERS, TRI_CHUNK // subs)
-        n_pre = (
-            span // _PRETEST_TRIS
-            if pretest and span % _PRETEST_TRIS == 0 else 0
-        )
         # The predication group can never exceed the tile height: tests
         # pin bs below _MT_GROUP via `sublanes`, and range(bs // 16) ==
         # range(0) at bs=8 silently tested NO triangles — every ray
@@ -796,7 +1019,7 @@ def _matrix_traverse(
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "with_stats", "any_hit", "subs",
-                     "sublanes", "mt_group", "pretest"),
+                     "sublanes", "mt_group", "pretest", "worklist"),
 )
 def intersect_matrix(
     o: jnp.ndarray,
@@ -810,6 +1033,7 @@ def intersect_matrix(
     sublanes: int | None = None,
     mt_group: int | None = None,
     pretest: bool = True,
+    worklist: bool = False,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
@@ -884,9 +1108,17 @@ def intersect_matrix(
     tri_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     mg = _MT_GROUP if mt_group is None else mt_group
+    # The worklist engine packs per-level wanting-entry ids into one
+    # 32-bit nibble list: both levels must fit 8 entries.
+    span = min(_MT_ITERS, TRI_CHUNK // subs)
+    n_pre = (
+        span // _PRETEST_TRIS
+        if pretest and span % _PRETEST_TRIS == 0 else 0
+    )
+    wl = worklist and bs // min(mg, bs) <= 8 and n_pre <= 8
     kern = (
-        _make_matrix_occluded_kernel(c, subs, mg, pretest) if any_hit
-        else _make_matrix_kernel(c, subs, mg, pretest)
+        _make_matrix_occluded_kernel(c, subs, mg, pretest, wl) if any_hit
+        else _make_matrix_kernel(c, subs, mg, pretest, wl)
     )
     t_b, tri_b, u_b, v_b, runs_b = pl.pallas_call(
         kern,
@@ -903,6 +1135,10 @@ def intersect_matrix(
         scratch_shapes=[
             pltpu.VMEM((_rmin_rows(c), LANES), jnp.int32),
             pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
+            pltpu.VMEM((bs, LANES), jnp.float32),
+            pltpu.VMEM((bs, LANES), jnp.float32),
+            pltpu.VMEM((bs, LANES), jnp.float32),
+            pltpu.VMEM((bs, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1468,7 +1704,7 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
     jax.jit,
     static_argnames=(
         "interpret", "any_hit", "subs", "kernel", "wavefront_k",
-        "wavefront_m", "sublanes", "mt_group", "pretest",
+        "wavefront_m", "sublanes", "mt_group", "pretest", "worklist",
     ),
 )
 def matrix_query(
@@ -1477,7 +1713,7 @@ def matrix_query(
     kernel: str = "matrix",
     wavefront_k: int = 16, wavefront_m: int = 32,
     sublanes: int | None = None, mt_group: int | None = None,
-    pretest: bool = True,
+    pretest: bool = True, worklist: bool = False,
 ) -> Hit:
     """Coherence-sorted traversal with FUSED payload sorts.
 
@@ -1521,7 +1757,7 @@ def matrix_query(
         hit = intersect_matrix(
             o_s, d_s, geometry, t_max=tm_s, interpret=interpret,
             any_hit=any_hit, subs=subs, sublanes=sublanes,
-            mt_group=mt_group, pretest=pretest,
+            mt_group=mt_group, pretest=pretest, worklist=worklist,
         )
     (_, t_o, tri_o, u_o, v_o) = jax.lax.sort(
         (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1

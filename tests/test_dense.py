@@ -98,6 +98,41 @@ class TestDense:
         _assert_canonical_equal(hit, bf)
         assert (np.asarray(hit.tri)[::3] == -1).all()
 
+    def test_frame_with_dense_shadows_matches_matrix(self, geom, rs):
+        """shadow_dense_k routes the split shadow-class dispatch through
+        occluded_dense; both engines are exact, so the rendered frame
+        must match the matrix-shadow frame (same NEE visibility)."""
+        from hala_tpu.models.integrator import (
+            Film,
+            RenderSettings,
+            Uniforms,
+            render_frame,
+        )
+        from hala_tpu.scene.loader.uploader import SceneUploader
+        from hala_tpu.scene.procedural import sponza_like
+
+        dev = SceneUploader.upload(
+            sponza_like(rooms=(2, 2), columns_per_room=3,
+                        boxes_per_room=4),
+            use_ray_tracing=False,
+        )
+        base = dict(
+            width=16, height=16, max_depth=2, tile_size=256,
+            intersector="matrix", interpret_pallas=True, sort_rays=True,
+        )
+        uni = Uniforms.default()
+        fa, _ = render_frame(
+            dev, None, uni, Film.create(16, 16), 0,
+            RenderSettings(**base, shadow_dense_k=4),
+        )
+        fb, _ = render_frame(
+            dev, None, uni, Film.create(16, 16), 0,
+            RenderSettings(**base),
+        )
+        np.testing.assert_allclose(
+            np.asarray(fa.accum), np.asarray(fb.accum), atol=1e-5
+        )
+
     def test_batch_composition_bit_identity(self, geom, rs):
         """Per-ray results are a pure function of the ray: the same
         rays permuted into a different batch order (different fallback

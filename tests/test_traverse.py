@@ -123,6 +123,32 @@ class TestMatrix:
         )
         assert (np.asarray(hit.tri) == -1).all()
 
+    @pytest.mark.parametrize("pretest", [True, False])
+    def test_worklist_engine_exact(self, geom, rs, pretest):
+        """The packed-nibble worklist visit engine must be bit-equal to
+        the branch engine (identical MT math over the identical visit
+        set) for both query classes, with and without the sub-chunk
+        pretest spans."""
+        g = geom
+        o, d = _rays(1024, rs)
+        bf = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128
+        )
+        hit = intersect_matrix(
+            o, d, g, interpret=True, worklist=True, pretest=pretest
+        )
+        _assert_hits_equal(hit, bf)
+        occ = intersect_matrix(
+            o, d, g, t_max=jnp.full((1024,), 2.5), interpret=True,
+            any_hit=True, worklist=True, pretest=pretest,
+        )
+        bf_t = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=2.5, chunk=128
+        )
+        np.testing.assert_array_equal(
+            np.asarray(occ.tri) >= 0, np.asarray(bf_t.tri) >= 0
+        )
+
     @pytest.mark.parametrize("bs", [8, 16])
     def test_short_tiles_exact(self, geom, rs, bs):
         """Tile heights BELOW the 16-sublane predication group must

@@ -79,22 +79,29 @@ SWEEPS = {
     # round 2: coarser groups + pretest ablation at the round-1 winner
     "2": [(128, 32, True), (64, 32, True), (256, 16, True),
           (128, 16, False), (128, 64, True)],
+    # round 3: worklist engine (packed-nibble drain, single-sync
+    # group/span gating) vs the branch engine at the round-2 winners
+    "3": [(128, 32, True, True), (128, 32, True, False),
+          (128, 16, True, True), (128, 8, True, True),
+          (64, 16, True, True)],
 }
-sweep = SWEEPS[os.environ.get("SWEEP", "2")]
+sweep = SWEEPS[os.environ.get("SWEEP", "3")]
 
-for bs, mg, pre in sweep:
-    tag = f"bs={bs} mg={mg} pre={int(pre)}"
+for combo in sweep:
+    bs, mg, pre = combo[:3]
+    wl = combo[3] if len(combo) > 3 else False
+    tag = f"bs={bs} mg={mg} pre={int(pre)} wl={int(wl)}"
     timed(
         f"closest {tag}",
-        lambda bs=bs, mg=mg, pre=pre: matrix_query(
-            o, dd, g, sublanes=bs, mt_group=mg, pretest=pre
+        lambda bs=bs, mg=mg, pre=pre, wl=wl: matrix_query(
+            o, dd, g, sublanes=bs, mt_group=mg, pretest=pre, worklist=wl
         ),
     )
     timed(
         f"any-hit {tag}",
-        lambda bs=bs, mg=mg, pre=pre: matrix_query(
+        lambda bs=bs, mg=mg, pre=pre, wl=wl: matrix_query(
             o, dd, g, t_max=far, any_hit=True, sublanes=bs, mt_group=mg,
-            pretest=pre,
+            pretest=pre, worklist=wl,
         ),
     )
 
