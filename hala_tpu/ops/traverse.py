@@ -405,7 +405,7 @@ def _traverse_core(
         ],
         scratch_shapes=[
             pltpu.VMEM((k * BLOCK_SUBLANES, LANES), jnp.int32),
-            pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
+            pltpu.SMEM((16, vb * TRI_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -481,15 +481,16 @@ MATRIX_BLOCK = MATRIX_SUBLANES * LANES
 
 
 def _make_matrix_kernel(num_clusters: int, subs: int, mt_group: int,
-                        pretest: bool, worklist: bool):
+                        pretest: bool, worklist: bool,
+                        visit_batch: int):
     return functools.partial(
         _matrix_kernel_body, num_clusters, subs, mt_group, pretest,
-        worklist,
+        worklist, visit_batch,
     )
 
 
 def _matrix_kernel_body(
-    num_clusters, subs, mt_group, pretest, worklist,
+    num_clusters, subs, mt_group, pretest, worklist, visit_batch,
     cmin_ref, cmax_ref,             # VMEM (C, 3)
     ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
     tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
@@ -501,7 +502,7 @@ def _matrix_kernel_body(
     sem,
 ):
     _matrix_traverse(
-        num_clusters, subs, mt_group, pretest, worklist,
+        num_clusters, subs, mt_group, pretest, worklist, visit_batch,
         cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
@@ -512,15 +513,15 @@ def _matrix_kernel_body(
 
 def _make_matrix_occluded_kernel(num_clusters: int, subs: int,
                                  mt_group: int, pretest: bool,
-                                 worklist: bool):
+                                 worklist: bool, visit_batch: int):
     return functools.partial(
         _matrix_occluded_body, num_clusters, subs, mt_group, pretest,
-        worklist,
+        worklist, visit_batch,
     )
 
 
 def _matrix_occluded_body(
-    num_clusters, subs, mt_group, pretest, worklist,
+    num_clusters, subs, mt_group, pretest, worklist, visit_batch,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
@@ -531,7 +532,7 @@ def _matrix_occluded_body(
     its liveness collapses immediately — shadow queries touch far fewer
     clusters than closest-hit (no need to ORDER hits, just find one)."""
     _matrix_traverse(
-        num_clusters, subs, mt_group, pretest, worklist,
+        num_clusters, subs, mt_group, pretest, worklist, visit_batch,
         cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
@@ -600,7 +601,7 @@ def _rmin_rows(c: int) -> int:
 
 
 def _matrix_traverse(
-    num_clusters, subs, mt_group, pretest, worklist,
+    num_clusters, subs, mt_group, pretest, worklist, visit_batch,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
@@ -684,36 +685,81 @@ def _matrix_traverse(
         # beyond every lane's own t_best, no visit can improve a lane.
         return jnp.max(_pack_t(t_out[:]))
 
-    def _worklist_visit(cid, chunk, sub_off, base, span, n_pre):
+    def _worklist_visit(clusters, span, n_pre):
         """Worklist visit path: the branch engine pays one `jnp.any` +
         `pl.when` region per MT group and per pretest span (~20
         vector->scalar syncs / branches per visit, the measured
         per-visit wall); here each level packs its wanting-entry ids
         into ONE nibble list (vector-domain, single scalar sync) and a
         data-dependent while_loop drains exactly the wanting entries
-        via dynamic sublane slices. The triangle DMA starts before the
-        mask build so its latency hides under the vector work."""
+        via dynamic sublane slices. The triangle DMAs start before the
+        mask build so their latency hides under the vector work.
+
+        `clusters` is a list of (cid, chunk, sub_off, base, valid)
+        visits drained through ONE merged worklist: batching amortizes
+        the per-visit selection/bound overhead and overlaps the DMAs
+        (each chunk lands in its own TRI_CHUNK-wide tri_smem column
+        block). Entry id e maps to cluster e // n_groups, group
+        e % n_groups; per-cluster want-masks ride inrun_s as bits."""
         g_sz = min(mt_group, bs)
         n_groups = bs // g_sz
         nib = jnp.int32(_NIB)
+        nb = len(clusters)
 
-        cp = pltpu.make_async_copy(tri_hbm.at[chunk], tri_smem, sem)
-        cp.start()
-
-        _, in_run = slab(cid, t_out[:])
-        inrun_s[:] = in_run.astype(jnp.int32)
-        flags = [
-            jnp.max(
-                in_run[g * g_sz:(g + 1) * g_sz].astype(jnp.int32),
-                axis=(0, 1), keepdims=True,
+        cps = []
+        for i, (cid, chunk, sub_off, base, valid) in enumerate(clusters):
+            cp = pltpu.make_async_copy(
+                tri_hbm.at[chunk],
+                tri_smem.at[:, i * TRI_CHUNK:(i + 1) * TRI_CHUNK],
+                sem,
             )
-            for g in range(n_groups)
-        ]
+            cp.start()
+            cps.append(cp)
+
+        packed_run = jnp.zeros((bs, LANES), jnp.int32)
+        flags = []
+        runs = []
+        for i, (cid, chunk, sub_off, base, valid) in enumerate(clusters):
+            _, in_run = slab(cid, t_out[:])
+            if valid is not None:
+                in_run = in_run & valid
+            runs.append(in_run)
+            packed_run = packed_run | (
+                in_run.astype(jnp.int32) << i
+            )
+        inrun_s[:] = packed_run
+        # Cluster-major entry order preserves front-to-back visiting
+        # (clusters arrive nearest-first from the selection min).
+        for i in range(nb):
+            for g in range(n_groups):
+                flags.append(
+                    jnp.max(
+                        runs[i][g * g_sz:(g + 1) * g_sz].astype(jnp.int32),
+                        axis=(0, 1), keepdims=True,
+                    )
+                )
         pk0 = _pack_worklist(flags)[0, 0]
-        cp.wait()
+        for cp in cps:
+            cp.wait()
 
         def g_body(pkc):
-            g = pkc & nib
+            e = pkc & nib
+            if nb == 1:
+                g = e
+                ci = jnp.int32(0)
+                sub_off = clusters[0][2]
+                base = clusters[0][3]
+                coff = jnp.int32(0)
+            else:
+                g = jax.lax.rem(e, jnp.int32(n_groups))
+                ci = e // jnp.int32(n_groups)
+                # Scalar select chain (no 1D arrays in Mosaic).
+                sub_off = clusters[0][2]
+                base = clusters[0][3]
+                for i in range(1, nb):
+                    sub_off = jnp.where(ci == i, clusters[i][2], sub_off)
+                    base = jnp.where(ci == i, clusters[i][3], base)
+                coff = ci * TRI_CHUNK
             lo = g * g_sz
             gsl = pl.ds(lo, g_sz)
             g_ox, g_oy, g_oz = ox[gsl], oy[gsl], oz[gsl]
@@ -721,11 +767,16 @@ def _matrix_traverse(
             g_ix = invx_s[gsl]
             g_iy = invy_s[gsl]
             g_iz = invz_s[gsl]
-            g_mask = inrun_s[gsl] != 0
+            if nb == 1:
+                g_mask = inrun_s[gsl] != 0
+            else:
+                g_mask = (
+                    jax.lax.shift_right_logical(inrun_s[gsl], ci) & 1
+                ) != 0
 
             def mt_span(k0, k_n):
                 def tri_body(k, _):
-                    t = sub_off + k0 + k
+                    t = coff + sub_off + k0 + k
                     av0x = tri_smem[0, t]
                     av0y = tri_smem[1, t]
                     av0z = tri_smem[2, t]
@@ -784,7 +835,7 @@ def _matrix_traverse(
             else:
                 sflags = []
                 for p in range(n_pre):
-                    lane0 = (sub_off // _PRETEST_TRIS + p) * 6
+                    lane0 = coff + (sub_off // _PRETEST_TRIS + p) * 6
                     bnx = tri_smem[9, lane0 + 0]
                     bny = tri_smem[9, lane0 + 1]
                     bnz = tri_smem[9, lane0 + 2]
@@ -844,18 +895,23 @@ def _matrix_traverse(
             return g_body(pkc), gi + 1
 
         jax.lax.while_loop(
-            lambda c: ((c[0] & nib) != nib) & (c[1] < n_groups),
+            lambda c: ((c[0] & nib) != nib) & (c[1] < nb * n_groups),
             g_loop, (pk0, jnp.int32(0)),
         )
+
+    max_chunk = jnp.int32((num_clusters - 1) // subs)
+
+    def _decode(cid):
+        chunk = jnp.minimum(cid // subs, max_chunk)
+        sub_off = (cid % subs) * (TRI_CHUNK // subs)
+        return chunk, sub_off, chunk * TRI_CHUNK + sub_off
 
     def run_counted(carry):
         skey, _, cnt = carry
         cid = skey & jnp.int32(_ID_MASK)
         rmin[:] = jnp.where(lin == cid, inf_key, rmin[:])
 
-        chunk = cid // subs
-        sub_off = (cid % subs) * (TRI_CHUNK // subs)
-        base = chunk * TRI_CHUNK + sub_off
+        chunk, sub_off, base = _decode(cid)
 
         span = min(_MT_ITERS, TRI_CHUNK // subs)
         n_pre = (
@@ -864,8 +920,25 @@ def _matrix_traverse(
         )
 
         if worklist:
-            _worklist_visit(cid, chunk, sub_off, base, span, n_pre)
-            return next_key(), bound(), cnt + 1
+            visits = [(cid, chunk, sub_off, base, None)]
+            extra = jnp.int32(0)
+            for _ in range(visit_batch - 1):
+                # Pull the NEXT-nearest cluster into the same visit:
+                # its DMA overlaps the first one's and the whole batch
+                # shares one selection/bound round. An exhausted
+                # selection yields _INF_KEY; mask that visit out (and
+                # guard its rmin clear — the masked id aliases 4095).
+                skey_n = next_key()
+                ok_n = skey_n != inf_key
+                cid_n = skey_n & jnp.int32(_ID_MASK)
+                rmin[:] = jnp.where(
+                    (lin == cid_n) & ok_n, inf_key, rmin[:]
+                )
+                chunk_n, sub_off_n, base_n = _decode(cid_n)
+                visits.append((cid_n, chunk_n, sub_off_n, base_n, ok_n))
+                extra = extra + ok_n.astype(jnp.int32)
+            _worklist_visit(visits, span, n_pre)
+            return next_key(), bound(), cnt + 1 + extra
 
         # --- branch engine (original visit path) ---
         # Recompute the slab row (keyless): exact per-lane want-mask
@@ -1019,7 +1092,8 @@ def _matrix_traverse(
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "with_stats", "any_hit", "subs",
-                     "sublanes", "mt_group", "pretest", "worklist"),
+                     "sublanes", "mt_group", "pretest", "worklist",
+                     "visit_batch"),
 )
 def intersect_matrix(
     o: jnp.ndarray,
@@ -1034,6 +1108,7 @@ def intersect_matrix(
     mt_group: int | None = None,
     pretest: bool = True,
     worklist: bool = False,
+    visit_batch: int = 1,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
@@ -1109,16 +1184,21 @@ def intersect_matrix(
 
     mg = _MT_GROUP if mt_group is None else mt_group
     # The worklist engine packs per-level wanting-entry ids into one
-    # 32-bit nibble list: both levels must fit 8 entries.
+    # 32-bit nibble list: both levels must fit 8 entries (a batched
+    # visit spends visit_batch * n_groups group-level nibbles).
     span = min(_MT_ITERS, TRI_CHUNK // subs)
     n_pre = (
         span // _PRETEST_TRIS
         if pretest and span % _PRETEST_TRIS == 0 else 0
     )
     wl = worklist and bs // min(mg, bs) <= 8 and n_pre <= 8
+    vb = visit_batch if (
+        wl and visit_batch * (bs // min(mg, bs)) <= 8
+    ) else 1
     kern = (
-        _make_matrix_occluded_kernel(c, subs, mg, pretest, wl) if any_hit
-        else _make_matrix_kernel(c, subs, mg, pretest, wl)
+        _make_matrix_occluded_kernel(c, subs, mg, pretest, wl, vb)
+        if any_hit
+        else _make_matrix_kernel(c, subs, mg, pretest, wl, vb)
     )
     t_b, tri_b, u_b, v_b, runs_b = pl.pallas_call(
         kern,
@@ -1134,7 +1214,7 @@ def intersect_matrix(
         ],
         scratch_shapes=[
             pltpu.VMEM((_rmin_rows(c), LANES), jnp.int32),
-            pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
+            pltpu.SMEM((16, vb * TRI_CHUNK), jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.float32),
@@ -1705,6 +1785,7 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
     static_argnames=(
         "interpret", "any_hit", "subs", "kernel", "wavefront_k",
         "wavefront_m", "sublanes", "mt_group", "pretest", "worklist",
+        "visit_batch",
     ),
 )
 def matrix_query(
@@ -1714,6 +1795,7 @@ def matrix_query(
     wavefront_k: int = 16, wavefront_m: int = 32,
     sublanes: int | None = None, mt_group: int | None = None,
     pretest: bool = True, worklist: bool = False,
+    visit_batch: int = 1,
 ) -> Hit:
     """Coherence-sorted traversal with FUSED payload sorts.
 
@@ -1758,6 +1840,7 @@ def matrix_query(
             o_s, d_s, geometry, t_max=tm_s, interpret=interpret,
             any_hit=any_hit, subs=subs, sublanes=sublanes,
             mt_group=mt_group, pretest=pretest, worklist=worklist,
+            visit_batch=visit_batch,
         )
     (_, t_o, tri_o, u_o, v_o) = jax.lax.sort(
         (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1

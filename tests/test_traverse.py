@@ -123,24 +123,28 @@ class TestMatrix:
         )
         assert (np.asarray(hit.tri) == -1).all()
 
-    @pytest.mark.parametrize("pretest", [True, False])
-    def test_worklist_engine_exact(self, geom, rs, pretest):
+    @pytest.mark.parametrize("pretest,vb", [
+        (True, 1), (False, 1), (True, 2), (False, 2),
+    ])
+    def test_worklist_engine_exact(self, geom, rs, pretest, vb):
         """The packed-nibble worklist visit engine must be bit-equal to
         the branch engine (identical MT math over the identical visit
         set) for both query classes, with and without the sub-chunk
-        pretest spans."""
+        pretest spans, and with batched (2-cluster) visits."""
         g = geom
         o, d = _rays(1024, rs)
         bf = intersect_bruteforce(
             o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128
         )
         hit = intersect_matrix(
-            o, d, g, interpret=True, worklist=True, pretest=pretest
+            o, d, g, interpret=True, worklist=True, pretest=pretest,
+            visit_batch=vb,
         )
         _assert_hits_equal(hit, bf)
         occ = intersect_matrix(
             o, d, g, t_max=jnp.full((1024,), 2.5), interpret=True,
             any_hit=True, worklist=True, pretest=pretest,
+            visit_batch=vb,
         )
         bf_t = intersect_bruteforce(
             o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=2.5, chunk=128

@@ -84,24 +84,30 @@ SWEEPS = {
     "3": [(128, 32, True, True), (128, 32, True, False),
           (128, 16, True, True), (128, 8, True, True),
           (64, 16, True, True)],
+    # round 3b: batched (2-cluster) worklist visits — overlapped DMAs +
+    # shared selection/bound rounds — vs single-visit at the winners
+    "4": [(128, 32, True, True, 2), (128, 32, True, True, 1),
+          (128, 64, True, True, 2), (128, 16, True, True, 2)],
 }
 sweep = SWEEPS[os.environ.get("SWEEP", "3")]
 
 for combo in sweep:
     bs, mg, pre = combo[:3]
     wl = combo[3] if len(combo) > 3 else False
-    tag = f"bs={bs} mg={mg} pre={int(pre)} wl={int(wl)}"
+    vb = combo[4] if len(combo) > 4 else 1
+    tag = f"bs={bs} mg={mg} pre={int(pre)} wl={int(wl)} vb={vb}"
     timed(
         f"closest {tag}",
-        lambda bs=bs, mg=mg, pre=pre, wl=wl: matrix_query(
-            o, dd, g, sublanes=bs, mt_group=mg, pretest=pre, worklist=wl
+        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb: matrix_query(
+            o, dd, g, sublanes=bs, mt_group=mg, pretest=pre,
+            worklist=wl, visit_batch=vb,
         ),
     )
     timed(
         f"any-hit {tag}",
-        lambda bs=bs, mg=mg, pre=pre, wl=wl: matrix_query(
+        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb: matrix_query(
             o, dd, g, t_max=far, any_hit=True, sublanes=bs, mt_group=mg,
-            pretest=pre, worklist=wl,
+            pretest=pre, worklist=wl, visit_batch=vb,
         ),
     )
 
