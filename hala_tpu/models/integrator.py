@@ -105,6 +105,12 @@ class RenderSettings:
     # Mosaic composition wall inside full-frame jits. 0 = matrix
     # any-hit (default).
     shadow_dense_k: int = 0
+    # Matrix-kernel visit engine: worklist (packed-nibble drain, single
+    # scalar sync per level) vs the branch engine, and how many
+    # clusters one visit round batches (overlapped DMAs). See
+    # ops/traverse._worklist_visit and the DESIGN.md round-3 ledger.
+    matrix_worklist: bool = False
+    matrix_visit_batch: int = 1
     # Max alpha-tested surfaces a shadow ray may stochastically pass
     # through (any-hit-shader parity: the reference's hit shaders can
     # continue through stacked transparent surfaces). 1 = legacy
@@ -287,6 +293,8 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
                 kernel=backend,
                 wavefront_k=settings.wavefront_k,
                 wavefront_m=settings.wavefront_m,
+                worklist=settings.matrix_worklist,
+                visit_batch=settings.matrix_visit_batch,
             )
         if backend == "wavefront":
             from ..ops.wavefront import intersect_wavefront
@@ -301,7 +309,9 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
                 o, d, g, t_max=t_max, interpret=settings.interpret_pallas
             )
         return intersect_matrix(
-            o, d, g, t_max=t_max, interpret=settings.interpret_pallas
+            o, d, g, t_max=t_max, interpret=settings.interpret_pallas,
+            worklist=settings.matrix_worklist,
+            visit_batch=settings.matrix_visit_batch,
         )
     if backend == "traverse":
         from ..ops.traverse import intersect_traversed
@@ -402,6 +412,8 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
                 kernel=backend,
                 wavefront_k=settings.wavefront_k,
                 wavefront_m=settings.wavefront_m,
+                worklist=settings.matrix_worklist,
+                visit_batch=settings.matrix_visit_batch,
             ).tri >= 0
         if backend == "wavefront":
             from ..ops.wavefront import intersect_wavefront
@@ -420,6 +432,8 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
         return intersect_matrix(
             o, d, g, t_max=tf,
             interpret=settings.interpret_pallas, any_hit=True,
+            worklist=settings.matrix_worklist,
+            visit_batch=settings.matrix_visit_batch,
         ).tri >= 0
     if backend in ("cluster", "traverse"):
         hit = _intersect(
