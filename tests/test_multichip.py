@@ -156,6 +156,21 @@ def test_sharded_matrix_intersector(cornell_device_scene):
     _assert_identical(*_run_pair(cornell_device_scene, settings, frames=1))
 
 
+def test_sharded_matrix_worklist_batched(cornell_device_scene):
+    """The worklist visit engine with batched (2-cluster) visits
+    (interpret mode): visit order and the per-visit pair order match
+    the branch engine by construction (cluster-major nibble entries),
+    so per-ray bits must be independent of the device count."""
+    size = 32
+    settings = RenderSettings(
+        width=size, height=size, max_depth=2, rr_depth=2,
+        tile_size=size * size // 8, intersector="matrix",
+        sort_rays=True, interpret_pallas=True,
+        matrix_worklist=True, matrix_visit_batch=2,
+    )
+    _assert_identical(*_run_pair(cornell_device_scene, settings, frames=1))
+
+
 def test_sharded_grouped_intersector(cornell_device_scene):
     """The grouped MXU traversal (interpret mode): 128-ray groups are
     formed per shard AFTER the in-shard sort, so bit-identity proves
