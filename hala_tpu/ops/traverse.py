@@ -405,7 +405,7 @@ def _traverse_core(
         ],
         scratch_shapes=[
             pltpu.VMEM((k * BLOCK_SUBLANES, LANES), jnp.int32),
-            pltpu.SMEM((16, vb * TRI_CHUNK), jnp.float32),
+            pltpu.SMEM((16, TRI_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -482,15 +482,16 @@ MATRIX_BLOCK = MATRIX_SUBLANES * LANES
 
 def _make_matrix_kernel(num_clusters: int, subs: int, mt_group: int,
                         pretest: bool, worklist: bool,
-                        visit_batch: int):
+                        visit_batch: int, pipeline: bool):
     return functools.partial(
         _matrix_kernel_body, num_clusters, subs, mt_group, pretest,
-        worklist, visit_batch,
+        worklist, visit_batch, pipeline,
     )
 
 
 def _matrix_kernel_body(
     num_clusters, subs, mt_group, pretest, worklist, visit_batch,
+    pipeline,
     cmin_ref, cmax_ref,             # VMEM (C, 3)
     ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
     tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
@@ -499,44 +500,48 @@ def _matrix_kernel_body(
     tri_smem,                       # scratch SMEM (16, TRI_CHUNK)
     invx_s, invy_s, invz_s,         # scratch VMEM (bs, LANES) f32
     inrun_s,                        # scratch VMEM (bs, LANES) i32
-    sem,
+    sem, sem2,
 ):
     _matrix_traverse(
         num_clusters, subs, mt_group, pretest, worklist, visit_batch,
+        pipeline,
         cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
-        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem,
+        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem, sem2,
         any_hit=False,
     )
 
 
 def _make_matrix_occluded_kernel(num_clusters: int, subs: int,
                                  mt_group: int, pretest: bool,
-                                 worklist: bool, visit_batch: int):
+                                 worklist: bool, visit_batch: int,
+                                 pipeline: bool):
     return functools.partial(
         _matrix_occluded_body, num_clusters, subs, mt_group, pretest,
-        worklist, visit_batch,
+        worklist, visit_batch, pipeline,
     )
 
 
 def _matrix_occluded_body(
     num_clusters, subs, mt_group, pretest, worklist, visit_batch,
+    pipeline,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
     t_out, tri_out, u_out, v_out, runs_out,
-    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem,
+    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem, sem2,
 ):
     """Any-hit variant: a blocked lane zeroes its remaining range, so
     its liveness collapses immediately — shadow queries touch far fewer
     clusters than closest-hit (no need to ORDER hits, just find one)."""
     _matrix_traverse(
         num_clusters, subs, mt_group, pretest, worklist, visit_batch,
+        pipeline,
         cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
-        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem,
+        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem, sem2,
         any_hit=True,
     )
 
@@ -602,11 +607,12 @@ def _rmin_rows(c: int) -> int:
 
 def _matrix_traverse(
     num_clusters, subs, mt_group, pretest, worklist, visit_batch,
+    pipeline,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
     t_out, tri_out, u_out, v_out, runs_out,
-    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem,
+    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem, sem2,
     any_hit: bool,
 ):
     bs = ox.shape[0]  # tile height (intersect_matrix adapts it to C)
@@ -685,7 +691,7 @@ def _matrix_traverse(
         # beyond every lane's own t_best, no visit can improve a lane.
         return jnp.max(_pack_t(t_out[:]))
 
-    def _worklist_visit(clusters, span, n_pre):
+    def _worklist_visit(clusters, span, n_pre, dma=True, coff0=0):
         """Worklist visit path: the branch engine pays one `jnp.any` +
         `pl.when` region per MT group and per pretest span (~20
         vector->scalar syncs / branches per visit, the measured
@@ -707,14 +713,17 @@ def _matrix_traverse(
         nb = len(clusters)
 
         cps = []
-        for i, (cid, chunk, sub_off, base, valid) in enumerate(clusters):
-            cp = pltpu.make_async_copy(
-                tri_hbm.at[chunk],
-                tri_smem.at[:, i * TRI_CHUNK:(i + 1) * TRI_CHUNK],
-                sem,
-            )
-            cp.start()
-            cps.append(cp)
+        if dma:
+            for i, (cid, chunk, sub_off, base, valid) in enumerate(
+                clusters
+            ):
+                cp = pltpu.make_async_copy(
+                    tri_hbm.at[chunk],
+                    tri_smem.at[:, i * TRI_CHUNK:(i + 1) * TRI_CHUNK],
+                    sem,
+                )
+                cp.start()
+                cps.append(cp)
 
         packed_run = jnp.zeros((bs, LANES), jnp.int32)
         flags = []
@@ -749,7 +758,7 @@ def _matrix_traverse(
                 ci = jnp.int32(0)
                 sub_off = clusters[0][2]
                 base = clusters[0][3]
-                coff = jnp.int32(0)
+                coff = jnp.int32(coff0)
             else:
                 g = jax.lax.rem(e, jnp.int32(n_groups))
                 ci = e // jnp.int32(n_groups)
@@ -1082,10 +1091,80 @@ def _matrix_traverse(
 
         return next_key(), bound(), cnt + 1
 
-    _, _, n_runs = jax.lax.while_loop(
-        lambda c: c[0] < c[1], run_counted,
-        (next_key(), bound(), jnp.int32(0)),
-    )
+    if worklist and pipeline:
+        # Software-pipelined visits: cluster N+1's 8 KB triangle DMA is
+        # in flight while cluster N's worklist drains, on static
+        # ping-pong tri_smem halves with per-half semaphores (a SHARED
+        # semaphore cannot distinguish which copy landed — waiting one
+        # signal of two in-flight copies is a race). Each iteration
+        # processes two clusters so the half/sem references stay
+        # static. Selection (rmin) is fill-time static, so selecting
+        # ahead of processing changes nothing; want-masks are still
+        # computed against the CURRENT t_out at process time.
+        span_p = min(_MT_ITERS, TRI_CHUNK // subs)
+        n_pre_p = (
+            span_p // _PRETEST_TRIS
+            if pretest and span_p % _PRETEST_TRIS == 0 else 0
+        )
+        halves = [
+            tri_smem.at[:, 0:TRI_CHUNK],
+            tri_smem.at[:, TRI_CHUNK:2 * TRI_CHUNK],
+        ]
+        sems = [sem, sem2]
+
+        def _select_clear():
+            sk = next_key()
+            cid = sk & jnp.int32(_ID_MASK)
+            ok = sk != inf_key
+            rmin[:] = jnp.where((lin == cid) & ok, inf_key, rmin[:])
+            return sk, cid, ok
+
+        def _start(cid, hi):
+            chunk, sub_off, base = _decode(cid)
+            pltpu.make_async_copy(
+                tri_hbm.at[chunk], halves[hi], sems[hi]
+            ).start()
+            return sub_off, base
+
+        def _wait(hi):
+            pltpu.make_async_copy(
+                tri_hbm.at[0], halves[hi], sems[hi]
+            ).wait()
+
+        def pipe_body(carry):
+            sk_a, _, cnt = carry
+            cid_a = sk_a & jnp.int32(_ID_MASK)
+            _, sub_a, base_a = _decode(cid_a)
+            sk_b, cid_b, ok_b = _select_clear()
+            sub_b, base_b = _start(cid_b, 1)
+            _wait(0)
+            _worklist_visit(
+                [(cid_a, None, sub_a, base_a, None)],
+                span_p, n_pre_p, dma=False, coff0=0,
+            )
+            sk_c, cid_c, _ = _select_clear()
+            _start(cid_c, 0)
+            _wait(1)
+            _worklist_visit(
+                [(cid_b, None, sub_b, base_b, ok_b)],
+                span_p, n_pre_p, dma=False, coff0=TRI_CHUNK,
+            )
+            return sk_c, bound(), cnt + 1 + ok_b.astype(jnp.int32)
+
+        sk0, cid0, _ = _select_clear()
+        _start(cid0, 0)
+        _, _, n_runs = jax.lax.while_loop(
+            lambda c: c[0] < c[1], pipe_body,
+            (sk0, bound(), jnp.int32(0)),
+        )
+        # Exactly one prefetch is always left in flight on half 0 (the
+        # prologue copy if zero iterations ran, else the last C).
+        _wait(0)
+    else:
+        _, _, n_runs = jax.lax.while_loop(
+            lambda c: c[0] < c[1], run_counted,
+            (next_key(), bound(), jnp.int32(0)),
+        )
     runs_out[:] = jnp.full(t_out.shape, 1, jnp.int32) * n_runs
 
 
@@ -1093,7 +1172,7 @@ def _matrix_traverse(
     jax.jit,
     static_argnames=("interpret", "with_stats", "any_hit", "subs",
                      "sublanes", "mt_group", "pretest", "worklist",
-                     "visit_batch"),
+                     "visit_batch", "pipeline"),
 )
 def intersect_matrix(
     o: jnp.ndarray,
@@ -1109,6 +1188,7 @@ def intersect_matrix(
     pretest: bool = True,
     worklist: bool = False,
     visit_batch: int = 1,
+    pipeline: bool = False,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
@@ -1195,10 +1275,11 @@ def intersect_matrix(
     vb = visit_batch if (
         wl and visit_batch * (bs // min(mg, bs)) <= 8
     ) else 1
+    pipe = bool(pipeline) and wl and vb == 1
     kern = (
-        _make_matrix_occluded_kernel(c, subs, mg, pretest, wl, vb)
+        _make_matrix_occluded_kernel(c, subs, mg, pretest, wl, vb, pipe)
         if any_hit
-        else _make_matrix_kernel(c, subs, mg, pretest, wl, vb)
+        else _make_matrix_kernel(c, subs, mg, pretest, wl, vb, pipe)
     )
     t_b, tri_b, u_b, v_b, runs_b = pl.pallas_call(
         kern,
@@ -1214,11 +1295,13 @@ def intersect_matrix(
         ],
         scratch_shapes=[
             pltpu.VMEM((_rmin_rows(c), LANES), jnp.int32),
-            pltpu.SMEM((16, vb * TRI_CHUNK), jnp.float32),
+            pltpu.SMEM((16, (2 if pipe else vb) * TRI_CHUNK),
+                       jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1785,7 +1868,7 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
     static_argnames=(
         "interpret", "any_hit", "subs", "kernel", "wavefront_k",
         "wavefront_m", "sublanes", "mt_group", "pretest", "worklist",
-        "visit_batch",
+        "visit_batch", "pipeline",
     ),
 )
 def matrix_query(
@@ -1795,7 +1878,7 @@ def matrix_query(
     wavefront_k: int = 16, wavefront_m: int = 32,
     sublanes: int | None = None, mt_group: int | None = None,
     pretest: bool = True, worklist: bool = False,
-    visit_batch: int = 1,
+    visit_batch: int = 1, pipeline: bool = False,
 ) -> Hit:
     """Coherence-sorted traversal with FUSED payload sorts.
 
@@ -1840,7 +1923,7 @@ def matrix_query(
             o_s, d_s, geometry, t_max=tm_s, interpret=interpret,
             any_hit=any_hit, subs=subs, sublanes=sublanes,
             mt_group=mt_group, pretest=pretest, worklist=worklist,
-            visit_batch=visit_batch,
+            visit_batch=visit_batch, pipeline=pipeline,
         )
     (_, t_o, tri_o, u_o, v_o) = jax.lax.sort(
         (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1

@@ -123,14 +123,16 @@ class TestMatrix:
         )
         assert (np.asarray(hit.tri) == -1).all()
 
-    @pytest.mark.parametrize("pretest,vb", [
-        (True, 1), (False, 1), (True, 2), (False, 2),
+    @pytest.mark.parametrize("pretest,vb,pipe", [
+        (True, 1, False), (False, 1, False), (True, 2, False),
+        (False, 2, False), (True, 1, True), (False, 1, True),
     ])
-    def test_worklist_engine_exact(self, geom, rs, pretest, vb):
+    def test_worklist_engine_exact(self, geom, rs, pretest, vb, pipe):
         """The packed-nibble worklist visit engine must be bit-equal to
         the branch engine (identical MT math over the identical visit
         set) for both query classes, with and without the sub-chunk
-        pretest spans, and with batched (2-cluster) visits."""
+        pretest spans, with batched (2-cluster) visits, and with the
+        software-pipelined (ping-pong DMA) loop."""
         g = geom
         o, d = _rays(1024, rs)
         bf = intersect_bruteforce(
@@ -138,13 +140,13 @@ class TestMatrix:
         )
         hit = intersect_matrix(
             o, d, g, interpret=True, worklist=True, pretest=pretest,
-            visit_batch=vb,
+            visit_batch=vb, pipeline=pipe,
         )
         _assert_hits_equal(hit, bf)
         occ = intersect_matrix(
             o, d, g, t_max=jnp.full((1024,), 2.5), interpret=True,
             any_hit=True, worklist=True, pretest=pretest,
-            visit_batch=vb,
+            visit_batch=vb, pipeline=pipe,
         )
         bf_t = intersect_bruteforce(
             o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=2.5, chunk=128

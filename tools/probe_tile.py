@@ -88,6 +88,11 @@ SWEEPS = {
     # shared selection/bound rounds — vs single-visit at the winners
     "4": [(128, 32, True, True, 2), (128, 32, True, True, 1),
           (128, 64, True, True, 2), (128, 16, True, True, 2)],
+    # round 3c: software-pipelined loop (cluster N+1's DMA in flight
+    # under cluster N's drain, ping-pong halves) vs batch-2 vs branch
+    "5": [(128, 32, True, True, 1, True), (128, 32, True, True, 2),
+          (128, 32, True, True, 1), (128, 32, True, False),
+          (128, 64, True, True, 1, True)],
 }
 sweep = SWEEPS[os.environ.get("SWEEP", "3")]
 
@@ -95,19 +100,20 @@ for combo in sweep:
     bs, mg, pre = combo[:3]
     wl = combo[3] if len(combo) > 3 else False
     vb = combo[4] if len(combo) > 4 else 1
-    tag = f"bs={bs} mg={mg} pre={int(pre)} wl={int(wl)} vb={vb}"
+    pip = combo[5] if len(combo) > 5 else False
+    tag = f"bs={bs} mg={mg} pre={int(pre)} wl={int(wl)} vb={vb} pipe={int(pip)}"
     timed(
         f"closest {tag}",
-        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb: matrix_query(
+        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip: matrix_query(
             o, dd, g, sublanes=bs, mt_group=mg, pretest=pre,
-            worklist=wl, visit_batch=vb,
+            worklist=wl, visit_batch=vb, pipeline=pip,
         ),
     )
     timed(
         f"any-hit {tag}",
-        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb: matrix_query(
+        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip: matrix_query(
             o, dd, g, t_max=far, any_hit=True, sublanes=bs, mt_group=mg,
-            pretest=pre, worklist=wl, visit_batch=vb,
+            pretest=pre, worklist=wl, visit_batch=vb, pipeline=pip,
         ),
     )
 
