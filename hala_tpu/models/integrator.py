@@ -111,6 +111,7 @@ class RenderSettings:
     # ops/traverse._worklist_visit and the DESIGN.md round-3 ledger.
     matrix_worklist: bool = False
     matrix_visit_batch: int = 1
+    matrix_pipeline: bool = False
     # Max alpha-tested surfaces a shadow ray may stochastically pass
     # through (any-hit-shader parity: the reference's hit shaders can
     # continue through stacked transparent surfaces). 1 = legacy
@@ -118,6 +119,13 @@ class RenderSettings:
     # visibility dispatch per bounce and only compile in when the scene
     # has alpha materials.
     shadow_surfaces: int = 3
+    # Samples per progressive frame, dispatched sample-adjacent: all S
+    # samples of a pixel sit in consecutive lanes, so bounce rays from
+    # the same surface point stay in the same kernel tile — large-scene
+    # traversal visits drop with S (PLAN round-3 item 1b). Sample s of
+    # frame f uses virtual RNG frame f*spp+s, so a spp=S frame equals S
+    # sequential spp=1 frames up to accumulation rounding.
+    spp: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -295,6 +303,7 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
                 wavefront_m=settings.wavefront_m,
                 worklist=settings.matrix_worklist,
                 visit_batch=settings.matrix_visit_batch,
+                pipeline=settings.matrix_pipeline,
             )
         if backend == "wavefront":
             from ..ops.wavefront import intersect_wavefront
@@ -312,6 +321,7 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
             o, d, g, t_max=t_max, interpret=settings.interpret_pallas,
             worklist=settings.matrix_worklist,
             visit_batch=settings.matrix_visit_batch,
+            pipeline=settings.matrix_pipeline,
         )
     if backend == "traverse":
         from ..ops.traverse import intersect_traversed
@@ -414,6 +424,7 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
                 wavefront_m=settings.wavefront_m,
                 worklist=settings.matrix_worklist,
                 visit_batch=settings.matrix_visit_batch,
+                pipeline=settings.matrix_pipeline,
             ).tri >= 0
         if backend == "wavefront":
             from ..ops.wavefront import intersect_wavefront
@@ -434,6 +445,7 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
             interpret=settings.interpret_pallas, any_hit=True,
             worklist=settings.matrix_worklist,
             visit_batch=settings.matrix_visit_batch,
+            pipeline=settings.matrix_pipeline,
         ).tri >= 0
     if backend in ("cluster", "traverse"):
         hit = _intersect(
@@ -1061,10 +1073,16 @@ def render_frame(
     blue_noise=None,
     hooks: KernelHooks | None = None,
 ):
-    """One progressive frame (1 spp): rt_renderer.rs update() parity.
+    """One progressive frame (settings.spp samples/pixel):
+    rt_renderer.rs update() parity.
 
     Returns (film, rays_traced_scalar). The film accumulates a running
-    mean like the reference's accum image + frame_index uniform.
+    mean like the reference's accum image + frame_index uniform. With
+    spp=S the frame dispatches S sample-adjacent rays per pixel under
+    virtual RNG frames f*S..f*S+S-1 and accumulates their mean — the
+    image converges to the same estimator as S sequential 1-spp frames
+    (bitwise up to summation order), while same-pixel bounce rays stay
+    adjacent for the large-scene traversal's coherence sort.
 
     Multi-chip film tiling (SURVEY.md sections 2.11/5.8): when the film is
     sharded by rows across a device mesh, each shard passes its global
@@ -1076,13 +1094,7 @@ def render_frame(
     h, w = settings.height, settings.width
     cam_h = full_height if full_height is not None else h
     row_offset = jnp.asarray(row_offset, jnp.int32)
-    # 32x32 pixel swizzle: consecutive 1024-ray groups cover square pixel
-    # blocks instead of 2-row strips, which keeps the cluster
-    # intersector's per-block frusta tight. Pure layout transform; the
-    # RNG stays keyed on the global pixel id, so output is identical.
-    swizzle = (
-        h % 32 == 0 and w % 32 == 0 and settings.tile_size % 1024 == 0
-    )
+    spp = max(1, settings.spp)
 
     def to_blocked(a):
         return (
@@ -1098,9 +1110,17 @@ def render_frame(
             .reshape(h * w, a.shape[-1])
         )
     n_pix = h * w
-    tile = min(settings.tile_size, n_pix)
-    n_tiles = -(-n_pix // tile)
-    n_pad = n_tiles * tile
+    n_rays = n_pix * spp
+    tile = min(settings.tile_size, n_rays)
+    tile = max(spp, tile - tile % spp)  # whole pixels per ray tile
+    pp = tile // spp                    # pixels per tile
+    n_tiles = -(-n_rays // tile)
+    n_pad = n_tiles * pp
+    # 32x32 pixel swizzle: consecutive 1024-ray groups cover square pixel
+    # blocks instead of 2-row strips, which keeps the cluster
+    # intersector's per-block frusta tight. Pure layout transform; the
+    # RNG stays keyed on the global pixel id, so output is identical.
+    swizzle = h % 32 == 0 and w % 32 == 0 and pp % 1024 == 0
 
     accum = film.accum.reshape(-1, 4)
     albedo = film.albedo.reshape(-1, 4)
@@ -1120,8 +1140,17 @@ def render_frame(
 
     def tile_body(carry, t):
         accum, albedo, normal, rays_total = carry
-        start = t * tile
-        pix = start + jnp.arange(tile, dtype=jnp.int32)
+        start = t * pp
+        ridx = jnp.arange(tile, dtype=jnp.int32)
+        pix = start + ridx // spp
+        if spp == 1:
+            fidx_r = fidx
+        else:
+            # sample-adjacent layout: ray r is sample r % spp of pixel
+            # r // spp, running as virtual RNG frame fidx*spp + s.
+            fidx_r = fidx * jnp.uint32(spp) + (ridx % spp).astype(
+                jnp.uint32
+            )
         if swizzle:
             # blocked index -> pixel coords (32x32 blocks, row-major)
             blk = pix // 1024
@@ -1137,47 +1166,55 @@ def render_frame(
         gpix = py_i * w + px_i  # globally unique pixel id
         px = px_i.astype(jnp.float32)
         py = py_i.astype(jnp.float32)
-        r_jit = rng.sample4(gpix, fidx, 0, seed=1)
+        r_jit = rng.sample4(gpix, fidx_r, 0, seed=1)
         if blue_noise is not None:
             # Blue-noise pixel jitter (load_blue_noise_texture role,
             # rt_renderer.rs:1117-1156): tile the texture over the film
             # and Cranley-Patterson-rotate it per frame with the R2
-            # low-discrepancy sequence.
+            # low-discrepancy sequence (per VIRTUAL frame under spp>1 so
+            # a pixel's samples keep distinct jitters).
             bh, bw = blue_noise.shape[0], blue_noise.shape[1]
             bx = (gpix % w) % bw
             by = (gpix // w) % bh
-            f = jnp.asarray(frame_index, jnp.float32)
+            f = jnp.broadcast_to(
+                jnp.asarray(fidx_r, jnp.float32), gpix.shape
+            )
             shift = jnp.stack(
-                [f * 0.7548776662466927, f * 0.5698402909980532]
+                [f * 0.7548776662466927, f * 0.5698402909980532], axis=-1
             ) % 1.0
             # single-index gather (multi-vector indexing lowers to a
             # slow multi-dim XLA gather on TPU; see ops/env.py)
             bn_flat = blue_noise[:, :, :2].reshape(bh * bw, 2)
-            bn = (
-                jnp.take(bn_flat, by * bw + bx, axis=0) + shift[None, :]
-            ) % 1.0
+            bn = (jnp.take(bn_flat, by * bw + bx, axis=0) + shift) % 1.0
             r_jit = r_jit.at[:, :2].set(bn)
         if hooks is not None and hooks.raygen is not None:
             # pushed raygen kernel overrides the sample jitter
-            r_jit = hooks.raygen(gpix, fidx, r_jit)
+            r_jit = hooks.raygen(gpix, fidx_r, r_jit)
         o, d = generate_rays(
             scene.cameras, uniforms.camera_index, px, py, w, cam_h,
             r_jit[:, :2], r_jit[:, 2:],
         )
         L, alb, nrm, rays = trace_paths(
-            scene, env, uniforms, o, d, gpix, fidx, settings,
+            scene, env, uniforms, o, d, gpix, fidx_r, settings,
             full_height=cam_h, hooks=hooks,
         )
         if hooks is not None and hooks.post_shade is not None:
             L, alb, nrm = hooks.post_shade(L, alb, nrm)
         L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
-        old = jax.lax.dynamic_slice_in_dim(accum, start, tile)
-        new = old + (jnp.concatenate([L, jnp.ones((tile, 1))], -1) - old) * inv_n1
+        if spp > 1:
+            # Pixel mean over the sample-adjacent lanes: one spp=S frame
+            # accumulates exactly like S spp=1 frames (same 1/(f+1)
+            # progressive weight against the batch mean).
+            L = L.reshape(pp, spp, 3).mean(axis=1)
+            alb = alb.reshape(pp, spp, 3).mean(axis=1)
+            nrm = nrm.reshape(pp, spp, 3).mean(axis=1)
+        old = jax.lax.dynamic_slice_in_dim(accum, start, pp)
+        new = old + (jnp.concatenate([L, jnp.ones((pp, 1))], -1) - old) * inv_n1
         accum = jax.lax.dynamic_update_slice_in_dim(accum, new, start, 0)
-        alb4 = jnp.concatenate([alb, jnp.ones((tile, 1))], -1)
-        nrm4 = jnp.concatenate([nrm, jnp.ones((tile, 1))], -1)
-        old_a = jax.lax.dynamic_slice_in_dim(albedo, start, tile)
-        old_n = jax.lax.dynamic_slice_in_dim(normal, start, tile)
+        alb4 = jnp.concatenate([alb, jnp.ones((pp, 1))], -1)
+        nrm4 = jnp.concatenate([nrm, jnp.ones((pp, 1))], -1)
+        old_a = jax.lax.dynamic_slice_in_dim(albedo, start, pp)
+        old_n = jax.lax.dynamic_slice_in_dim(normal, start, pp)
         albedo = jax.lax.dynamic_update_slice_in_dim(
             albedo, old_a + (alb4 - old_a) * inv_n1, start, 0
         )

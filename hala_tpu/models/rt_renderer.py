@@ -80,6 +80,7 @@ class RayTracingRenderer(BaseRenderer):
         tile_size: int = 65536,
         use_bvh: bool = True,
         intersector: str = "auto",
+        spp: int = 1,
     ):
         super().__init__(name, width, height)
         self.max_depth = max_depth
@@ -89,6 +90,7 @@ class RayTracingRenderer(BaseRenderer):
         self.use_simple_aces = use_simple_aces
         self.max_frames = max_frames if max_frames > 0 else (1 << 62)
         self._tile_size = tile_size
+        self._spp = spp
         self._use_bvh = use_bvh
         # "auto" stays symbolic: the scene-aware resolution happens at
         # trace time in integrator._backend (needs the scene size).
@@ -202,6 +204,7 @@ class RayTracingRenderer(BaseRenderer):
             tile_size=self._tile_size,
             use_bvh=self._use_bvh and self.scene.bvh is not None,
             intersector=self._intersector,
+            spp=self._spp,
         )
         # Resolve pushed kernels into the frame's dispatch table (the
         # SBT-build step of the reference's commit; stages not pushed

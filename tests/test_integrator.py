@@ -39,6 +39,60 @@ def _render(scene_dev, frames=2, size=32, env=None, env_type=ENV_SKY,
     return film, total_rays
 
 
+class TestSppBatch:
+    def test_spp_frame_equals_sequential_frames(self, cornell_device_scene):
+        """A spp=S frame must converge identically to S sequential 1-spp
+        frames: sample s runs as virtual RNG frame f*S+s, so the only
+        difference is accumulation summation order."""
+        size = 32
+        base = dict(width=size, height=size, max_depth=3, rr_depth=2,
+                    tile_size=size * size * 4)
+        seq = RenderSettings(**base)
+        film_a = Film.create(size, size)
+        rays_a = 0.0
+        for f in range(4):
+            film_a, r = render_frame(
+                cornell_device_scene, None, Uniforms.default(), film_a,
+                f, seq,
+            )
+            rays_a += float(r)
+        batched = RenderSettings(**base, spp=4)
+        film_b, rays_b = render_frame(
+            cornell_device_scene, None, Uniforms.default(),
+            Film.create(size, size), 0, batched,
+        )
+        assert float(rays_b) == rays_a  # identical ray population
+        np.testing.assert_allclose(
+            np.asarray(film_b.accum), np.asarray(film_a.accum),
+            rtol=2e-5, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(film_b.normal), np.asarray(film_a.normal),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_spp_tiling_matches_single_tile(self, cornell_device_scene):
+        """spp batching must be tiling-invariant (pixel ids and virtual
+        frames are global, tiles only partition the dispatch)."""
+        size = 32
+        a = RenderSettings(width=size, height=size, max_depth=2,
+                           rr_depth=2, tile_size=size * size * 2, spp=2)
+        b = RenderSettings(width=size, height=size, max_depth=2,
+                           rr_depth=2, tile_size=256, spp=2)
+        fa, ra = render_frame(
+            cornell_device_scene, None, Uniforms.default(),
+            Film.create(size, size), 3, a,
+        )
+        fb, rb = render_frame(
+            cornell_device_scene, None, Uniforms.default(),
+            Film.create(size, size), 3, b,
+        )
+        assert float(ra) == float(rb)
+        np.testing.assert_array_equal(
+            np.asarray(fa.accum), np.asarray(fb.accum)
+        )
+
+
 class TestCornell:
     def test_render_is_finite_and_lit(self, cornell_device_scene):
         film, rays = _render(cornell_device_scene, frames=2, size=32)

@@ -171,6 +171,19 @@ def test_sharded_matrix_worklist_batched(cornell_device_scene):
     _assert_identical(*_run_pair(cornell_device_scene, settings, frames=1))
 
 
+def test_sharded_spp_batch(cornell_device_scene):
+    """spp batching under sharding: virtual RNG frames are a pure
+    function of (global pixel id, frame), so the sample-adjacent
+    dispatch must stay bit-identical to single-chip — and to the pixel
+    partition, which row tiling changes."""
+    size = 32
+    settings = RenderSettings(
+        width=size, height=size, max_depth=2, rr_depth=2,
+        tile_size=size * size // 4, spp=2,
+    )
+    _assert_identical(*_run_pair(cornell_device_scene, settings, frames=1))
+
+
 def test_sharded_grouped_intersector(cornell_device_scene):
     """The grouped MXU traversal (interpret mode): 128-ray groups are
     formed per shard AFTER the in-shard sort, so bit-identity proves
