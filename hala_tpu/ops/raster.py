@@ -58,9 +58,16 @@ def rasterize(
     px: jnp.ndarray,           # (N,) pixel centers x
     py: jnp.ndarray,           # (N,)
     chunk: int = 512,
+    tri_ids: jnp.ndarray | None = None,  # (T,) i32 global ids (>= 0)
 ) -> FragmentBuffer:
     """Full visibility: every pixel vs every triangle chunk, keeping the
-    reverse-Z GREATER winner (rz_renderer.rs:494)."""
+    reverse-Z GREATER winner (rz_renderer.rs:494).
+
+    With `tri_ids`, the fragment `tri` field carries the GLOBAL id
+    resolved in-kernel via the winner one-hot (vector math) — callers
+    binning through candidate lists must NOT remap with a per-pixel
+    `take(ids, frag.tri)` afterwards: that lowers to one element gather
+    per pixel on TPU (~9 ns each, ~20 ms per 1080p frame)."""
     n = px.shape[0]
     t = tri_screen.shape[0]
     chunk = min(chunk, t)
@@ -80,6 +87,10 @@ def rasterize(
         dz = jax.lax.dynamic_slice_in_dim(tri_depth, start, chunk)
         iw = jax.lax.dynamic_slice_in_dim(tri_inv_w, start, chunk)
         ok = jax.lax.dynamic_slice_in_dim(tri_valid, start, chunk)
+        gid = (
+            None if tri_ids is None
+            else jax.lax.dynamic_slice_in_dim(tri_ids, start, chunk)
+        )
 
         a, b, c = s[:, 0], s[:, 1], s[:, 2]  # (C, 2)
         # Edge function e(p) = cross(p1 - p0, p - p0): positive on the
@@ -117,19 +128,38 @@ def rasterize(
         iw_i = (
             l0 * iw[None, :, 0] + l1 * iw[None, :, 1] + l2 * iw[None, :, 2]
         )
-        u_pc = (l1 * iw[None, :, 1]) / jnp.maximum(iw_i, 1e-12)
-        v_pc = (l2 * iw[None, :, 2]) / jnp.maximum(iw_i, 1e-12)
 
         z = jnp.where(inside, z, -1.0)
         z_best = jnp.max(z, axis=1)
-        arg = jnp.argmax(z, axis=1)
-        rows = jnp.arange(n)
+        # Gather-free winner resolve: per-pixel row gathers
+        # (u_pc[rows, argmax]) lower to ~9 ns/row element gathers on TPU
+        # (two of them = ~40 ms at 2M pixels), and the full (N, C)
+        # perspective divides are wasted on losers. Instead pick the
+        # first column achieving z_best (== argmax tie order) with a
+        # one-hot mask and divide only the winner's weights.
+        cols = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+        is_best = (z == z_best[:, None]) & inside
+        tri_loc = jnp.min(jnp.where(is_best, cols, chunk), axis=1)
+        onehot = cols == tri_loc[:, None]
+        iw_sel = jnp.sum(jnp.where(onehot, iw_i, 0.0), axis=1)
+        uw = jnp.sum(jnp.where(onehot, l1 * iw[None, :, 1], 0.0), axis=1)
+        vw = jnp.sum(jnp.where(onehot, l2 * iw[None, :, 2], 0.0), axis=1)
+        u_pc = uw / jnp.maximum(iw_sel, 1e-12)
+        v_pc = vw / jnp.maximum(iw_sel, 1e-12)
+        if gid is None:
+            tri_win = (start + tri_loc).astype(jnp.int32)
+        else:
+            # ids+1 so "no winner" (all-false one-hot) decodes to -1,
+            # distinguishable from global id 0.
+            tri_win = jnp.sum(
+                jnp.where(onehot, gid[None, :] + 1, 0), axis=1
+            ) - 1
         better = z_best > carry.depth  # reverse-Z GREATER
         return FragmentBuffer(
             depth=jnp.where(better, z_best, carry.depth),
-            tri=jnp.where(better, (start + arg).astype(jnp.int32), carry.tri),
-            u=jnp.where(better, u_pc[rows, arg], carry.u),
-            v=jnp.where(better, v_pc[rows, arg], carry.v),
+            tri=jnp.where(better, tri_win, carry.tri),
+            u=jnp.where(better, u_pc, carry.u),
+            v=jnp.where(better, v_pc, carry.v),
         ), None
 
     out, _ = jax.lax.scan(body, init, jnp.arange(t // chunk))
@@ -211,18 +241,148 @@ def rasterize_meshlet_binned(
         pix = jnp.arange(tile * tile, dtype=jnp.int32)
         px = (pix % tile + tx).astype(jnp.float32) + 0.5
         py = (pix // tile + ty).astype(jnp.float32) + 0.5
-        frag = rasterize(s, dz, iw, sel, px, py, chunk=128)
-        tri_global = jnp.where(
-            frag.tri >= 0, jnp.take(ids, jnp.maximum(frag.tri, 0)), -1
-        )
-        return (
-            FragmentBuffer(
-                depth=frag.depth, tri=tri_global, u=frag.u, v=frag.v
-            ),
-            count > km_max,
-        )
+        frag = rasterize(s, dz, iw, sel, px, py, chunk=128, tri_ids=ids)
+        return frag, count > km_max
 
     frags, over = jax.vmap(per_tile)(tile_ids)
+
+    def untile(a):
+        a = a.reshape(th, tw, tile, tile)
+        a = a.transpose(0, 2, 1, 3).reshape(th * tile, tw * tile)
+        return a[:height, :width].reshape(-1)
+
+    out = FragmentBuffer(
+        depth=untile(frags.depth),
+        tri=untile(frags.tri),
+        u=untile(frags.u),
+        v=untile(frags.v),
+    )
+    return out, jnp.mean(over.astype(jnp.float32))
+
+
+def _rasterize_tiled_scatter(
+    tri_screen: jnp.ndarray,   # (T, 3, 2)
+    tri_depth: jnp.ndarray,    # (T, 3)
+    tri_inv_w: jnp.ndarray,    # (T, 3)
+    tri_valid: jnp.ndarray,    # (T,)
+    width: int,
+    height: int,
+    tile: int,
+    k_max: int,
+    large_max: int = 256,
+) -> tuple[FragmentBuffer, jnp.ndarray]:
+    """Scatter-table binning for LARGE meshes (the path `rasterize_tiled`
+    takes past ~4k triangles).
+
+    The per-tile-overlap path is O(tiles x T) in both the AABB tests and
+    the per-tile argsort — at 167k triangles x 510 tiles that is an 85M-
+    element sort per frame. Here binning is O(T log T + tiles x k_max):
+    each small triangle (tile-span <= 2x2) is replicated into its <= 4
+    covered tiles' buckets by ONE global sort on the (cell id, tri id)
+    pairs + a positional scatter into a dense (tiles, k_max) id table;
+    triangles larger than 2x2 tiles go to a shared capped list every
+    tile tests (walls/floors — few at mesh scale). Per-slot triangle
+    data is prefetched table-aligned so the vmapped per-tile raster does
+    ZERO per-tile gathers. Overflow reports the fraction of tiles whose
+    bucket (or the shared large list) clipped, matching the overlap
+    path's contract."""
+    t = tri_screen.shape[0]
+    tw = -(-width // tile)
+    th = -(-height // tile)
+    n_tiles = tw * th
+    kb = min(k_max, t)
+    lmax = min(large_max, t)
+
+    smin = jnp.min(tri_screen, axis=1)  # (T, 2)
+    smax = jnp.max(tri_screen, axis=1)
+    onscreen = (
+        tri_valid
+        & (smax[:, 0] >= 0.0) & (smin[:, 0] <= width)
+        & (smax[:, 1] >= 0.0) & (smin[:, 1] <= height)
+    )
+    inv_t = 1.0 / tile
+    bx0 = jnp.clip(jnp.floor(smin[:, 0] * inv_t).astype(jnp.int32), 0, tw - 1)
+    bx1 = jnp.clip(jnp.floor(smax[:, 0] * inv_t).astype(jnp.int32), 0, tw - 1)
+    by0 = jnp.clip(jnp.floor(smin[:, 1] * inv_t).astype(jnp.int32), 0, th - 1)
+    by1 = jnp.clip(jnp.floor(smax[:, 1] * inv_t).astype(jnp.int32), 0, th - 1)
+    spanx = bx1 - bx0
+    spany = by1 - by0
+    small = onscreen & (spanx <= 1) & (spany <= 1)
+
+    ids = jnp.arange(t, dtype=jnp.int32)
+    sent = jnp.int32(n_tiles)
+    keys = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            ok = small & (spanx >= dx) & (spany >= dy)
+            cell = (by0 + dy) * tw + (bx0 + dx)
+            keys.append(jnp.where(ok, cell, sent))
+    key4 = jnp.concatenate(keys)
+    id4 = jnp.concatenate([ids] * 4)
+    k_s, p_s = jax.lax.sort((key4, id4), num_keys=1)
+    # Rank within bucket: index minus the bucket's first sorted index.
+    iota = jnp.arange(4 * t, dtype=jnp.int32)
+    is_start = k_s != jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                       k_s[:-1]])
+    pos = iota - jax.lax.cummax(jnp.where(is_start, iota, 0))
+    slot = jnp.where(
+        (k_s < sent) & (pos < kb), k_s * kb + pos, n_tiles * kb
+    )
+    tbl = (
+        jnp.full((n_tiles * kb + 1,), -1, jnp.int32)
+        .at[slot].set(p_s, mode="drop")[:n_tiles * kb]
+        .reshape(n_tiles, kb)
+    )
+    cnt = (
+        jnp.zeros((n_tiles + 1,), jnp.int32)
+        .at[jnp.minimum(k_s, sent)].max(pos + 1, mode="drop")
+    )
+    tile_over = cnt[:n_tiles] > kb
+
+    big = onscreen & ~small
+    _, b_sorted = jax.lax.sort(
+        (jnp.where(big, 0, 1).astype(jnp.int32), ids), num_keys=1
+    )
+    l_ids = b_sorted[:lmax]
+    sel_big = jnp.take(big, l_ids)
+    big_over = jnp.sum(big.astype(jnp.int32)) > lmax
+
+    def fetch(idbuf):
+        safe = jnp.maximum(idbuf.reshape(-1), 0)
+        return (
+            jnp.take(tri_screen, safe, axis=0),
+            jnp.take(tri_depth, safe, axis=0),
+            jnp.take(tri_inv_w, safe, axis=0),
+        )
+
+    s_tbl, dz_tbl, iw_tbl = fetch(tbl)
+    s_tbl = s_tbl.reshape(n_tiles, kb, 3, 2)
+    dz_tbl = dz_tbl.reshape(n_tiles, kb, 3)
+    iw_tbl = iw_tbl.reshape(n_tiles, kb, 3)
+    sel_tbl = tbl >= 0
+    s_big, dz_big, iw_big = fetch(l_ids)
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    pix = jnp.arange(tile * tile, dtype=jnp.int32)
+
+    def per_tile(tid, s_r, dz_r, iw_r, sel_r, id_r, over_r):
+        tx = (tid % tw) * tile
+        ty = (tid // tw) * tile
+        s = jnp.concatenate([s_r, s_big], axis=0)
+        dz = jnp.concatenate([dz_r, dz_big], axis=0)
+        iw = jnp.concatenate([iw_r, iw_big], axis=0)
+        sel = jnp.concatenate([sel_r, sel_big], axis=0)
+        cids = jnp.concatenate([id_r, l_ids], axis=0)
+        px = (pix % tile + tx).astype(jnp.float32) + 0.5
+        py = (pix // tile + ty).astype(jnp.float32) + 0.5
+        frag = rasterize(
+            s, dz, iw, sel, px, py, chunk=kb + lmax, tri_ids=cids
+        )
+        return frag, over_r | big_over
+
+    frags, over = jax.vmap(per_tile)(
+        tile_ids, s_tbl, dz_tbl, iw_tbl, sel_tbl, tbl, tile_over
+    )
 
     def untile(a):
         a = a.reshape(th, tw, tile, tile)
@@ -247,6 +407,7 @@ def rasterize_tiled(
     height: int,
     tile: int = 64,
     k_max: int = 256,
+    scatter: bool | None = None,
 ) -> tuple[FragmentBuffer, jnp.ndarray]:
     """Tile-binned rasterization (BASELINE config[5]): triangles are
     binned to screen tiles by their screen AABB; each tile tests only its
@@ -256,8 +417,20 @@ def rasterize_tiled(
 
     Returns (FragmentBuffer flat over pixels, overflow fraction of tiles
     whose candidate list clipped at k_max). Meshlets are the natural
-    binning granularity upstream (SURVEY.md section 7 stage 7)."""
+    binning granularity upstream (SURVEY.md section 7 stage 7).
+
+    Past ~4k triangles the per-tile overlap+argsort here is O(tiles x T)
+    and dominated by an (tiles, T) sort; `scatter=None` auto-routes
+    large meshes to `_rasterize_tiled_scatter` (one global sort into a
+    dense bucket table)."""
     t = tri_screen.shape[0]
+    if scatter is None:
+        scatter = t > 4096
+    if scatter:
+        return _rasterize_tiled_scatter(
+            tri_screen, tri_depth, tri_inv_w, tri_valid,
+            width, height, tile, k_max,
+        )
     tw = -(-width // tile)
     th = -(-height // tile)
     k_max = min(k_max, t)
@@ -289,17 +462,8 @@ def rasterize_tiled(
         pix = jnp.arange(tile * tile, dtype=jnp.int32)
         px = (pix % tile + tx).astype(jnp.float32) + 0.5
         py = (pix // tile + ty).astype(jnp.float32) + 0.5
-        frag = rasterize(s, dz, iw, sel, px, py, chunk=k_max)
-        # remap local candidate index -> global triangle id
-        tri_global = jnp.where(
-            frag.tri >= 0, jnp.take(ids, jnp.maximum(frag.tri, 0)), -1
-        )
-        return (
-            FragmentBuffer(
-                depth=frag.depth, tri=tri_global, u=frag.u, v=frag.v
-            ),
-            count > k_max,
-        )
+        frag = rasterize(s, dz, iw, sel, px, py, chunk=k_max, tri_ids=ids)
+        return frag, count > k_max
 
     # vmap, NOT lax.map: the sequential map paid ~0.2 ms of dispatch per
     # tile (510 tiles at 1080p/64 = the whole measured 116 ms/frame on a

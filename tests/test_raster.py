@@ -75,6 +75,73 @@ class TestRaster:
         assert 0 < diff < 1.0
 
 
+class TestScatterBinned:
+    def test_scatter_matches_overlap(self):
+        """The large-mesh scatter-table binning must reproduce the
+        per-tile-overlap binning exactly when neither path clips
+        (uncapped): same visibility, same winner ids, same
+        barycentrics — only the candidate DISCOVERY differs."""
+        import jax.numpy as jnp
+
+        from hala_tpu.ops.raster import (
+            _rasterize_tiled_scatter, rasterize_tiled,
+        )
+
+        rs = np.random.RandomState(3)
+        t = 600
+        # Mixed sizes: mostly small (single-tile) triangles plus a tail
+        # of large ones that must route through the shared large list.
+        c = rs.uniform(0, 64, (t, 1, 2))
+        ext = np.where(rs.rand(t, 1, 1) < 0.9, 8.0, 60.0)
+        tri = (c + rs.uniform(-0.5, 0.5, (t, 3, 2)) * ext).astype(
+            np.float32
+        )
+        depth = rs.uniform(0.1, 0.9, (t, 3)).astype(np.float32)
+        inv_w = rs.uniform(0.5, 2.0, (t, 3)).astype(np.float32)
+        valid = np.ones(t, bool)
+        valid[::17] = False  # clipped-away triangles must stay invisible
+        args = (
+            jnp.asarray(tri), jnp.asarray(depth), jnp.asarray(inv_w),
+            jnp.asarray(valid),
+        )
+        fa, ova = rasterize_tiled(
+            *args, 64, 64, tile=16, k_max=t, scatter=False
+        )
+        fb, ovb = _rasterize_tiled_scatter(
+            *args, 64, 64, 16, t, large_max=t
+        )
+        np.testing.assert_array_equal(np.asarray(fa.tri), np.asarray(fb.tri))
+        np.testing.assert_allclose(
+            np.asarray(fa.depth), np.asarray(fb.depth), atol=0
+        )
+        np.testing.assert_allclose(np.asarray(fa.u), np.asarray(fb.u))
+        np.testing.assert_allclose(np.asarray(fa.v), np.asarray(fb.v))
+        assert float(ova) == 0.0 and float(ovb) == 0.0
+        assert (np.asarray(fb.tri) >= 0).mean() > 0.5  # scene covers tiles
+
+    def test_scatter_overflow_reported(self):
+        """Clipped buckets must be visible in the overflow fraction."""
+        import jax.numpy as jnp
+
+        from hala_tpu.ops.raster import _rasterize_tiled_scatter
+
+        rs = np.random.RandomState(5)
+        t = 64
+        # everything stacked in one tile -> its bucket overflows at kb=4
+        tri = (
+            rs.uniform(2, 10, (t, 1, 2))
+            + rs.uniform(-1, 1, (t, 3, 2))
+        ).astype(np.float32)
+        f, ov = _rasterize_tiled_scatter(
+            jnp.asarray(tri),
+            jnp.asarray(rs.uniform(0.1, 0.9, (t, 3)).astype(np.float32)),
+            jnp.ones((t, 3), jnp.float32),
+            jnp.ones((t,), bool),
+            64, 64, 16, 4, large_max=4,
+        )
+        assert float(ov) > 0.0
+
+
 class TestTileBinned:
     def test_binned_matches_full(self):
         """Tile-binned rasterization == full-scan rasterization."""
