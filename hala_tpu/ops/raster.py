@@ -407,7 +407,8 @@ def rasterize_tiled(
     height: int,
     tile: int = 64,
     k_max: int = 256,
-    scatter: bool | None = None,
+    scatter: bool | str | None = None,
+    interpret: bool | None = None,
 ) -> tuple[FragmentBuffer, jnp.ndarray]:
     """Tile-binned rasterization (BASELINE config[5]): triangles are
     binned to screen tiles by their screen AABB; each tile tests only its
@@ -421,11 +422,24 @@ def rasterize_tiled(
 
     Past ~4k triangles the per-tile overlap+argsort here is O(tiles x T)
     and dominated by an (tiles, T) sort; `scatter=None` auto-routes
-    large meshes to `_rasterize_tiled_scatter` (one global sort into a
-    dense bucket table)."""
+    large meshes to the EXACT Pallas segment kernel
+    (ops/raster_kernel.py — no per-tile candidate cap; both capped
+    paths measurably drop geometry at the atrium_big bench camera).
+    `scatter="exact"` forces it, `scatter=True` the capped scatter
+    table, `scatter=False` the capped per-tile-overlap path."""
     t = tri_screen.shape[0]
+    lane_ok = (tile * tile) % 128 == 0
     if scatter is None:
-        scatter = t > 4096
+        scatter = "exact" if (t > 4096 and lane_ok) else False
+    if scatter == "exact":
+        from .raster_kernel import rasterize_tiled_exact
+
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        return rasterize_tiled_exact(
+            tri_screen, tri_depth, tri_inv_w, tri_valid,
+            width, height, tile=tile, interpret=interpret,
+        )
     if scatter:
         return _rasterize_tiled_scatter(
             tri_screen, tri_depth, tri_inv_w, tri_valid,

@@ -142,6 +142,131 @@ class TestScatterBinned:
         assert float(ov) > 0.0
 
 
+class TestExactSegmented:
+    """ops/raster_kernel.py: the uncapped Pallas segment rasterizer must
+    be BIT-equal to the full O(pixels x triangles) scan — the contract
+    the capped paths (k_max buckets + shared large list) cannot meet on
+    real meshes (at the atrium_big bench camera 102/510 tiles overflow
+    k_max=256 and 2123 large triangles swamp the shared list)."""
+
+    def _mesh(self, seed, t, huge_frac=0.05, extent=64.0):
+        import jax.numpy as jnp
+
+        rs = np.random.RandomState(seed)
+        c = rs.uniform(0, extent, (t, 1, 2))
+        r = rs.rand(t, 1, 1)
+        # three size classes vs tile=16: small (<=2x2 tiles), mid
+        # (<=8x8), huge (the 300 px class spans >8 tiles on a 256 px
+        # screen — 64 px screens have too few tiles for a huge class)
+        ext = np.where(r < 0.85, 8.0, np.where(r < 1 - huge_frac, 60.0,
+                                               300.0))
+        tri = (c + rs.uniform(-0.5, 0.5, (t, 3, 2)) * ext).astype(
+            np.float32
+        )
+        depth = rs.uniform(0.1, 0.9, (t, 3)).astype(np.float32)
+        inv_w = rs.uniform(0.5, 2.0, (t, 3)).astype(np.float32)
+        valid = np.ones(t, bool)
+        valid[::17] = False
+        return (
+            jnp.asarray(tri), jnp.asarray(depth), jnp.asarray(inv_w),
+            jnp.asarray(valid),
+        )
+
+    def _ref(self, args, w, h, t):
+        import jax.numpy as jnp
+
+        from hala_tpu.ops.raster import rasterize
+
+        pix = jnp.arange(w * h, dtype=jnp.int32)
+        px = (pix % w).astype(jnp.float32) + 0.5
+        py = (pix // w).astype(jnp.float32) + 0.5
+        return rasterize(
+            *args, px, py, chunk=t,
+            tri_ids=jnp.arange(t, dtype=jnp.int32),
+        )
+
+    def test_bit_equal_to_full_scan(self):
+        from hala_tpu.ops.raster_kernel import rasterize_tiled_exact
+
+        t = 600
+        args = self._mesh(3, t, extent=256.0)
+        ref = self._ref(args, 256, 256, t)
+        frag, over = rasterize_tiled_exact(
+            *args, 256, 256, tile=16, interpret=True
+        )
+        assert float(over) == 0.0
+        np.testing.assert_array_equal(np.asarray(ref.tri),
+                                      np.asarray(frag.tri))
+        np.testing.assert_array_equal(np.asarray(ref.depth),
+                                      np.asarray(frag.depth))
+        np.testing.assert_array_equal(np.asarray(ref.u), np.asarray(frag.u))
+        np.testing.assert_array_equal(np.asarray(ref.v), np.asarray(frag.v))
+        assert (np.asarray(frag.tri) >= 0).mean() > 0.5
+
+    def test_skewed_single_tile_no_clipping(self):
+        """Every triangle stacked in one tile — the case that overflows
+        any per-tile cap — must still match the full scan exactly."""
+        import jax.numpy as jnp
+
+        from hala_tpu.ops.raster_kernel import rasterize_tiled_exact
+
+        rs = np.random.RandomState(5)
+        t = 512
+        tri = (
+            rs.uniform(2, 12, (t, 1, 2)) + rs.uniform(-1, 1, (t, 3, 2))
+        ).astype(np.float32)
+        args = (
+            jnp.asarray(tri),
+            jnp.asarray(rs.uniform(0.1, 0.9, (t, 3)).astype(np.float32)),
+            jnp.asarray(rs.uniform(0.5, 2.0, (t, 3)).astype(np.float32)),
+            jnp.ones((t,), dtype=bool),
+        )
+        ref = self._ref(args, 64, 64, t)
+        frag, over = rasterize_tiled_exact(
+            *args, 64, 64, tile=16, interpret=True
+        )
+        assert float(over) == 0.0
+        np.testing.assert_array_equal(np.asarray(ref.tri),
+                                      np.asarray(frag.tri))
+        np.testing.assert_array_equal(np.asarray(ref.depth),
+                                      np.asarray(frag.depth))
+
+    def test_selection_overflow_reported(self):
+        """The only static bounds are the mid/huge selection sizes and
+        the total candidate cap; exceeding them must raise the overflow
+        flag instead of failing silently."""
+        from hala_tpu.ops.raster_kernel import rasterize_tiled_exact
+
+        t = 600
+        args = self._mesh(3, t, huge_frac=0.2, extent=256.0)
+        _, over = rasterize_tiled_exact(
+            *args, 256, 256, tile=16, huge_max=4, interpret=True
+        )
+        assert float(over) == 1.0
+        _, over2 = rasterize_tiled_exact(
+            *args, 256, 256, tile=16, mid_max=2, interpret=True
+        )
+        assert float(over2) == 1.0
+        _, over3 = rasterize_tiled_exact(
+            *args, 256, 256, tile=16, cand_cap=128, interpret=True
+        )
+        assert float(over3) == 1.0
+
+    def test_routed_by_default_for_large_meshes(self):
+        """rasterize_tiled auto-routes >4096-tri meshes to the exact
+        kernel (scatter=None), so the renderer's binned path gets the
+        uncapped contract without opting in."""
+        from hala_tpu.ops.raster import rasterize_tiled
+
+        t = 5000
+        args = self._mesh(11, t, huge_frac=0.01)
+        ref = self._ref(args, 64, 64, t)
+        frag, over = rasterize_tiled(*args, 64, 64, tile=16)
+        assert float(over) == 0.0
+        np.testing.assert_array_equal(np.asarray(ref.tri),
+                                      np.asarray(frag.tri))
+
+
 class TestTileBinned:
     def test_binned_matches_full(self):
         """Tile-binned rasterization == full-scan rasterization."""
