@@ -236,3 +236,55 @@ def test_sharded_uneven_aspect(cornell_device_scene):
     _assert_identical(
         *_run_pair(cornell_device_scene, settings, width=40, height=48)
     )
+
+
+def test_sixteen_device_bit_identity():
+    """Device-count scaling beyond the session's 8-device mesh: a
+    subprocess with 16 virtual CPU devices must produce the same bits
+    as its own single-device render (the ownership partition changes
+    with the device count; pixel results must not)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 16)
+import numpy as np
+from hala_tpu.models.integrator import (
+    Film, RenderSettings, Uniforms, render_frame,
+)
+from hala_tpu.parallel.tiling import (
+    TiledFilm, make_mesh, render_frame_multichip,
+)
+from hala_tpu.scene.loader.uploader import SceneUploader
+from hala_tpu.scene.procedural import cornell_box
+
+assert len(jax.devices()) == 16
+dev = SceneUploader.upload(cornell_box(), use_ray_tracing=False)
+size = 32
+settings = RenderSettings(
+    width=size, height=size, max_depth=2, rr_depth=2,
+    tile_size=size * size // 16, spp=2,
+)
+uniforms = Uniforms.default()
+film = Film.create(size, size)
+film, r1 = render_frame(dev, None, uniforms, film, 0, settings)
+mesh = make_mesh()
+tiled = TiledFilm.create(mesh, size, size)
+tiled, r2 = render_frame_multichip(
+    dev, None, uniforms, tiled, 0, settings
+)
+g = tiled.gather()
+np.testing.assert_array_equal(np.asarray(film.accum), np.asarray(g.accum))
+assert float(r1) == float(r2)
+print("OK16")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=540,
+        cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__file__)
+        ),
+    )
+    assert "OK16" in out.stdout, out.stderr[-2000:]
