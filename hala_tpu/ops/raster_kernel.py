@@ -260,7 +260,12 @@ def rasterize_tiled_exact(
     key_all = jnp.concatenate(keys)
     n_all = key_all.shape[0]
     if cand_cap <= 0:
-        cand_cap = n_all
+        # The packed-table row gather costs ~25 ns/row on TPU, so pay
+        # for a realistic candidate population (2 covered tiles per
+        # onscreen triangle in the worst measured case), not for the
+        # sentinel-padded key count (n_all is ~10x the real total at
+        # the bench camera). Overflow reports if a scene exceeds it.
+        cand_cap = min(n_all, max(131072, 2 * t))
     cand_cap = min(cand_cap, n_all)
     cap_pad = -(-cand_cap // CAND_CHUNK) * CAND_CHUNK
 
