@@ -161,6 +161,28 @@ def bench_sponza():
     _emit("sponza_scale_1080p_pathtrace_throughput", mrays, vs="throughput")
     _emit("sponza_scale_1080p_ms_per_frame_1spp", ms, unit="ms")
 
+    # The config's OWN workload shape is 16 spp (BASELINE.md config 4:
+    # "1080p 16 spp"): sample-adjacent spp batching keeps same-pixel
+    # bounce rays in the same traversal tiles, shrinking per-tile
+    # cluster unions (the measured large-scene wall is per-visit fixed
+    # cost x union size). One frame: 33.4M camera rays already average
+    # 16 samples internally. Guarded so a failure cannot eat the
+    # remaining bench lines.
+    try:
+        settings16 = RenderSettings(
+            width=1920, height=1088, max_depth=4, rr_depth=2,
+            tile_size=131072, intersector="auto", sort_rays=True, spp=16,
+        )
+        mrays16, _ = _trace_loop(scene, None, settings16, 1)
+        _emit(
+            "sponza_scale_1080p_16spp_throughput", mrays16,
+            vs="throughput",
+        )
+    except Exception as e:
+        import sys as _sys
+
+        print(f"sponza 16spp bench failed: {e!r}", file=_sys.stderr)
+
 
 def bench_raster():
     """Config 5: tile-binned rasterizer + compute post pass
