@@ -21,6 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..error import HalaRendererError
 from ..ops import rng
 from ..ops.bsdf import bsdf_eval, bsdf_sample, gather_materials
 from ..ops.gathers import take_rows
@@ -478,32 +479,31 @@ def _env_miss_radiance(env, uniforms: Uniforms, d, settings: RenderSettings):
     )
 
 
-def trace_paths(
+def _path_context(
     scene,
     env,
     uniforms: Uniforms,
-    o: jnp.ndarray,
-    d: jnp.ndarray,
     pixel_idx: jnp.ndarray,
     frame_index,
     settings: RenderSettings,
     full_height: int | None = None,
     hooks: KernelHooks | None = None,
 ):
-    """Trace full paths for a flat ray batch.
+    """Build the per-trace path-tracing closures.
 
-    `full_height` is the height of the WHOLE film; under multi-chip film
-    tiling `settings.height` is the per-shard row count, and the mip-LOD
-    pixel cone angle must use the global height or textured shards pick
-    different mip levels per device count (breaking bit-identity).
-
-    Returns (radiance (N,3), albedo_aov (N,3), normal_aov (N,3),
-    rays_traced (N,) f32 — counting extension + shadow rays for the
-    Mrays/s statistic).
+    Returns (init_state, bounce_pre, bounce_post, bounce_body):
+    `bounce_body` is the fused fori_loop body `trace_paths` runs inside
+    ONE jit (the megakernel frame), while (bounce_pre, bounce_post)
+    expose the same bounce split at the visibility-query seam so
+    `render_frame_staged` can dispatch each traversal kernel as its own
+    small jit (the TPU-side compile wall is per-XLA-program: the
+    standalone wavefront kernel compiles fine, the wavefront embedded
+    in a full frame program does not — DESIGN.md round-3 ledger).
+    Splitting `bounce_body = bounce_post . queries . bounce_pre` keeps
+    both paths byte-identical in math and RNG order.
     """
     from ..ops.intersect import varying_like
 
-    n = o.shape[0]
     geom = scene.geometry
     has_env_map = settings.env_type == ENV_MAP and env is not None
     # Scene capability specialization (cpu/scene.rs probe analog): BSDF
@@ -511,35 +511,12 @@ def trace_paths(
     w_disney = bool(scene.materials.has_disney)
     w_trans = bool(scene.materials.has_transmission)
     w_scatter = bool(getattr(scene.materials, "has_scatter_medium", False))
-
-    # Carries derived from `o` so their varying-axes type survives
-    # shard_map (see ops/intersect.varying_like).
-    zeros3 = varying_like(o, 0.0)
-    zeros = zeros3[:, 0]
-    # Prologue: closest hit for the camera rays. Every later bounce folds
-    # its extension ray into the batched end-of-bounce visibility query,
-    # so the whole path costs 1 + max_depth kernel dispatches instead of
-    # up to 3 per bounce (dispatch overhead showed up as ~25% of frame
-    # time in the stage ablation).
-    hit0 = _intersect(scene, o, d, settings)
-    state = dict(
-        o=o,
-        d=d,
-        hit_t=hit0.t,
-        hit_tri=hit0.tri,
-        hit_u=hit0.u,
-        hit_v=hit0.v,
-        throughput=zeros3 + 1.0,
-        radiance=zeros3,
-        active=zeros < 1.0,
-        prev_pdf=zeros,  # 0 => previous bounce was camera/delta
-        albedo=zeros3,
-        normal=zeros3,
-        rays=zeros + 1.0,  # the primary ray
-        path_dist=zeros,   # accumulated path length (mip LOD cone)
-        med_density=zeros,     # >0 while inside a SCATTER medium
-        med_g=zeros,           # phase anisotropy of the current medium
-        med_color=zeros3,      # single-scatter albedo
+    # Static per scene+settings: the large-scene traversals split the
+    # shadow class into an ANY-HIT dispatch when no alpha material
+    # needs stochastic pass-through (PLAN.md round-2 item 3).
+    split_shadow = (
+        not scene.materials.has_alpha
+        and _backend(settings, scene) in ("wavefront", "matrix", "grouped")
     )
 
     # Per-pixel cone angle for mip LOD (texture footprint ~ dist * angle).
@@ -549,8 +526,36 @@ def trace_paths(
 
     from ..ops.intersect import Hit as _Hit
 
-    def bounce_body(bounce, st):
+    def init_state(o, d, hit0):
+        # Carries derived from `o` so their varying-axes type survives
+        # shard_map (see ops/intersect.varying_like).
+        zeros3 = varying_like(o, 0.0)
+        zeros = zeros3[:, 0]
+        return dict(
+            o=o,
+            d=d,
+            hit_t=hit0.t,
+            hit_tri=hit0.tri,
+            hit_u=hit0.u,
+            hit_v=hit0.v,
+            throughput=zeros3 + 1.0,
+            radiance=zeros3,
+            active=zeros < 1.0,
+            prev_pdf=zeros,  # 0 => previous bounce was camera/delta
+            albedo=zeros3,
+            normal=zeros3,
+            rays=zeros + 1.0,  # the primary ray
+            path_dist=zeros,   # accumulated path length (mip LOD cone)
+            med_density=zeros,     # >0 while inside a SCATTER medium
+            med_g=zeros,           # phase anisotropy of the current medium
+            med_color=zeros3,      # single-scatter albedo
+        )
+
+    def bounce_pre(bounce, st):
         o, d = st["o"], st["d"]
+        n = o.shape[0]
+        zeros3 = varying_like(o, 0.0)
+        zeros = zeros3[:, 0]
         active = st["active"]
         throughput = st["throughput"]
         radiance = st["radiance"]
@@ -918,50 +923,107 @@ def trace_paths(
         next_tp = jnp.where(do_rr, next_tp / q[:, None], next_tp)
         active = active & survive
 
-        # --- batched visibility: next extension ray + NEE shadow ray(s).
-        # Small-scene backends fold everything into ONE closest-hit
-        # dispatch (dispatch overhead measured ~25% of frame time there);
-        # the large-scene traversals instead split the shadow class into
-        # an ANY-HIT dispatch when no alpha material needs pass-through:
-        # any-hit lanes retire on first block and the tight t_max prunes
-        # their candidate lists in the cull (PLAN.md round-2 item 3).
+        # --- batched visibility seam: the queries themselves run in
+        # bounce_body (inline megakernel) or in render_frame_staged's
+        # own jit dispatches; everything the post-query half needs
+        # crosses in this carry. Small-scene backends fold everything
+        # into ONE closest-hit dispatch (dispatch overhead measured
+        # ~25% of frame time there); the large-scene traversals instead
+        # split the shadow class into an ANY-HIT dispatch when no alpha
+        # material needs pass-through: any-hit lanes retire on first
+        # block and the tight t_max prunes their candidate lists in the
+        # cull (PLAN.md round-2 item 3).
         ext_tmax = jnp.where(active, jnp.float32(T_MAX), 0.0)
-        split_shadow = (
-            not scene.materials.has_alpha
-            and _backend(settings, scene)
-            in ("wavefront", "matrix", "grouped")
+        carry = dict(
+            next_o=next_o, next_d=next_d, ext_tmax=ext_tmax,
+            radiance=radiance, active=active, next_tp=next_tp,
+            next_pdf=next_pdf, st_albedo=st_albedo, st_normal=st_normal,
+            rays=rays, path_dist=path_dist, new_density=new_density,
+            new_g=new_g, new_color=new_color,
+            candidate=candidate, nee_contrib=nee_contrib,
+            shadow_o=shadow_o, nee_dir=nee_dir, nee_tmax=nee_tmax,
         )
+        if has_env_map:
+            carry.update(
+                cand_e=cand_e, env_contrib=env_contrib, wi_e=wi_e,
+                env_tmax=env_tmax,
+            )
+        if not split_shadow:
+            carry["r_alpha"] = r_alpha
+        return carry
+
+    def shadow_queries(c):
+        """The (o, d, t_max) any-hit batch for a bounce carry."""
+        if has_env_map:
+            return (
+                jnp.concatenate([c["shadow_o"], c["shadow_o"]]),
+                jnp.concatenate([c["nee_dir"], c["wi_e"]]),
+                jnp.concatenate([c["nee_tmax"], c["env_tmax"]]),
+            )
+        return c["shadow_o"], c["nee_dir"], c["nee_tmax"]
+
+    def bounce_post(bounce, c, qhit, blocked, blocked_e):
+        n = c["active"].shape[0]
+        active = c["active"]
+        radiance = c["radiance"] + jnp.where(
+            (c["candidate"] & ~blocked)[:, None], c["nee_contrib"], 0.0
+        )
+        rays = c["rays"] + c["candidate"].astype(jnp.float32)
+        if has_env_map:
+            radiance = radiance + jnp.where(
+                (c["cand_e"] & ~blocked_e)[:, None], c["env_contrib"], 0.0
+            )
+            rays = rays + c["cand_e"].astype(jnp.float32)
+        return dict(
+            o=c["next_o"],
+            d=c["next_d"],
+            hit_t=qhit.t[:n],
+            hit_tri=jnp.where(active, qhit.tri[:n], -1),
+            hit_u=qhit.u[:n],
+            hit_v=qhit.v[:n],
+            throughput=c["next_tp"],
+            radiance=radiance,
+            active=active,
+            prev_pdf=c["next_pdf"],
+            albedo=c["st_albedo"],
+            normal=c["st_normal"],
+            rays=rays + active.astype(jnp.float32),
+            path_dist=c["path_dist"],
+            med_density=c["new_density"],
+            med_g=c["new_g"],
+            med_color=c["new_color"],
+        )
+
+    def bounce_body(bounce, st):
+        c = bounce_pre(bounce, st)
+        n = c["active"].shape[0]
+        shadow_o = c["shadow_o"]
         if split_shadow:
             qhit = _intersect(
-                scene, next_o, next_d, settings, t_max=ext_tmax
+                scene, c["next_o"], c["next_d"], settings,
+                t_max=c["ext_tmax"],
             )
-            if has_env_map:
-                occ = _occluded(
-                    scene,
-                    jnp.concatenate([shadow_o, shadow_o]),
-                    jnp.concatenate([nee_dir, wi_e]),
-                    jnp.concatenate([nee_tmax, env_tmax]),
-                    settings,
-                )
-            else:
-                occ = _occluded(
-                    scene, shadow_o, nee_dir, nee_tmax, settings
-                )
-        else:
-            q_o = [next_o, shadow_o]
-            q_d = [next_d, nee_dir]
-            q_t = [ext_tmax, nee_tmax]
-            if has_env_map:
-                q_o.append(shadow_o)
-                q_d.append(wi_e)
-                q_t.append(env_tmax)
-            qhit = _intersect(
-                scene,
-                jnp.concatenate(q_o),
-                jnp.concatenate(q_d),
-                settings,
-                t_max=jnp.concatenate(q_t),
-            )
+            occ = _occluded(scene, *shadow_queries(c), settings)
+            blocked = occ[:n]
+            blocked_e = occ[n:2 * n] if has_env_map else None
+            return bounce_post(bounce, c, qhit, blocked, blocked_e)
+
+        q_o = [c["next_o"], c["shadow_o"]]
+        q_d = [c["next_d"], c["nee_dir"]]
+        q_t = [c["ext_tmax"], c["nee_tmax"]]
+        if has_env_map:
+            q_o.append(c["shadow_o"])
+            q_d.append(c["wi_e"])
+            q_t.append(c["env_tmax"])
+        qhit = _intersect(
+            scene,
+            jnp.concatenate(q_o),
+            jnp.concatenate(q_d),
+            settings,
+            t_max=jnp.concatenate(q_t),
+        )
+        r_alpha = c["r_alpha"]
+
         def transmit(tri0, t0, dir_s, tmax_s, r_first, seed0):
             """Stochastic transparent shadow transmittance: pass each
             alpha-tested blocker with probability 1 - opacity, continuing
@@ -1003,57 +1065,128 @@ def trace_paths(
                 passed = pass_k
             return blocked_acc
 
-        if split_shadow:
-            blocked = occ[:n]
-            blocked_e = occ[n : 2 * n] if has_env_map else None
-        else:
-            blocked = transmit(
-                qhit.tri[n : 2 * n], qhit.t[n : 2 * n], nee_dir, nee_tmax,
-                r_alpha[:, 2], 37,
-            )
-            blocked_e = (
-                transmit(
-                    qhit.tri[2 * n : 3 * n], qhit.t[2 * n : 3 * n],
-                    wi_e, env_tmax, r_alpha[:, 3], 53,
-                )
-                if has_env_map
-                else None
-            )
-        radiance = radiance + jnp.where(
-            (candidate & ~blocked)[:, None], nee_contrib, 0.0
+        blocked = transmit(
+            qhit.tri[n : 2 * n], qhit.t[n : 2 * n], c["nee_dir"],
+            c["nee_tmax"], r_alpha[:, 2], 37,
         )
-        rays = rays + candidate.astype(jnp.float32)
-        if has_env_map:
-            radiance = radiance + jnp.where(
-                (cand_e & ~blocked_e)[:, None], env_contrib, 0.0
+        blocked_e = (
+            transmit(
+                qhit.tri[2 * n : 3 * n], qhit.t[2 * n : 3 * n],
+                c["wi_e"], c["env_tmax"], r_alpha[:, 3], 53,
             )
-            rays = rays + cand_e.astype(jnp.float32)
-
-        return dict(
-            o=next_o,
-            d=next_d,
-            hit_t=qhit.t[:n],
-            hit_tri=jnp.where(active, qhit.tri[:n], -1),
-            hit_u=qhit.u[:n],
-            hit_v=qhit.v[:n],
-            throughput=next_tp,
-            radiance=radiance,
-            active=active,
-            prev_pdf=next_pdf,
-            albedo=st_albedo,
-            normal=st_normal,
-            rays=rays + active.astype(jnp.float32),
-            path_dist=path_dist,
-            med_density=new_density,
-            med_g=new_g,
-            med_color=new_color,
+            if has_env_map
+            else None
         )
+        return bounce_post(bounce, c, qhit, blocked, blocked_e)
 
-    state = jax.lax.fori_loop(0, settings.max_depth, bounce_body, state)
+    return (
+        init_state, bounce_pre, bounce_post, bounce_body,
+        shadow_queries, split_shadow,
+    )
+
+
+def trace_paths(
+    scene,
+    env,
+    uniforms: Uniforms,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    pixel_idx: jnp.ndarray,
+    frame_index,
+    settings: RenderSettings,
+    full_height: int | None = None,
+    hooks: KernelHooks | None = None,
+):
+    """Trace full paths for a flat ray batch.
+
+    `full_height` is the height of the WHOLE film; under multi-chip film
+    tiling `settings.height` is the per-shard row count, and the mip-LOD
+    pixel cone angle must use the global height or textured shards pick
+    different mip levels per device count (breaking bit-identity).
+
+    Returns (radiance (N,3), albedo_aov (N,3), normal_aov (N,3),
+    rays_traced (N,) f32 — counting extension + shadow rays for the
+    Mrays/s statistic).
+    """
+    init_state, _, _, bounce_body, _, _ = _path_context(
+        scene, env, uniforms, pixel_idx, frame_index, settings,
+        full_height, hooks,
+    )
+    # Prologue: closest hit for the camera rays. Every later bounce folds
+    # its extension ray into the batched end-of-bounce visibility query,
+    # so the whole path costs 1 + max_depth kernel dispatches instead of
+    # up to 3 per bounce (dispatch overhead showed up as ~25% of frame
+    # time in the stage ablation).
+    hit0 = _intersect(scene, o, d, settings)
+    state = jax.lax.fori_loop(
+        0, settings.max_depth, bounce_body, init_state(o, d, hit0)
+    )
 
     # Terminal environment lookup for rays still active after the last
     # bounce is intentionally skipped (depth cap, rt_renderer parity).
     return state["radiance"], state["albedo"], state["normal"], state["rays"]
+
+
+def _tile_raygen(
+    scene, uniforms, blue_noise, hooks, fidx, start,
+    w, cam_h, row_offset, spp, tile, swizzle,
+):
+    """Camera rays for one film tile (shared by the megakernel frame and
+    the staged dispatcher so both produce identical ray populations).
+
+    Returns (o, d, gpix, fidx_r): ray r of the tile is sample r % spp of
+    pixel start + r // spp, running as virtual RNG frame fidx*spp + s.
+    """
+    ridx = jnp.arange(tile, dtype=jnp.int32)
+    pix = start + ridx // spp
+    if spp == 1:
+        fidx_r = fidx
+    else:
+        fidx_r = fidx * jnp.uint32(spp) + (ridx % spp).astype(jnp.uint32)
+    if swizzle:
+        # blocked index -> pixel coords (32x32 blocks, row-major)
+        blk = pix // 1024
+        within = pix % 1024
+        bx = blk % (w // 32)
+        by = blk // (w // 32)
+        px_i = bx * 32 + within % 32
+        py_i = by * 32 + within // 32
+    else:
+        px_i = pix % w
+        py_i = pix // w
+    py_i = py_i + row_offset
+    gpix = py_i * w + px_i  # globally unique pixel id
+    px = px_i.astype(jnp.float32)
+    py = py_i.astype(jnp.float32)
+    r_jit = rng.sample4(gpix, fidx_r, 0, seed=1)
+    if blue_noise is not None:
+        # Blue-noise pixel jitter (load_blue_noise_texture role,
+        # rt_renderer.rs:1117-1156): tile the texture over the film
+        # and Cranley-Patterson-rotate it per frame with the R2
+        # low-discrepancy sequence (per VIRTUAL frame under spp>1 so
+        # a pixel's samples keep distinct jitters).
+        bh, bw = blue_noise.shape[0], blue_noise.shape[1]
+        bx = (gpix % w) % bw
+        by = (gpix // w) % bh
+        f = jnp.broadcast_to(
+            jnp.asarray(fidx_r, jnp.float32), gpix.shape
+        )
+        shift = jnp.stack(
+            [f * 0.7548776662466927, f * 0.5698402909980532], axis=-1
+        ) % 1.0
+        # single-index gather (multi-vector indexing lowers to a
+        # slow multi-dim XLA gather on TPU; see ops/env.py)
+        bn_flat = blue_noise[:, :, :2].reshape(bh * bw, 2)
+        bn = (jnp.take(bn_flat, by * bw + bx, axis=0) + shift) % 1.0
+        r_jit = r_jit.at[:, :2].set(bn)
+    if hooks is not None and hooks.raygen is not None:
+        # pushed raygen kernel overrides the sample jitter
+        r_jit = hooks.raygen(gpix, fidx_r, r_jit)
+    o, d = generate_rays(
+        scene.cameras, uniforms.camera_index, px, py, w, cam_h,
+        r_jit[:, :2], r_jit[:, 2:],
+    )
+    return o, d, gpix, fidx_r
 
 
 @partial(
@@ -1141,58 +1274,9 @@ def render_frame(
     def tile_body(carry, t):
         accum, albedo, normal, rays_total = carry
         start = t * pp
-        ridx = jnp.arange(tile, dtype=jnp.int32)
-        pix = start + ridx // spp
-        if spp == 1:
-            fidx_r = fidx
-        else:
-            # sample-adjacent layout: ray r is sample r % spp of pixel
-            # r // spp, running as virtual RNG frame fidx*spp + s.
-            fidx_r = fidx * jnp.uint32(spp) + (ridx % spp).astype(
-                jnp.uint32
-            )
-        if swizzle:
-            # blocked index -> pixel coords (32x32 blocks, row-major)
-            blk = pix // 1024
-            within = pix % 1024
-            bx = blk % (w // 32)
-            by = blk // (w // 32)
-            px_i = bx * 32 + within % 32
-            py_i = by * 32 + within // 32
-        else:
-            px_i = pix % w
-            py_i = pix // w
-        py_i = py_i + row_offset
-        gpix = py_i * w + px_i  # globally unique pixel id
-        px = px_i.astype(jnp.float32)
-        py = py_i.astype(jnp.float32)
-        r_jit = rng.sample4(gpix, fidx_r, 0, seed=1)
-        if blue_noise is not None:
-            # Blue-noise pixel jitter (load_blue_noise_texture role,
-            # rt_renderer.rs:1117-1156): tile the texture over the film
-            # and Cranley-Patterson-rotate it per frame with the R2
-            # low-discrepancy sequence (per VIRTUAL frame under spp>1 so
-            # a pixel's samples keep distinct jitters).
-            bh, bw = blue_noise.shape[0], blue_noise.shape[1]
-            bx = (gpix % w) % bw
-            by = (gpix // w) % bh
-            f = jnp.broadcast_to(
-                jnp.asarray(fidx_r, jnp.float32), gpix.shape
-            )
-            shift = jnp.stack(
-                [f * 0.7548776662466927, f * 0.5698402909980532], axis=-1
-            ) % 1.0
-            # single-index gather (multi-vector indexing lowers to a
-            # slow multi-dim XLA gather on TPU; see ops/env.py)
-            bn_flat = blue_noise[:, :, :2].reshape(bh * bw, 2)
-            bn = (jnp.take(bn_flat, by * bw + bx, axis=0) + shift) % 1.0
-            r_jit = r_jit.at[:, :2].set(bn)
-        if hooks is not None and hooks.raygen is not None:
-            # pushed raygen kernel overrides the sample jitter
-            r_jit = hooks.raygen(gpix, fidx_r, r_jit)
-        o, d = generate_rays(
-            scene.cameras, uniforms.camera_index, px, py, w, cam_h,
-            r_jit[:, :2], r_jit[:, 2:],
+        o, d, gpix, fidx_r = _tile_raygen(
+            scene, uniforms, blue_noise, hooks, fidx, start,
+            w, cam_h, row_offset, spp, tile, swizzle,
         )
         L, alb, nrm, rays = trace_paths(
             scene, env, uniforms, o, d, gpix, fidx_r, settings,
@@ -1240,3 +1324,258 @@ def render_frame(
         normal=normal.reshape(h, w, 4),
     )
     return new_film, rays_total
+
+
+# ---------------------------------------------------------------------------
+# Staged frame dispatcher: each traversal kernel runs in its OWN small jit.
+#
+# The megakernel render_frame embeds every Pallas kernel in one large XLA
+# program; on the TPU backend the wavefront+cull pair never finishes
+# compiling inside a full frame while the identical kernels compile in
+# minutes standalone (DESIGN.md round-3 ledger "wavefront full-frame
+# compile wall" — reproduced as TPU-side only: the same frame lowers and
+# compiles on CPU XLA in ~146 s). Staging keeps every dispatch async
+# (no host sync anywhere in the frame) and is bit-identical to the
+# megakernel by construction: both compose the SAME _path_context
+# closures and the SAME _tile_raygen, only the jit boundaries differ.
+# ---------------------------------------------------------------------------
+
+_BOUNCE_CONST: dict = {}
+
+
+def _bounce_const(b: int):
+    """Cached device scalar for the bounce index (traced arg, so the
+    pre/post stages compile ONCE and are reused for every bounce)."""
+    if b not in _BOUNCE_CONST:
+        _BOUNCE_CONST[b] = jnp.int32(b)
+    return _BOUNCE_CONST[b]
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _stage_primary(scene, o, d, settings: RenderSettings):
+    return _intersect(scene, o, d, settings)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _stage_extend(scene, o, d, t_max, settings: RenderSettings):
+    return _intersect(scene, o, d, settings, t_max=t_max)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _stage_occlude(scene, o, d, t_far, settings: RenderSettings):
+    return _occluded(scene, o, d, t_far, settings)
+
+
+@partial(jax.jit, static_argnames=("settings", "full_height", "hooks"))
+def _stage_init(
+    scene, env, uniforms, pixel_idx, frame_index, o, d, hit0,
+    settings: RenderSettings, full_height=None, hooks=None,
+):
+    init_state, _, _, _, _, _ = _path_context(
+        scene, env, uniforms, pixel_idx, frame_index, settings,
+        full_height, hooks,
+    )
+    return init_state(o, d, hit0)
+
+
+@partial(jax.jit, static_argnames=("settings", "full_height", "hooks"))
+def _stage_pre(
+    scene, env, uniforms, pixel_idx, frame_index, bounce, st,
+    settings: RenderSettings, full_height=None, hooks=None,
+):
+    _, bounce_pre, _, _, shadow_queries, _ = _path_context(
+        scene, env, uniforms, pixel_idx, frame_index, settings,
+        full_height, hooks,
+    )
+    c = bounce_pre(bounce, st)
+    sh_o, sh_d, sh_t = shadow_queries(c)
+    return c, sh_o, sh_d, sh_t
+
+
+@partial(jax.jit, static_argnames=("settings", "full_height", "hooks"))
+def _stage_post(
+    scene, env, uniforms, pixel_idx, frame_index, bounce, c, qhit, occ,
+    settings: RenderSettings, full_height=None, hooks=None,
+):
+    _, _, bounce_post, _, _, _ = _path_context(
+        scene, env, uniforms, pixel_idx, frame_index, settings,
+        full_height, hooks,
+    )
+    n = c["active"].shape[0]
+    has_env = settings.env_type == ENV_MAP and env is not None
+    blocked = occ[:n]
+    blocked_e = occ[n:2 * n] if has_env else None
+    return bounce_post(bounce, c, qhit, blocked, blocked_e)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings", "cam_h", "spp", "tile", "swizzle", "hooks"),
+)
+def _stage_raygen(
+    scene, uniforms, blue_noise, fidx, row_offset, start,
+    settings: RenderSettings, cam_h, spp, tile, swizzle, hooks=None,
+):
+    return _tile_raygen(
+        scene, uniforms, blue_noise, hooks, fidx, start,
+        settings.width, cam_h, row_offset, spp, tile, swizzle,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings", "pp", "spp", "hooks"),
+    donate_argnums=(0, 1, 2),
+)
+def _stage_accum(
+    accum, albedo, normal, rays_total, L, alb, nrm, rays, inv_n1,
+    start, settings: RenderSettings, pp, spp, hooks=None,
+):
+    if hooks is not None and hooks.post_shade is not None:
+        L, alb, nrm = hooks.post_shade(L, alb, nrm)
+    L = jnp.nan_to_num(L, nan=0.0, posinf=0.0, neginf=0.0)
+    if spp > 1:
+        L = L.reshape(pp, spp, 3).mean(axis=1)
+        alb = alb.reshape(pp, spp, 3).mean(axis=1)
+        nrm = nrm.reshape(pp, spp, 3).mean(axis=1)
+    old = jax.lax.dynamic_slice_in_dim(accum, start, pp)
+    new = old + (jnp.concatenate([L, jnp.ones((pp, 1))], -1) - old) * inv_n1
+    accum = jax.lax.dynamic_update_slice_in_dim(accum, new, start, 0)
+    alb4 = jnp.concatenate([alb, jnp.ones((pp, 1))], -1)
+    nrm4 = jnp.concatenate([nrm, jnp.ones((pp, 1))], -1)
+    old_a = jax.lax.dynamic_slice_in_dim(albedo, start, pp)
+    old_n = jax.lax.dynamic_slice_in_dim(normal, start, pp)
+    albedo = jax.lax.dynamic_update_slice_in_dim(
+        albedo, old_a + (alb4 - old_a) * inv_n1, start, 0
+    )
+    normal = jax.lax.dynamic_update_slice_in_dim(
+        normal, old_n + (nrm4 - old_n) * inv_n1, start, 0
+    )
+    return accum, albedo, normal, rays_total + jnp.sum(rays)
+
+
+@partial(jax.jit, static_argnames=("settings", "swizzle", "n_pad"))
+def _stage_film_prep(film: Film, settings: RenderSettings, swizzle, n_pad):
+    h, w = settings.height, settings.width
+
+    def prep(a):
+        a = a.reshape(-1, 4)
+        if swizzle:
+            a = (
+                a.reshape(h // 32, 32, w // 32, 32, 4)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(h * w, 4)
+            )
+        if n_pad != h * w:
+            a = jnp.pad(a, ((0, n_pad - h * w), (0, 0)))
+        return a
+
+    return prep(film.accum), prep(film.albedo), prep(film.normal)
+
+
+@partial(jax.jit, static_argnames=("settings", "swizzle"))
+def _stage_finalize(accum, albedo, normal, settings: RenderSettings, swizzle):
+    h, w = settings.height, settings.width
+
+    def fin(a):
+        a = a[:h * w]
+        if swizzle:
+            a = (
+                a.reshape(h // 32, w // 32, 32, 32, 4)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(h * w, 4)
+            )
+        return a.reshape(h, w, 4)
+
+    return Film(accum=fin(accum), albedo=fin(albedo), normal=fin(normal))
+
+
+def render_frame_staged(
+    scene,
+    env,
+    uniforms: Uniforms,
+    film: Film,
+    frame_index,
+    settings: RenderSettings,
+    blue_noise=None,
+    hooks: KernelHooks | None = None,
+):
+    """One progressive frame as a sequence of small async jit dispatches.
+
+    Semantics are identical to `render_frame` (same estimator, same RNG
+    streams, same ray population, same accumulation — asserted in
+    tests/test_integrator.py: bit-exact on the lit configs, <= 1 ULP on
+    env configs where XLA fuses differently across jit boundaries), but
+    every traversal kernel runs in its own XLA program: python-level tile and bounce loops dispatch
+    raygen -> primary -> [pre -> extend -> occlude -> post] x depth ->
+    accumulate, with NO host synchronization anywhere (JAX dispatch is
+    async; the caller blocks on the returned film exactly as with the
+    megakernel). This sidesteps the TPU-side wavefront full-frame
+    compile wall and lets per-query-class engines mix freely.
+
+    Requires the split-shadow regime: a large-scene backend (matrix /
+    grouped / wavefront) and no alpha-tested materials (the stochastic
+    transmit loop is megakernel-only). Raises HalaRendererError
+    otherwise. Single-chip only; the multi-chip path keeps the
+    megakernel (shard_map wraps one program). All pushed kernels
+    (raygen/miss/hit/post_shade) dispatch in their owning stages.
+    """
+    if scene.materials.has_alpha or _backend(settings, scene) not in (
+        "wavefront", "matrix", "grouped",
+    ):
+        raise HalaRendererError(
+            "render_frame_staged requires a large-scene backend "
+            "(matrix/grouped/wavefront) and no alpha materials; use "
+            "render_frame."
+        )
+    h, w = settings.height, settings.width
+    cam_h = h
+    spp = max(1, settings.spp)
+    n_pix = h * w
+    n_rays = n_pix * spp
+    tile = min(settings.tile_size, n_rays)
+    tile = max(spp, tile - tile % spp)
+    pp = tile // spp
+    n_tiles = -(-n_rays // tile)
+    n_pad = n_tiles * pp
+    swizzle = h % 32 == 0 and w % 32 == 0 and pp % 1024 == 0
+
+    fidx = jnp.asarray(frame_index, jnp.uint32)
+    inv_n1 = 1.0 / (jnp.asarray(frame_index, jnp.float32) + 1.0)
+    row_offset = jnp.int32(0)
+
+    accum, albedo, normal = _stage_film_prep(film, settings, swizzle, n_pad)
+    rays_total = jnp.float32(0.0)
+
+    for t in range(n_tiles):
+        start = t * pp
+        o, d, gpix, fidx_r = _stage_raygen(
+            scene, uniforms, blue_noise, fidx, row_offset, start,
+            settings, cam_h, spp, tile, swizzle, hooks,
+        )
+        hit0 = _stage_primary(scene, o, d, settings)
+        st = _stage_init(
+            scene, env, uniforms, gpix, fidx_r, o, d, hit0,
+            settings, cam_h, hooks,
+        )
+        for b in range(settings.max_depth):
+            bounce = _bounce_const(b)
+            c, sh_o, sh_d, sh_t = _stage_pre(
+                scene, env, uniforms, gpix, fidx_r, bounce, st,
+                settings, cam_h, hooks,
+            )
+            qhit = _stage_extend(
+                scene, c["next_o"], c["next_d"], c["ext_tmax"], settings
+            )
+            occ = _stage_occlude(scene, sh_o, sh_d, sh_t, settings)
+            st = _stage_post(
+                scene, env, uniforms, gpix, fidx_r, bounce, c, qhit, occ,
+                settings, cam_h, hooks,
+            )
+        accum, albedo, normal, rays_total = _stage_accum(
+            accum, albedo, normal, rays_total,
+            st["radiance"], st["albedo"], st["normal"], st["rays"],
+            inv_n1, start, settings, pp, spp, hooks,
+        )
+
+    return _stage_finalize(accum, albedo, normal, settings, swizzle), rays_total

@@ -52,6 +52,7 @@ from .integrator import (
     RenderSettings,
     Uniforms,
     render_frame,
+    render_frame_staged,
 )
 from .renderer import BaseRenderer
 
@@ -81,6 +82,7 @@ class RayTracingRenderer(BaseRenderer):
         use_bvh: bool = True,
         intersector: str = "auto",
         spp: int = 1,
+        staged: bool = False,
     ):
         super().__init__(name, width, height)
         self.max_depth = max_depth
@@ -91,6 +93,10 @@ class RayTracingRenderer(BaseRenderer):
         self.max_frames = max_frames if max_frames > 0 else (1 << 62)
         self._tile_size = tile_size
         self._spp = spp
+        # Staged frame dispatch: every traversal kernel in its own jit
+        # (integrator.render_frame_staged) — the large-scene mode that
+        # sidesteps the TPU wavefront full-frame compile wall.
+        self._staged = staged
         self._use_bvh = use_bvh
         # "auto" stays symbolic: the scene-aware resolution happens at
         # trace time in integrator._backend (needs the scene size).
@@ -232,7 +238,8 @@ class RayTracingRenderer(BaseRenderer):
         if self._frame_index >= self.max_frames:
             return  # progressive budget reached (rt_renderer.rs:393-396)
         t0 = time.monotonic()
-        self.film, rays = render_frame(
+        frame_fn = render_frame_staged if self._staged else render_frame
+        self.film, rays = frame_fn(
             self.scene,
             self.env,
             self.uniforms,

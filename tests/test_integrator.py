@@ -271,3 +271,123 @@ class TestPFM:
         write_pfm(str(p), img)
         raw = p.read_bytes()
         assert raw.startswith(b"PF\n4 4\n-1.0\n")
+
+
+class TestStagedFrame:
+    """render_frame_staged: the multi-dispatch frame (every traversal
+    kernel in its own jit — the TPU wavefront compile-wall workaround)
+    must be BIT-identical to the megakernel render_frame: both compose
+    the same _path_context closures and _tile_raygen, so any divergence
+    is a seam bug."""
+
+    def _pair(self, scene_dev, settings, env=None, frames=2, ulp=False):
+        from hala_tpu.models.integrator import render_frame_staged
+
+        size = settings.width
+        f1 = Film.create(size, size)
+        f2 = Film.create(size, size)
+        r1 = r2 = 0.0
+        for fr in range(frames):
+            f1, r = render_frame(
+                scene_dev, env, Uniforms.default(), f1, fr, settings
+            )
+            r1 += float(r)
+        for fr in range(frames):
+            f2, r = render_frame_staged(
+                scene_dev, env, Uniforms.default(), f2, fr, settings
+            )
+            r2 += float(r)
+        assert r1 == r2
+        if ulp:
+            # XLA fuses (FMA/reassociates) differently across jit
+            # boundaries; the env radiance sums show <= 1 ULP drift
+            # (measured 11/4096 elements at 1.2e-7). Identical RNG and
+            # ray population is still asserted by the ray count above.
+            np.testing.assert_allclose(
+                np.asarray(f1.accum), np.asarray(f2.accum),
+                rtol=3e-7, atol=3e-7,
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(f1.accum), np.asarray(f2.accum)
+            )
+        np.testing.assert_array_equal(
+            np.asarray(f1.normal), np.asarray(f2.normal)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f1.albedo), np.asarray(f2.albedo)
+        )
+
+    def test_matrix_backend_bit_identical(self, cornell_device_scene):
+        size = 32
+        self._pair(
+            cornell_device_scene,
+            RenderSettings(
+                width=size, height=size, max_depth=3, rr_depth=2,
+                tile_size=256, intersector="matrix",
+                interpret_pallas=True, spp=2,
+            ),
+        )
+
+    def test_wavefront_backend_bit_identical(self):
+        """The actual target: wavefront kernels inside a full frame via
+        staged dispatch (inline comparison also runs wavefront — on CPU
+        interpret both compile; on TPU only the staged form does)."""
+        from hala_tpu.scene.loader.uploader import SceneUploader
+        from hala_tpu.scene.procedural import sponza_like
+
+        dev = SceneUploader.upload(
+            sponza_like(rooms=(3, 3), columns_per_room=3,
+                        boxes_per_room=6),
+            use_ray_tracing=False,
+        )
+        size = 32
+        self._pair(
+            dev,
+            RenderSettings(
+                width=size, height=size, max_depth=2, rr_depth=2,
+                tile_size=512, intersector="wavefront", sort_rays=True,
+                interpret_pallas=True, wavefront_k=3, wavefront_m=8,
+            ),
+            frames=1,
+        )
+
+    def test_envmap_bit_identical(self, cornell_device_scene):
+        """Env NEE doubles the any-hit batch (nee + env shadow rays in
+        one occ dispatch); the staged occ split must match."""
+        from hala_tpu.envmap import EnvMap
+        from hala_tpu.models.integrator import ENV_MAP
+
+        rs = np.random.RandomState(11)
+        env = EnvMap.from_array(
+            rs.uniform(0.05, 1.5, (16, 32, 3)).astype(np.float32)
+        )
+        size = 32
+        self._pair(
+            cornell_device_scene,
+            RenderSettings(
+                width=size, height=size, max_depth=2, rr_depth=2,
+                tile_size=512, intersector="matrix",
+                interpret_pallas=True, env_type=ENV_MAP,
+            ),
+            env=env,
+            frames=1,
+            ulp=True,
+        )
+
+    def test_rejects_small_scene_backend(self, cornell_device_scene):
+        from hala_tpu.error import HalaRendererError
+        from hala_tpu.models.integrator import render_frame_staged
+
+        settings = RenderSettings(
+            width=16, height=16, max_depth=2, rr_depth=2, tile_size=256,
+            intersector="bruteforce",
+        )
+        try:
+            render_frame_staged(
+                cornell_device_scene, None, Uniforms.default(),
+                Film.create(16, 16), 0, settings,
+            )
+            raise AssertionError("expected HalaRendererError")
+        except HalaRendererError:
+            pass
