@@ -106,6 +106,12 @@ class RenderSettings:
     # Mosaic composition wall inside full-frame jits. 0 = matrix
     # any-hit (default).
     shadow_dense_k: int = 0
+    # Shadow-class engine override: "auto" follows the cluster-cap
+    # policy (wavefront below WAVEFRONT_AUTO_CLUSTER_CAP, else matrix
+    # any-hit); "wavefront" forces the any-hit wavefront — safe inside
+    # render_frame_staged where each kernel compiles standalone, which
+    # is the whole point of that dispatcher; "matrix" forces matrix.
+    shadow_intersector: str = "auto"
     # Matrix-kernel visit engine: worklist (packed-nibble drain, single
     # scalar sync per level) vs the branch engine, and how many
     # clusters one visit round batches (overlapped DMAs). See
@@ -399,10 +405,16 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
                     interpret=settings.interpret_pallas,
                 )
         if (
-            settings.intersector == "auto"
+            (
+                settings.shadow_intersector == "wavefront"
+                or (
+                    settings.intersector == "auto"
+                    and settings.shadow_intersector == "auto"
+                    and c <= WAVEFRONT_AUTO_CLUSTER_CAP
+                )
+            )
             and c < _ID_MASK
             and c <= CULL_VMEM_CLUSTER_CAP
-            and c <= WAVEFRONT_AUTO_CLUSTER_CAP
         ):
             # shadow-class queries: any-hit wavefront — blocked lanes
             # retire on first hit and the tight t_max prunes candidate

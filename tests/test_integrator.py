@@ -352,6 +352,31 @@ class TestStagedFrame:
             frames=1,
         )
 
+    def test_mixed_engines_bit_identical(self):
+        """The production large-scene mix: matrix closest-hit + FORCED
+        wavefront any-hit shadows (settings.shadow_intersector). All
+        exact any-hit engines agree on occlusion bits, so the film must
+        stay bit-identical to the megakernel's matrix-shadow frames."""
+        from hala_tpu.scene.loader.uploader import SceneUploader
+        from hala_tpu.scene.procedural import sponza_like
+
+        dev = SceneUploader.upload(
+            sponza_like(rooms=(3, 3), columns_per_room=3,
+                        boxes_per_room=6),
+            use_ray_tracing=False,
+        )
+        size = 32
+        self._pair(
+            dev,
+            RenderSettings(
+                width=size, height=size, max_depth=2, rr_depth=2,
+                tile_size=512, intersector="matrix", sort_rays=True,
+                interpret_pallas=True, shadow_intersector="wavefront",
+                wavefront_k=3, wavefront_m=8,
+            ),
+            frames=1,
+        )
+
     def test_envmap_bit_identical(self, cornell_device_scene):
         """Env NEE doubles the any-hit batch (nee + env shadow rays in
         one occ dispatch); the staged occ split must match."""
