@@ -279,3 +279,38 @@ class TestGrouped:
         hit = intersect_grouped(o, d, g, t_max=tm, interpret=True)
         _assert_hits_close(hit, bf)
         assert (np.asarray(hit.tri)[::3] == -1).all()
+
+
+class TestQuarterMillionTris:
+    """Capacity coverage above the bench asset: 226k triangles / 2514
+    SAH clusters (atrium_big, the largest scene ever measured, is 167k
+    tris / 1861 clusters — and its traversal exactness had only ever
+    been exercised on real hardware). Exactness at this scale guards
+    the adaptive tile-height + keyless-selection paths the small
+    fixtures never reach; the round-3 zero-triangle bug (silent
+    sky-only frames past ~1024 clusters) is exactly the class of
+    regression this would catch."""
+
+    def test_matrix_exact_at_226k_tris(self):
+        from hala_tpu.scene.procedural import sponza_like
+
+        dev = SceneUploader.upload(
+            sponza_like(rooms=(28, 28), columns_per_room=8,
+                        boxes_per_room=14),
+            use_ray_tracing=False,
+        )
+        g = dev.geometry
+        assert int(g.num_triangles) > 200_000
+        assert g.tri_packed.shape[0] > 2_000  # clusters beyond atrium_big
+        rs = np.random.RandomState(5)
+        n = 256
+        o = np.tile(
+            np.asarray([50.0, 1.5, 50.0], np.float32), (n, 1)
+        ) + rs.uniform(-20, 20, (n, 3)).astype(np.float32)
+        d = rs.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2)
+        hit = intersect_matrix(o, d, g, interpret=True)
+        _assert_hits_equal(hit, bf)
+        assert int((np.asarray(bf.tri) >= 0).sum()) > 100
