@@ -83,6 +83,7 @@ class RayTracingRenderer(BaseRenderer):
         intersector: str = "auto",
         spp: int = 1,
         staged: bool = False,
+        shadow_intersector: str = "auto",
     ):
         super().__init__(name, width, height)
         self.max_depth = max_depth
@@ -97,6 +98,7 @@ class RayTracingRenderer(BaseRenderer):
         # (integrator.render_frame_staged) — the large-scene mode that
         # sidesteps the TPU wavefront full-frame compile wall.
         self._staged = staged
+        self._shadow_intersector = shadow_intersector
         self._use_bvh = use_bvh
         # "auto" stays symbolic: the scene-aware resolution happens at
         # trace time in integrator._backend (needs the scene size).
@@ -211,6 +213,7 @@ class RayTracingRenderer(BaseRenderer):
             use_bvh=self._use_bvh and self.scene.bvh is not None,
             intersector=self._intersector,
             spp=self._spp,
+            shadow_intersector=self._shadow_intersector,
         )
         # Resolve pushed kernels into the frame's dispatch table (the
         # SBT-build step of the reference's commit; stages not pushed
