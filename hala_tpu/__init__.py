@@ -35,6 +35,12 @@ from .envmap import EnvMap
 from .models.renderer import RendererInfo, RendererStatistics, BaseRenderer
 from .models.rt_renderer import RayTracingRenderer, EnvType
 from .models.rz_renderer import RasterizationRenderer
+from .programs import (
+    KernelCache,
+    ComputeProgram, ComputeProgramDesc,
+    RayTracingProgram, RayTracingProgramDesc,
+    GraphicsProgram, GraphicsProgramDesc,
+)
 
 __version__ = "0.1.0"
 
@@ -49,4 +55,8 @@ __all__ = [
     "GltfLoader", "SceneUploader", "DeviceScene", "EnvMap",
     "RendererInfo", "RendererStatistics", "BaseRenderer",
     "RayTracingRenderer", "EnvType", "RasterizationRenderer",
+    "KernelCache",
+    "ComputeProgram", "ComputeProgramDesc",
+    "RayTracingProgram", "RayTracingProgramDesc",
+    "GraphicsProgram", "GraphicsProgramDesc",
 ]
