@@ -347,6 +347,17 @@ class RayTracingRenderer(BaseRenderer):
         write_pfm(f"{stem}_normal.pfm", np.asarray(self.film.normal))
         logger.info("Save the normal image to file: %s_normal.pfm", stem)
 
+    def reset_accumulation(self) -> None:
+        """Restart progressive accumulation (fresh film + frame 0).
+
+        Call after a scene edit (`set_node_transform` + `update_scene`)
+        invalidates the running mean — the analog of a reference app
+        zeroing `total_frames` so the accum image restarts
+        (rt_renderer.rs:393-396, 414 frame-seeded sampling)."""
+        self.wait_idle()
+        self.film = Film.create(self.info.width, self.info.height)
+        self._frame_index = 0
+
     # -- device restore ---------------------------------------------------
 
     def _restore_device_state(self) -> None:

@@ -159,3 +159,25 @@ class TestRendererAnimation:
         np.testing.assert_allclose(
             got, np.asarray(ref.geometry.tri_v0), atol=1e-4
         )
+
+    def test_reset_accumulation_restarts_progressive_mean(self, host_scene):
+        """reset_accumulation: after N frames + reset, one more frame
+        equals a fresh renderer's first frame bit-for-bit (frame index
+        and film both restart — rt_renderer.rs:393-414 budget/seed
+        role)."""
+        from hala_tpu.models.rt_renderer import RayTracingRenderer
+
+        r = RayTracingRenderer("reset", 16, 16, max_frames=8, tile_size=256)
+        r.set_scene(host_scene)
+        r.commit()
+        r.render_loop(3)
+        r.reset_accumulation()
+        assert float(np.abs(np.asarray(r.film.accum)).max()) == 0.0
+        r.render_loop(1)
+        got = np.asarray(r.film.accum)
+
+        r2 = RayTracingRenderer("fresh", 16, 16, max_frames=8, tile_size=256)
+        r2.set_scene(host_scene)
+        r2.commit()
+        r2.render_loop(1)
+        np.testing.assert_array_equal(got, np.asarray(r2.film.accum))
