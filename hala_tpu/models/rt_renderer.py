@@ -232,6 +232,25 @@ class RayTracingRenderer(BaseRenderer):
             if (hooks.raygen or hooks.miss or hooks.post_shade)
             else None
         )
+        # Staged dispatch needs the split-shadow regime (large-scene
+        # backend, no alpha materials). Degrade to the megakernel with a
+        # warning rather than failing the frame loop — the reference's
+        # warn-and-fall-back posture for unsupported modes (e.g. the
+        # MAX-caps truncation, gpu_uploader.rs:99-104); the low-level
+        # render_frame_staged stays strict for explicit callers.
+        if self._staged:
+            from .integrator import _backend
+
+            big = _backend(self.settings, self.scene) in (
+                "wavefront", "matrix", "grouped",
+            )
+            if self.scene.materials.has_alpha or not big:
+                logger.warning(
+                    "staged dispatch requires a large-scene backend and "
+                    "no alpha materials; falling back to the megakernel "
+                    "frame for this scene."
+                )
+                self._staged = False
 
     def update(self, delta_time: float = 0.0) -> None:
         """Dispatch one progressive frame (rt_renderer.rs:387-471)."""

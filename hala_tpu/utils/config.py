@@ -40,6 +40,10 @@ class RenderConfig:
     # TPU-specific
     tile_size: int = 65536
     use_bvh: bool = True
+    intersector: str = "auto"
+    shadow_intersector: str = "auto"
+    spp: int = 1
+    staged: bool = False
 
     @staticmethod
     def from_json(text: str) -> "RenderConfig":
@@ -77,6 +81,9 @@ class RenderConfig:
             use_simple_aces=self.use_simple_aces,
             max_frames=self.max_frames,
             tile_size=self.tile_size, use_bvh=self.use_bvh,
+            intersector=self.intersector,
+            shadow_intersector=self.shadow_intersector,
+            spp=self.spp, staged=self.staged,
         )
         r.set_ground_color(list(self.ground_color))
         r.set_sky_color(list(self.sky_color))

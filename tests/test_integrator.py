@@ -416,3 +416,29 @@ class TestStagedFrame:
             raise AssertionError("expected HalaRendererError")
         except HalaRendererError:
             pass
+
+
+class TestStagedRendererFallback:
+    def test_small_scene_degrades_to_megakernel(self, caplog):
+        """RayTracingRenderer(staged=True) on a scene the staged
+        dispatcher cannot drive (small-scene backend) must warn and
+        render via the megakernel, not raise mid-frame-loop (the
+        reference's warn-and-fall-back posture for unsupported modes,
+        gpu_uploader.rs:99-104)."""
+        import logging
+
+        import numpy as np
+
+        from hala_tpu.models.rt_renderer import RayTracingRenderer
+        from hala_tpu.scene.procedural import cornell_box
+
+        r = RayTracingRenderer(
+            "st", 16, 16, max_frames=1, tile_size=256, staged=True,
+        )
+        r.set_scene(cornell_box())
+        with caplog.at_level(logging.WARNING, logger="hala_tpu.rt"):
+            r.commit()
+        assert any("staged" in m for m in caplog.messages)
+        assert r._staged is False
+        r.render_loop(1)
+        assert np.isfinite(np.asarray(r.film.accum)).all()
