@@ -389,9 +389,9 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
     g = scene.geometry
     backend = _backend(settings, scene)
     if backend in ("wavefront", "matrix", "grouped"):
-        from ..ops.cull import CULL_VMEM_CLUSTER_CAP
+        from ..ops.cull import _ID_MASK as _CULL_ID_MASK
         from ..ops.traverse import (
-            _ID_MASK, intersect_grouped, intersect_matrix, matrix_query,
+            intersect_grouped, intersect_matrix, matrix_query,
         )
 
         tf = t_far * (1.0 - 1e-4)
@@ -413,8 +413,7 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
                     and c <= WAVEFRONT_AUTO_CLUSTER_CAP
                 )
             )
-            and c < _ID_MASK
-            and c <= CULL_VMEM_CLUSTER_CAP
+            and c < _CULL_ID_MASK  # the cull kernel owns this key width
         ):
             # shadow-class queries: any-hit wavefront — blocked lanes
             # retire on first hit and the tight t_max prunes candidate

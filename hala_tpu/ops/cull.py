@@ -9,12 +9,18 @@ nearest candidates, skipping passes once every lane is exhausted (most
 rays have ~7 candidates, so the effective pass count tracks the mean,
 not K).
 
-Keys are packed `(tn bits & ~0xFFF) | cluster_id` (positive-f32 bit
+Keys are packed `(tn bits & ~_ID_MASK) | cluster_id` (positive-f32 bit
 ordering is monotonic as i32, the matrix-kernel trick): one i32 min
 finds the nearest candidate AND its id, ties break to the smaller id,
-and the 12 sacrificed mantissa bits round tn DOWN — conservative for
+and the sacrificed mantissa bits round tn DOWN — conservative for
 every consumer (ordering is efficiency-only; the unresolved-lane bound
 compares hit-t bits against a lower bound of the true entry distance).
+
+Beyond CULL_VMEM_CLUSTER_CAP clusters the keys scratch no longer fits
+VMEM; `cull_topk` then runs the kernel per cluster CHUNK and merges
+the per-chunk ascending top-K lists with one small row sort — exact,
+because a candidate outside its own chunk's top-K is farther than K
+same-chunk candidates and so can never enter the global top-K.
 
 Role parity: the selection half of the hardware BVH traversal the
 reference gets from trace_rays (/root/reference/src/scene/loader/
@@ -36,7 +42,12 @@ LANES = 128
 CULL_SUBLANES = 8
 CULL_BLOCK = CULL_SUBLANES * LANES
 INF_KEY = 0x7FFFFFFF  # no-candidate sentinel (> any packed real key)
-_ID_BITS = 12
+# 13 id bits = 8192 clusters (~1M triangle slots), matching the matrix
+# kernel's key width (ops/traverse._ID_BITS). The sacrificed mantissa
+# bits round each tn DOWN — still conservative for every consumer (the
+# unresolved-lane bound compares hit-t bits against a LOWER bound of
+# the true entry distance; ordering is efficiency-only).
+_ID_BITS = 13
 _ID_MASK = (1 << _ID_BITS) - 1
 CULL_MAX_CLUSTERS = 1 << _ID_BITS
 # The fill processes chunk rows in blocks of this many (bounds the
@@ -149,23 +160,50 @@ def _cull_kernel_body(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "chunk"))
 def cull_topk(o, d, t_max, cluster_min, cluster_max,
-              k: int = 16, interpret: bool = False):
+              k: int = 16, interpret: bool = False,
+              chunk: int | None = None):
     """Per-ray K nearest candidate clusters, packed-key form.
 
     Returns (pk (N, K) i32 packed keys ascending, INF_KEY-padded;
     count (N,) i32 — the ray's TOTAL candidate count, so count > K
-    means the list was truncated). `unpack`: id = pk & 0xFFF, tn lower
-    bound = bitcast(pk & ~0xFFF). Result is independent of tiling
-    (pure per-ray computation; ties break to the smaller id).
+    means the list was truncated). `unpack`: id = pk & _ID_MASK, tn
+    lower bound = bitcast(pk & ~_ID_MASK). Result is independent of
+    tiling (pure per-ray computation; ties break to the smaller id).
+
+    `chunk` (static, default CULL_VMEM_CLUSTER_CAP) bounds the cluster
+    rows per kernel call; larger scenes run one call per chunk and the
+    ascending lists merge in a (N, K*chunks) row sort. Exposed so tests
+    can force the merge path on small scenes.
     """
+    c = cluster_min.shape[0]
+    assert c <= CULL_MAX_CLUSTERS, "cluster id exceeds the key width"
+    chunk = min(
+        CULL_VMEM_CLUSTER_CAP if chunk is None else chunk,
+        CULL_VMEM_CLUSTER_CAP,
+    )
+    if c <= chunk:
+        return _cull_single(o, d, t_max, cluster_min, cluster_max,
+                            k, interpret)
+    pks, cnt = [], None
+    for lo in range(0, c, chunk):
+        pk_i, cnt_i = _cull_single(
+            o, d, t_max,
+            cluster_min[lo : lo + chunk], cluster_max[lo : lo + chunk],
+            k, interpret,
+        )
+        # re-offset the chunk-local ids; id bits never carry into the
+        # tn bits (global id < CULL_MAX_CLUSTERS = the mask width)
+        pks.append(jnp.where(pk_i == INF_KEY, INF_KEY, pk_i + lo))
+        cnt = cnt_i if cnt is None else cnt + cnt_i
+    pk = jnp.sort(jnp.concatenate(pks, axis=1), axis=1)[:, :k]
+    return pk, cnt
+
+
+def _cull_single(o, d, t_max, cluster_min, cluster_max, k, interpret):
     n = o.shape[0]
     c = cluster_min.shape[0]
-    assert c <= min(CULL_MAX_CLUSTERS, CULL_VMEM_CLUSTER_CAP), (
-        "cull_topk key scratch exceeds the VMEM budget; chunked merge "
-        "not implemented (fall back to cull_ordered)"
-    )
     n_pad = -(-n // CULL_BLOCK) * CULL_BLOCK
     if n_pad != n:
         pad = n_pad - n

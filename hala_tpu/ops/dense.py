@@ -43,13 +43,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .cull import CULL_VMEM_CLUSTER_CAP, INF_KEY, cull_topk
+# the id mask must match the cull's packing (it produces the keys
+# this module unpacks)
+from .cull import CULL_MAX_CLUSTERS, INF_KEY, _ID_MASK, cull_topk
 from .intersect import Hit, T_MAX, canonical_hit, varying_like
 
 LANES = 128
 TRI_CHUNK = 128
-_ID_BITS = 12
-_ID_MASK = (1 << _ID_BITS) - 1
 _EPS = 1.0e-7
 _T_MIN = 1.0e-4
 _INF = jnp.float32(3.0e38)
@@ -57,11 +57,13 @@ _INF = jnp.float32(3.0e38)
 # Per-k gather block: the (N, 9, 128) expansion for one candidate rank
 # is ~600 MB at 131k rays; iterating ranks with lax.scan keeps peak
 # HBM residency at one rank's block while total traffic is unchanged.
-DENSE_MAX_CLUSTERS = CULL_VMEM_CLUSTER_CAP
+# Past its VMEM cap the cull merges cluster chunks internally, so only
+# the key width bounds the scene size here.
+DENSE_MAX_CLUSTERS = CULL_MAX_CLUSTERS
 
 
 def _unpack_tn(pk):
-    """Entry-distance lower bound from a packed cull key (the 12
+    """Entry-distance lower bound from a packed cull key (the
     sacrificed id bits round tn DOWN — conservative)."""
     return jax.lax.bitcast_convert_type(
         pk & jnp.int32(~_ID_MASK), jnp.float32

@@ -462,11 +462,14 @@ def _traverse_core(
 # Packed traversal keys: (slab-entry-tn bits | cluster id). Positive f32
 # bit patterns compare monotonically as int32, so one i32 min over the
 # matrix simultaneously finds the nearest live cluster AND its id (ties
-# break to the smaller id). The low 12 mantissa bits are sacrificed to
+# break to the smaller id). The low 13 mantissa bits are sacrificed to
 # the id, rounding each tn DOWN — conservative: a cluster can only look
 # slightly NEARER than it is, never farther, so no live cluster is
-# ever skipped.
-_ID_BITS = 12
+# ever skipped (and _pack_t rounds each lane's own bound UP, so the
+# widened gap only admits a few extra visits near ties, ~1e-3 relative
+# t). 13 bits = 8192 clusters = ~1M triangle slots; exactness at 5680
+# clusters is covered by the opt-in HALA_BIG_TESTS capacity test.
+_ID_BITS = 13
 _ID_MASK = (1 << _ID_BITS) - 1
 _INF_KEY = 0x7FFFFFFF
 MATRIX_MAX_CLUSTERS = 1 << _ID_BITS

@@ -49,12 +49,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cull import CULL_VMEM_CLUSTER_CAP, INF_KEY, cull_topk
+# _ID_MASK must match the producer of the packed keys this module
+# unpacks: cull_topk packs ids at cull's width (13 bits), which can
+# differ from traverse's matrix-key width.
+from .cull import (
+    CULL_MAX_CLUSTERS, INF_KEY, _ID_BITS, _ID_MASK, cull_topk,
+)
 from .intersect import Hit, T_MAX, canonical_hit, out_struct, varying_like
 from .traverse import (
     GROUP,
     TRI_CHUNK,
-    _ID_MASK,
     _INF,
     _MM_COLS,
     _mm_chunk_test,
@@ -79,8 +83,9 @@ def _group_lists(pk, g_total, k: int, m: int):
     nothing was dropped).
 
     Two last-axis sorts, no scatter and no (G, GROUP*K, m) one-hot. The
-    dedup sort key is (id major, tn minor) — `(id << 19) | (key >> 12)`,
-    which fits i32 because packed keys are positive 31-bit — so all
+    dedup sort key is (id major, tn minor) — the id bits swapped above
+    the tn bits, `(id << (31 - _ID_BITS)) | (key >> _ID_BITS)`, which
+    fits i32 because packed keys are positive 31-bit — so all
     occurrences of a chunk are adjacent, ordered by tn (equal shifted tn
     implies equal packed key, so the first occurrence IS the group-min
     key for that chunk). A neighbor compare keeps each id's first
@@ -88,8 +93,8 @@ def _group_lists(pk, g_total, k: int, m: int):
     the survivors to the front in entry-distance order.
     """
     pkg = pk.reshape(g_total, GROUP * k)
-    dkey = ((pkg & _ID_MASK) << 19) | jax.lax.shift_right_logical(
-        pkg, 12
+    dkey = ((pkg & _ID_MASK) << (31 - _ID_BITS)) | (
+        jax.lax.shift_right_logical(pkg, _ID_BITS)
     )
     dkey, pk_s = jax.lax.sort((dkey, pkg), dimension=1, num_keys=1)
     sid = pk_s & _ID_MASK
@@ -346,7 +351,10 @@ def intersect_wavefront(
     """
     n = o.shape[0]
     c = geometry.tri_packed.shape[0]
-    assert c < _ID_MASK and c <= CULL_VMEM_CLUSTER_CAP
+    # c < _ID_MASK keeps a real id from aliasing INF_KEY's low bits in
+    # the signature packing; past the cull's VMEM cap cull_topk merges
+    # cluster chunks internally, so only the key width bounds c here.
+    assert c < _ID_MASK and c <= CULL_MAX_CLUSTERS
     k = min(k_per_ray, c)
     # round the list capacity up to the VMEM sublane granularity
     m = -(-min(m_group, max(c, 1)) // 8) * 8
@@ -372,7 +380,9 @@ def intersect_wavefront(
     id0 = pk[:, 0] & _ID_MASK
     id1 = pk[:, min(1, k - 1)] & _ID_MASK
     id2 = pk[:, min(2, k - 1)] & _ID_MASK
-    skey = (id0 << 19) | (id1 << 7) | (id2 >> 5)
+    # 13-bit ids: id0 at bits 18-30, id1 at 5-17, id2's top 5 at 0-4 —
+    # the full top-2 plus a prefix of the 3rd, never touching the sign
+    skey = (id0 << 18) | (id1 << 5) | (id2 >> 8)
     lane = jnp.arange(n_pad, dtype=jnp.int32)
     srt = jax.lax.sort(
         (skey, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],

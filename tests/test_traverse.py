@@ -6,6 +6,8 @@ EXACT: every test compares t/tri/u/v against the chunked brute force.
 Run in interpret mode on CPU.
 """
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -314,3 +316,71 @@ class TestQuarterMillionTris:
         hit = intersect_matrix(o, d, g, interpret=True)
         _assert_hits_equal(hit, bf)
         assert int((np.asarray(bf.tri) >= 0).sum()) > 100
+
+
+@pytest.fixture(scope="module")
+def big_scene_5680():
+    """508k triangles / 5680 SAH clusters — past the old 4096-cluster
+    key cap AND the cull kernel's 2560-cluster VMEM cap."""
+    from hala_tpu.scene.procedural import sponza_like
+
+    dev = SceneUploader.upload(
+        sponza_like(rooms=(42, 42), columns_per_room=8,
+                    boxes_per_room=14),
+        use_ray_tracing=False,
+    )
+    assert dev.geometry.tri_packed.shape[0] > 4096
+    return dev.geometry
+
+
+def _big_rays(n, seed):
+    rs = np.random.RandomState(seed)
+    o = np.tile(
+        np.asarray([70.0, 1.5, 70.0], np.float32), (n, 1)
+    ) + rs.uniform(-30, 30, (n, 3)).astype(np.float32)
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("HALA_BIG_TESTS"),
+    reason="~6 min scene build; opt in with HALA_BIG_TESTS=1",
+)
+class TestMatrixBeyond4096Clusters:
+    """Capacity coverage for the 13-bit cluster-id key (_ID_BITS):
+    508k triangles / 5680 SAH clusters exceeds the old 4096-cluster
+    cap. Exactness here guards the widened key's rounding interplay
+    (fill rounds tn DOWN, the liveness bound rounds t UP) at a scale
+    no checked-in asset reaches."""
+
+    def test_matrix_exact_at_508k_tris(self, big_scene_5680):
+        g = big_scene_5680
+        o, d = _big_rays(128, 7)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2)
+        hit = intersect_matrix(o, d, g, interpret=True)
+        _assert_hits_equal(hit, bf)
+        # sanity: a meaningful share of rays actually hit (48 measured)
+        assert int((np.asarray(bf.tri) >= 0).sum()) > 40
+
+    def test_wavefront_anyhit_beyond_cull_vmem_cap(self, big_scene_5680):
+        """5680 clusters exceed CULL_VMEM_CLUSTER_CAP (2560): the cull
+        runs its chunked per-cluster-chunk merge inside the wavefront's
+        any-hit shadow path; occlusion must match brute force."""
+        from hala_tpu.ops.cull import CULL_VMEM_CLUSTER_CAP
+        from hala_tpu.ops.intersect import occluded_bruteforce
+        from hala_tpu.ops.wavefront import intersect_wavefront
+
+        g = big_scene_5680
+        assert g.tri_packed.shape[0] > CULL_VMEM_CLUSTER_CAP
+        o, d = _big_rays(128, 11)
+        t_far = jnp.full((128,), 25.0)
+        ref = occluded_bruteforce(
+            o, d, t_far, g.tri_v0, g.tri_e1, g.tri_e2
+        )
+        hit = intersect_wavefront(
+            o, d, g, t_max=t_far, any_hit=True, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hit.tri >= 0), np.asarray(ref)
+        )

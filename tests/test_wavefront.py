@@ -119,6 +119,26 @@ class TestCullTopk:
         assert (np.asarray(cnt_near) <= np.asarray(cnt_far)).all()
         assert np.asarray(cnt_near).sum() < np.asarray(cnt_far).sum()
 
+    @pytest.mark.parametrize("chunk", [16, 8, 3])
+    def test_chunked_merge_matches_single(self, geom_sah, rs, chunk):
+        """The >VMEM-cap path: per-cluster-chunk kernel calls + row-sort
+        merge must be bit-equal to the single-call kernel (exact merge:
+        a candidate outside its chunk's top-K is farther than K
+        same-chunk candidates, so it can never make the global top-K)."""
+        g = geom_sah
+        o, d = _rays(512, rs, center=(8.0, 1.5, 8.0))
+        tm = jnp.full((512,), T_MAX)
+        pk0, cnt0 = cull_topk(
+            o, d, tm, g.cluster_min, g.cluster_max, k=8, interpret=True
+        )
+        pk1, cnt1 = cull_topk(
+            o, d, tm, g.cluster_min, g.cluster_max, k=8, interpret=True,
+            chunk=chunk,
+        )
+        assert g.cluster_min.shape[0] > chunk  # the merge path ran
+        np.testing.assert_array_equal(np.asarray(pk0), np.asarray(pk1))
+        np.testing.assert_array_equal(np.asarray(cnt0), np.asarray(cnt1))
+
 
 class TestWavefront:
     @pytest.mark.parametrize(
