@@ -27,6 +27,10 @@ def enable_compilation_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Also persist XLA-internal caches (autotune results etc.):
+        # under the axon backend the executable itself may fail to
+        # serialize, and these side caches still cut recompiles.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
         logger.info("XLA compilation cache at %s", cache_dir)
     except (OSError, AttributeError) as e:  # pragma: no cover
         logger.warning("Could not enable compilation cache: %s", e)
