@@ -939,7 +939,7 @@ def _matrix_traverse(
                 # its DMA overlaps the first one's and the whole batch
                 # shares one selection/bound round. An exhausted
                 # selection yields _INF_KEY; mask that visit out (and
-                # guard its rmin clear — the masked id aliases 4095).
+                # guard its rmin clear — the masked id aliases _ID_MASK).
                 skey_n = next_key()
                 ok_n = skey_n != inf_key
                 cid_n = skey_n & jnp.int32(_ID_MASK)

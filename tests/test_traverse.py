@@ -157,6 +157,33 @@ class TestMatrix:
             np.asarray(occ.tri) >= 0, np.asarray(bf_t.tri) >= 0
         )
 
+    def test_worklist_batch4_exact(self, geom, rs):
+        """4-cluster batched visits (legal only when visit_batch *
+        n_groups <= 8 worklist nibbles; mg=bs pins n_groups=1). The
+        all-8-entry list has no sentinel nibble, so the drain must
+        bound its iteration count — this is the case that can hang."""
+        g = geom
+        o, d = _rays(1024, rs)
+        bf = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128
+        )
+        hit = intersect_matrix(
+            o, d, g, interpret=True, worklist=True, visit_batch=4,
+            sublanes=32, mt_group=32,
+        )
+        _assert_hits_equal(hit, bf)
+        occ = intersect_matrix(
+            o, d, g, t_max=jnp.full((1024,), 2.5), interpret=True,
+            any_hit=True, worklist=True, visit_batch=4,
+            sublanes=32, mt_group=32,
+        )
+        bf_t = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=2.5, chunk=128
+        )
+        np.testing.assert_array_equal(
+            np.asarray(occ.tri) >= 0, np.asarray(bf_t.tri) >= 0
+        )
+
     @pytest.mark.parametrize("bs", [8, 16])
     def test_short_tiles_exact(self, geom, rs, bs):
         """Tile heights BELOW the 16-sublane predication group must

@@ -92,7 +92,11 @@ SWEEPS = {
     # under cluster N's drain, ping-pong halves) vs batch-2 vs branch
     "5": [(128, 32, True, True, 1, True), (128, 32, True, True, 2),
           (128, 32, True, True, 1), (128, 32, True, False),
-          (128, 64, True, True, 1, True)],
+          (128, 64, True, True, 1, True),
+          # batch-4 visits need n_groups <= 2 (8-nibble worklist cap):
+          # only legal at mg >= bs/2 — amortizes 4 selection rounds +
+          # overlaps 4 DMAs per drain
+          (128, 64, True, True, 4), (128, 64, True, True, 2)],
 }
 sweep = SWEEPS[os.environ.get("SWEEP", "3")]
 
