@@ -93,7 +93,7 @@ def intersect_dense(
     n = o.shape[0]
     g = geometry
     c = g.tri_packed.shape[0]
-    assert c <= DENSE_MAX_CLUSTERS, "cull_topk VMEM cap"
+    assert c <= DENSE_MAX_CLUSTERS, "13-bit cluster-id key width"
     if t_max is None:
         tm = varying_like(o[:, 0], 0.0) + T_MAX
     else:

@@ -467,12 +467,16 @@ def _traverse_core(
 # slightly NEARER than it is, never farther, so no live cluster is
 # ever skipped (and _pack_t rounds each lane's own bound UP, so the
 # widened gap only admits a few extra visits near ties, ~1e-3 relative
-# t). 13 bits = 8192 clusters = ~1M triangle slots; exactness at 5680
-# clusters is covered by the opt-in HALA_BIG_TESTS capacity test.
+# t). 13 bits = up to 8191 clusters = ~1M triangle slots; exactness at
+# 5680 clusters is covered by the opt-in HALA_BIG_TESTS capacity test.
 _ID_BITS = 13
 _ID_MASK = (1 << _ID_BITS) - 1
 _INF_KEY = 0x7FFFFFFF
-MATRIX_MAX_CLUSTERS = 1 << _ID_BITS
+# One below the width: an id equal to _ID_MASK would make the liveness
+# compare against the tile bound (whose low bits are forced to the
+# mask) non-strict at shared tn granules — a near-tie closer hit in
+# that one cluster could be skipped.
+MATRIX_MAX_CLUSTERS = (1 << _ID_BITS) - 1
 # 16384-ray tiles for the matrix kernel: per-run fixed costs (selection
 # fold, scalar reduction, DMA wait) are tile-count-bound, and the wider
 # tile measured best (round-3 sweep on atrium_big 1861 clusters/131k

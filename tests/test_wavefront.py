@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from hala_tpu.ops.cull import INF_KEY, cull_topk
+from hala_tpu.ops.cull import INF_KEY, _ID_MASK, cull_topk
 from hala_tpu.ops.intersect import (
     T_MAX,
     intersect_bruteforce,
@@ -82,7 +82,7 @@ class TestCullTopk:
         )
         pk, cnt = np.asarray(pk), np.asarray(cnt)
         ids_r = np.asarray(ids_r)
-        ids_k = np.where(pk != INF_KEY, pk & 0xFFF, -1)
+        ids_k = np.where(pk != INF_KEY, pk & _ID_MASK, -1)
         ids_ref = np.where(ids_r < 0x3FFFFFFF, ids_r, -1)
         for i in range(512):
             assert set(ids_k[i][ids_k[i] >= 0]) == set(

@@ -9,7 +9,7 @@ from probe_common import N, bounce_rays, load_scene, timeit
 def main():
     from hala_tpu.ops.traverse import intersect_matrix, matrix_query
     from hala_tpu.ops import wavefront as W
-    from hala_tpu.ops.cull import cull_topk, INF_KEY
+    from hala_tpu.ops.cull import cull_topk, INF_KEY, _ID_MASK
     scene = load_scene()
     g = scene.geometry
     ou, du, psurf, sdn, stm = bounce_rays(scene)
@@ -20,8 +20,8 @@ def main():
     @jax.jit
     def stage_sort(o, d):
         pk, cnt = cull_topk(o, d, tmx, g.cluster_min, g.cluster_max, k=K)
-        id0 = pk[:, 0] & 0xFFF; id1 = pk[:, 1] & 0xFFF; id2 = pk[:, 2] & 0xFFF
-        skey = (id0 << 19) | (id1 << 7) | (id2 >> 5)
+        id0 = pk[:, 0] & _ID_MASK; id1 = pk[:, 1] & _ID_MASK; id2 = pk[:, 2] & _ID_MASK
+        skey = (id0 << 18) | (id1 << 5) | (id2 >> 8)  # 13-bit ids, matches ops/wavefront
         lane = jnp.arange(N, dtype=jnp.int32)
         return jax.lax.sort((skey, o[:,0],o[:,1],o[:,2],d[:,0],d[:,1],d[:,2],tmx,lane,cnt)
                             + tuple(pk[:, i] for i in range(K)), num_keys=1)
@@ -35,8 +35,8 @@ def main():
     def stage_lists(pk_s):
         tnb, grp_bound = W._group_lists(pk_s, G, K, M)
         pkl = jnp.pad(tnb.reshape(G * M, 1), ((0,0),(0,127)), constant_values=INF_KEY)
-        eid = jnp.where(tnb != INF_KEY, tnb & 0xFFF, -2)
-        cand = jnp.where(pk_s != INF_KEY, pk_s & 0xFFF, -1).reshape(G, 128, K)
+        eid = jnp.where(tnb != INF_KEY, tnb & _ID_MASK, -2)
+        cand = jnp.where(pk_s != INF_KEY, pk_s & _ID_MASK, -1).reshape(G, 128, K)
         want = jnp.any(cand[:, :, :, None] == eid[:, None, None, :], axis=2)
         want_arr = want.transpose(0, 2, 1).reshape(G * M, 128).astype(jnp.int32)
         own_last = jnp.max(jnp.where(pk_s != INF_KEY, pk_s, -1), axis=1).astype(jnp.int32)

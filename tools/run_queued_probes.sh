@@ -7,25 +7,25 @@ cd "$(dirname "$0")/.."
 mkdir -p out/probe_logs
 stamp() { date +"%F %T $*" | tee -a out/probe_logs/queue.log; }
 
-stamp "1/5 probe_tile SWEEP=5 (pipelined ping-pong vs batch-2 vs branch)"
+stamp "1/6 probe_tile SWEEP=5 (pipelined ping-pong vs batch-2 vs branch)"
 SWEEP=5 timeout 3000 python -u tools/probe_tile.py \
   > out/probe_logs/tile_sweep5.log 2>&1
-stamp "1/5 exit=$?"
+stamp "1/6 exit=$?"
 
-stamp "2/5 probe_spp (sample-adjacent spp at Sponza scale)"
+stamp "2/6 probe_spp (sample-adjacent spp at Sponza scale)"
 SPPS=1,16 timeout 3600 python -u tools/probe_spp.py \
   > out/probe_logs/spp.log 2>&1
-stamp "2/5 exit=$?"
+stamp "2/6 exit=$?"
 
-stamp "3/5 probe_raster (exact segment kernel vs capped table, 1080p)"
+stamp "3/6 probe_raster (exact segment kernel vs capped table, 1080p)"
 timeout 3000 python -u tools/probe_raster.py \
   > out/probe_logs/raster.log 2>&1
-stamp "3/5 exit=$?"
+stamp "3/6 exit=$?"
 
-stamp "4/5 probe_staged matrix modes (compile + frame time)"
+stamp "4/6 probe_staged matrix modes (compile + frame time)"
 MODES=mega_matrix,staged_matrix timeout 3000 python -u tools/probe_staged.py \
   > out/probe_logs/staged_matrix.log 2>&1
-stamp "4/5 exit=$?"
+stamp "4/6 exit=$?"
 
 stamp "5/6 probe_staged wavefront shadows (may hit the compile wall)"
 MODES=staged_wf timeout 3000 python -u tools/probe_staged.py \
