@@ -337,6 +337,13 @@ class SceneUploader:
 
     @staticmethod
     def _upload_geometry(scene: Scene) -> DeviceGeometry:
+        # Per-NODE vectorization: primitives only contribute cheap list
+        # appends; the transform + per-corner gathers run once over the
+        # node's concatenated vertex soup (procedural scenes carry
+        # thousands of tiny primitives — the per-primitive version of
+        # this loop measured 11 s at 115k tris, ~all Python/numpy call
+        # overhead). Arithmetic and enumeration order are IDENTICAL to
+        # the per-primitive form, so device outputs are bit-equal.
         v0s, e1s, e2s, ns, ts, uvs, mats, prims = [], [], [], [], [], [], [], []
         vcs, any_vc = [], False
         prim_id = 0
@@ -347,37 +354,49 @@ class SceneUploader:
             w = node.world_transform
             # normal matrix = inverse-transpose of the upper 3x3
             nrm_mtx = np.linalg.inv(w[:3, :3]).T
+            p_pos, p_nrm, p_tan, p_uv, p_vc = [], [], [], [], []
+            p_tri, p_mat, p_pid, p_cnt = [], [], [], []
+            v_off = 0
             for prim in mesh.primitives:
                 tri = prim.indices.reshape(-1, 3).astype(np.int64)
-                pos_w = prim.positions @ w[:3, :3].T + w[:3, 3]
-                nrm_w = prim.normals @ nrm_mtx.T
-                nrm_len = np.linalg.norm(nrm_w, axis=1, keepdims=True)
-                nrm_w = np.where(nrm_len > 0, nrm_w / nrm_len, nrm_w)
-                tan_w = prim.tangents @ w[:3, :3].T
-                a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
-                v0s.append(pos_w[a])
-                e1s.append(pos_w[b] - pos_w[a])
-                e2s.append(pos_w[c] - pos_w[a])
-                ns.append(np.stack([nrm_w[a], nrm_w[b], nrm_w[c]], axis=1))
-                ts.append(np.stack([tan_w[a], tan_w[b], tan_w[c]], axis=1))
-                uvs.append(
-                    np.stack(
-                        [prim.tex_coords[a], prim.tex_coords[b], prim.tex_coords[c]],
-                        axis=1,
-                    )
-                )
+                p_tri.append(tri + v_off)
+                nv = prim.positions.shape[0]
+                v_off += nv
+                p_pos.append(prim.positions)
+                p_nrm.append(prim.normals)
+                p_tan.append(prim.tangents)
+                p_uv.append(prim.tex_coords)
                 if prim.colors is not None:
                     any_vc = True
-                    vc = prim.colors
-                    vcs.append(np.stack([vc[a], vc[b], vc[c]], axis=1))
+                    p_vc.append(prim.colors)
                 else:
-                    vcs.append(np.ones((len(tri), 3, 3), np.float32))
+                    p_vc.append(np.ones((nv, 3), np.float32))
                 mat = prim.material_index
-                mats.append(
-                    np.full(len(tri), -1 if mat == 0xFFFFFFFF else mat, np.int32)
-                )
-                prims.append(np.full(len(tri), prim_id, np.int32))
+                p_mat.append(-1 if mat == 0xFFFFFFFF else mat)
+                p_pid.append(prim_id)
+                p_cnt.append(len(tri))
                 prim_id += 1
+            if not p_tri:
+                continue
+            tri = np.concatenate(p_tri)
+            pos_w = np.concatenate(p_pos) @ w[:3, :3].T + w[:3, 3]
+            nrm_w = np.concatenate(p_nrm) @ nrm_mtx.T
+            nrm_len = np.linalg.norm(nrm_w, axis=1, keepdims=True)
+            nrm_w = np.where(nrm_len > 0, nrm_w / nrm_len, nrm_w)
+            tan_w = np.concatenate(p_tan) @ w[:3, :3].T
+            uv_n = np.concatenate(p_uv)
+            vc_n = np.concatenate(p_vc)
+            a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+            v0s.append(pos_w[a])
+            e1s.append(pos_w[b] - pos_w[a])
+            e2s.append(pos_w[c] - pos_w[a])
+            ns.append(np.stack([nrm_w[a], nrm_w[b], nrm_w[c]], axis=1))
+            ts.append(np.stack([tan_w[a], tan_w[b], tan_w[c]], axis=1))
+            uvs.append(np.stack([uv_n[a], uv_n[b], uv_n[c]], axis=1))
+            vcs.append(np.stack([vc_n[a], vc_n[b], vc_n[c]], axis=1))
+            cnt = np.asarray(p_cnt, np.int64)
+            mats.append(np.repeat(np.asarray(p_mat, np.int32), cnt))
+            prims.append(np.repeat(np.asarray(p_pid, np.int32), cnt))
 
         if not v0s:
             raise HalaRendererError("Scene has no geometry.")
