@@ -62,6 +62,15 @@ class RasterSettings:
     tile: int = 64
     bin_k_max: int = 256
     mesh_shader: bool = False  # meshlet-binned draw path (rz.task/rz.mesh)
+    # Transparency layers for the forward path. The reference blends
+    # transparent materials SRC_ALPHA/ONE_MINUS_SRC_ALPHA in draw order
+    # (rz_renderer.rs:490); the TPU-native equivalent is K-pass depth
+    # peeling — order-INDEPENDENT back-to-front compositing of the K
+    # nearest transparent layers over the opaque result. 0 restores the
+    # legacy everything-opaque behavior. Active only when the scene has
+    # a material with opacity < 1 (static capability, so opaque scenes
+    # compile no extra passes).
+    peel_layers: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -204,13 +213,12 @@ def _shade(scene, frag, view_pos):
     return color, albedo, ns, pos
 
 
-@partial(jax.jit, static_argnames=("settings", "hooks"))
-def gbuffer_pass(scene, camera_index, settings: RasterSettings,
-                 hooks: RasterHooks | None = None, prim_count=None):
-    """Visibility + G-buffer fill (deferred first subpass:
-    record_deferred_command_buffer G-buffer stage / create_gbuffer_images,
-    rz_renderer.rs:1149-1247, 1455-1570). Returns the FragmentBuffer plus
-    world-space position for the lighting pass."""
+def _raster_setup(scene, camera_index, settings: RasterSettings,
+                  hooks: RasterHooks | None = None, prim_count=None):
+    """Vertex transform + primitive validity shared by the opaque
+    dispatch and the transparency peel passes (traced inside the same
+    jit both times — XLA CSEs the duplicate work). Returns
+    (screen, depth, inv_w, valid, visible)."""
     h, w = settings.height, settings.width
     ss = settings.msaa
     rw, rh = w * ss, h * ss
@@ -269,6 +277,35 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings,
             jnp.where(ml.tri_meshlet >= 0, ml.tri_meshlet, visible.shape[0]),
         )
         valid = valid & tri_vis
+    return screen, depth, inv_w, valid, visible
+
+
+def _transparent_tris(scene):
+    """(T,) bool — real triangles whose material has opacity < 1."""
+    geom = scene.geometry
+    opac = scene.materials.opacity[jnp.maximum(geom.tri_mat, 0)]
+    return (geom.tri_mat >= 0) & (opac < 1.0)
+
+
+@partial(jax.jit, static_argnames=("settings", "hooks"))
+def gbuffer_pass(scene, camera_index, settings: RasterSettings,
+                 hooks: RasterHooks | None = None, prim_count=None,
+                 tri_mask=None):
+    """Visibility + G-buffer fill (deferred first subpass:
+    record_deferred_command_buffer G-buffer stage / create_gbuffer_images,
+    rz_renderer.rs:1149-1247, 1455-1570). Returns the FragmentBuffer plus
+    world-space position for the lighting pass. `tri_mask` restricts the
+    pass to a primitive subset (the forward path's opaque pass under
+    depth peeling)."""
+    h, w = settings.height, settings.width
+    ss = settings.msaa
+    rw, rh = w * ss, h * ss
+
+    screen, depth, inv_w, valid, visible = _raster_setup(
+        scene, camera_index, settings, hooks, prim_count
+    )
+    if tri_mask is not None:
+        valid = valid & tri_mask
 
     if (
         settings.mesh_shader
@@ -319,11 +356,68 @@ def raster_frame(scene, camera_index, settings: RasterSettings,
     h, w = settings.height, settings.width
     ss = settings.msaa
     rw, rh = w * ss, h * ss
-    frag = gbuffer_pass(scene, camera_index, settings, hooks, prim_count)
+    # Depth-peeled transparency (forward path only, like the
+    # reference's blending: rz_renderer.rs:490 enables
+    # SRC_ALPHA/ONE_MINUS_SRC_ALPHA on the forward pipelines while the
+    # G-buffer cannot blend). The reference composites in draw order;
+    # peeling composites the K nearest layers back-to-front, which is
+    # order-independent and never less correct. has_alpha is a static
+    # scene capability, so opaque scenes trace none of this.
+    peel = scene.materials.has_alpha and settings.peel_layers > 0
+    if peel:
+        trans = _transparent_tris(scene)
+        frag = gbuffer_pass(
+            scene, camera_index, settings, hooks, prim_count,
+            tri_mask=~trans,
+        )
+    else:
+        frag = gbuffer_pass(
+            scene, camera_index, settings, hooks, prim_count
+        )
     cam_pos = scene.cameras.position[camera_index]
     color, albedo, normal, _ = _shade(scene, frag, cam_pos)
     if hooks is not None and hooks.fragment is not None:
         color, albedo, normal = hooks.fragment(color, albedo, normal)
+
+    if peel:
+        screen, dpt, inv_w, valid, _ = _raster_setup(
+            scene, camera_index, settings, hooks, prim_count
+        )
+        t_valid = valid & trans
+        pix = jnp.arange(rw * rh, dtype=jnp.int32)
+        px = (pix % rw).astype(jnp.float32) + 0.5
+        py = (pix // rw).astype(jnp.float32) + 0.5
+        geom = scene.geometry
+        # Extract the K nearest transparent layers front to back: each
+        # pass only accepts fragments strictly farther than the last
+        # layer (pixels with no further fragment get depth 0 and every
+        # later pass self-disables there).
+        layers = []
+        bound = None
+        for _ in range(settings.peel_layers):
+            fr = rasterize(
+                screen, dpt, inv_w, t_valid, px, py,
+                chunk=settings.chunk, depth_bound=bound,
+                seam_dedup=True,
+            )
+            layers.append(fr)
+            # Relative margin: along a coplanar quad's diagonal both
+            # triangles cover nearby pixel centers (inexact edge
+            # functions) with depths an ulp apart — without the margin
+            # the same pane peels twice there. Surfaces closer than
+            # 1e-5 relative reverse-Z depth merge into one layer
+            # (z-fighting territory anyway).
+            bound = fr.depth * (1.0 - 1e-5)
+        # Composite back-to-front over the opaque result; layers not
+        # strictly nearer than the opaque depth are occluded.
+        for fr in reversed(layers):
+            lc, _, _, _ = _shade(scene, fr, cam_pos)
+            mat = jnp.maximum(
+                jnp.take(geom.tri_mat, jnp.maximum(fr.tri, 0)), 0
+            )
+            a = jnp.take(scene.materials.opacity, mat)[:, None]
+            over = ((fr.tri >= 0) & (fr.depth > frag.depth))[:, None]
+            color = jnp.where(over, a * lc + (1.0 - a) * color, color)
 
     def resolve(img_flat, ch):
         img = img_flat.reshape(rh, rw, ch)
@@ -374,6 +468,7 @@ class RasterizationRenderer(BaseRenderer):
         binned: bool = False,
         tile: int = 64,
         bin_k_max: int = 256,
+        peel_layers: int = 4,
         post_program=None,
     ):
         super().__init__(name, width, height)
@@ -393,6 +488,7 @@ class RasterizationRenderer(BaseRenderer):
         self._binned = binned
         self._tile = tile
         self._bin_k_max = bin_k_max
+        self._peel_layers = peel_layers
         # Optional ComputeProgram applied to the shaded color image — the
         # "compute_program post pass" of BASELINE config[5].
         self.post_program = post_program
@@ -460,6 +556,7 @@ class RasterizationRenderer(BaseRenderer):
             tile=self._tile,
             bin_k_max=self._bin_k_max,
             mesh_shader=self.use_mesh_shader,
+            peel_layers=self._peel_layers,
         )
         # Resolve pushed rz.* kernels into the frame dispatch table (the
         # pipeline-build step of the reference's commit).

@@ -59,6 +59,8 @@ def rasterize(
     py: jnp.ndarray,           # (N,)
     chunk: int = 512,
     tri_ids: jnp.ndarray | None = None,  # (T,) i32 global ids (>= 0)
+    depth_bound: jnp.ndarray | None = None,  # (N,) exclusive reverse-Z cap
+    seam_dedup: bool = False,
 ) -> FragmentBuffer:
     """Full visibility: every pixel vs every triangle chunk, keeping the
     reverse-Z GREATER winner (rz_renderer.rs:494).
@@ -67,7 +69,21 @@ def rasterize(
     resolved in-kernel via the winner one-hot (vector math) — callers
     binning through candidate lists must NOT remap with a per-pixel
     `take(ids, frag.tri)` afterwards: that lowers to one element gather
-    per pixel on TPU (~9 ns each, ~20 ms per 1080p frame)."""
+    per pixel on TPU (~9 ns each, ~20 ms per 1080p frame).
+
+    With `depth_bound`, a pixel only accepts fragments strictly FARTHER
+    than its bound (depth < bound in reverse-Z) — the depth-peeling
+    primitive: pass layer k's depths as layer k+1's bound to extract
+    successive transparency layers front to back.
+
+    `seam_dedup` applies a top-left-style fill rule: a pixel center
+    exactly ON an edge belongs to only ONE of the two triangles sharing
+    it (the one whose oriented edge points "down", ties to "leftward").
+    Without it both triangles of a coplanar quad cover their shared
+    diagonal (inclusive >= 0 edge tests), and under peeling an ulp of
+    interpolated-depth difference lets the second coplanar fragment
+    through the strict bound — the same pane composites twice along the
+    seam. Off by default to keep the opaque paths bit-stable."""
     n = px.shape[0]
     t = tri_screen.shape[0]
     chunk = min(chunk, t)
@@ -111,10 +127,28 @@ def rasterize(
         )  # (C,)
         # Two-sided: accept either winding by sign-normalizing.
         sgn = jnp.where(area >= 0, 1.0, -1.0)
+        if seam_dedup:
+            # screen y is DOWN; the oriented (interior-positive) edge
+            # vector is sgn * (p1 - p0). Accept an exactly-on-edge
+            # pixel only for the "down or leftward-horizontal" edge —
+            # exactly one of the two triangles sharing the edge.
+            def accept(w, p0, p1):
+                d = p1 - p0  # (C, 2)
+                dx = d[:, 0] * sgn
+                dy = d[:, 1] * sgn
+                tl = (dy > 0) | ((dy == 0) & (dx < 0))
+                ws = w * sgn[None, :]
+                return (ws > 0) | ((ws == 0) & tl[None, :])
+
+            cover = accept(w0, b, c) & accept(w1, c, a) & accept(w2, a, b)
+        else:
+            cover = (
+                (w0 * sgn[None, :] >= 0)
+                & (w1 * sgn[None, :] >= 0)
+                & (w2 * sgn[None, :] >= 0)
+            )
         inside = (
-            (w0 * sgn[None, :] >= 0)
-            & (w1 * sgn[None, :] >= 0)
-            & (w2 * sgn[None, :] >= 0)
+            cover
             & (jnp.abs(area)[None, :] > 1e-12)
             & ok[None, :]
         )
@@ -130,6 +164,8 @@ def rasterize(
         )
 
         z = jnp.where(inside, z, -1.0)
+        if depth_bound is not None:
+            z = jnp.where(z < depth_bound[:, None], z, -1.0)
         z_best = jnp.max(z, axis=1)
         # Gather-free winner resolve: per-pixel row gathers
         # (u_pc[rows, argmax]) lower to ~9 ns/row element gathers on TPU

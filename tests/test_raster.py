@@ -485,3 +485,122 @@ class TestRasterKernelHooks:
         finally:
             cache.remove("rz.task")
             cache.remove("rz.mesh")
+
+
+class TestTransparency:
+    """Depth-peeled forward transparency (the TPU-native form of the
+    reference's SRC_ALPHA/ONE_MINUS_SRC_ALPHA forward blending,
+    rz_renderer.rs:490): composite must satisfy the exact over-operator
+    algebra layer by layer."""
+
+    @staticmethod
+    def _glass_scene(front_a=None, mid_a=None):
+        """Opaque back wall at z=-1; optional transparent full-screen
+        quads at z=0 (front_a) and z=-0.5 (mid_a). Single-sided quads
+        facing the camera, so each contributes exactly ONE layer."""
+        import numpy as np
+
+        from hala_tpu.scene.cpu.camera import PerspectiveCamera
+        from hala_tpu.scene.cpu.light import Light, LightType
+        from hala_tpu.scene.cpu.material import Material, MaterialType
+        from hala_tpu.scene.cpu.mesh import Mesh
+        from hala_tpu.scene.cpu.node import Node
+        from hala_tpu.scene.cpu.scene import Scene
+        from hala_tpu.scene.procedural import make_quad
+
+        scene = Scene()
+        mats = [Material(type=MaterialType.DIFFUSE,
+                         base_color=np.array([0.6, 0.2, 0.2], np.float32))]
+        prims = [make_quad([-2, -2, -1], [4, 0, 0], [0, 4, 0], 0)]
+        for z, a, col in [(-0.5, mid_a, [0.2, 0.6, 0.2]),
+                          (0.0, front_a, [0.8, 0.8, 0.9])]:
+            if a is None:
+                continue
+            mats.append(Material(
+                type=MaterialType.DIFFUSE,
+                base_color=np.array(col, np.float32),
+                opacity=np.float32(a),
+            ))
+            prims.append(
+                make_quad([-2, -2, z], [4, 0, 0], [0, 4, 0], len(mats) - 1)
+            )
+        scene.materials = mats
+        scene.meshes = [Mesh(primitives=prims)]
+        root = Node(name="root")
+        root.mesh_index = 0
+        scene.nodes.append(root)
+        light_node = Node(name="light")
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [0, 0, 2.5]
+        light_node.local_transform = m
+        light_node.light_index = 0
+        scene.nodes.append(light_node)
+        scene.lights = [Light(color=np.ones(3, np.float32), intensity=30.0,
+                              light_type=LightType.POINT)]
+        cam_node = Node(name="camera")
+        cm = np.eye(4, dtype=np.float32)
+        cm[:3, 3] = [0, 0, 3.0]
+        cam_node.local_transform = cm
+        cam_node.camera_index = 0
+        scene.nodes.append(cam_node)
+        scene.cameras = [PerspectiveCamera(aspect=1.0, yfov=0.7, znear=0.1,
+                                           focal_distance=3.0)]
+        scene.update_node_hierarchies()
+        return scene
+
+    @classmethod
+    def _render(cls, scene, **kw):
+        r = RasterizationRenderer("tr", 24, 24, chunk=128, **kw)
+        r.set_scene(scene)
+        r.commit()
+        r.update()
+        return np.asarray(r.get_final_image())
+
+    def test_single_layer_over_operator_exact(self):
+        """B == a*F + (1-a)*BG where F is the glass pane shaded opaque
+        and BG the scene without it — the over operator, per pixel."""
+        a = 0.4
+        bg = self._render(self._glass_scene())
+        f = self._render(self._glass_scene(front_a=1.0))
+        b = self._render(self._glass_scene(front_a=a))
+        # the pane covers the whole frame (full-screen quad)
+        expect = a * f + (1 - a) * bg
+        np.testing.assert_allclose(b, expect, atol=2e-6)
+        # and the blend is a real mix: differs from both endpoints
+        assert np.abs(b - f).max() > 0.01 and np.abs(b - bg).max() > 0.01
+
+    def test_two_layers_nested_over(self):
+        """Front (a1) over mid (a2) over wall: peeling must composite
+        back-to-front through BOTH layers."""
+        a1, a2 = 0.5, 0.3
+        bg = self._render(self._glass_scene())
+        f1 = self._render(self._glass_scene(front_a=1.0))
+        f2 = self._render(self._glass_scene(mid_a=1.0))
+        b = self._render(self._glass_scene(front_a=a1, mid_a=a2))
+        expect = a1 * f1 + (1 - a1) * (a2 * f2 + (1 - a2) * bg)
+        np.testing.assert_allclose(b, expect, atol=2e-6)
+
+    def test_peel_layer_cap_drops_depth(self):
+        """peel_layers=1 keeps only the nearest transparent layer."""
+        a1, a2 = 0.5, 0.3
+        bg = self._render(self._glass_scene())
+        f1 = self._render(self._glass_scene(front_a=1.0))
+        b1 = self._render(self._glass_scene(front_a=a1, mid_a=a2),
+                          peel_layers=1)
+        expect = a1 * f1 + (1 - a1) * bg
+        np.testing.assert_allclose(b1, expect, atol=2e-6)
+
+    def test_peel_zero_restores_legacy_opaque(self):
+        """peel_layers=0: transparent materials rasterize opaque (the
+        pre-transparency behavior; shading ignores opacity)."""
+        legacy = self._render(self._glass_scene(front_a=0.4),
+                              peel_layers=0)
+        opaque = self._render(self._glass_scene(front_a=1.0))
+        np.testing.assert_allclose(legacy, opaque, atol=1e-6)
+
+    def test_opaque_scene_unaffected(self):
+        """No has_alpha: the peel traces nothing and output matches a
+        peel_layers=0 render bit-exactly."""
+        img_a = self._render(cornell_box())
+        img_b = self._render(cornell_box(), peel_layers=0)
+        np.testing.assert_array_equal(img_a, img_b)
