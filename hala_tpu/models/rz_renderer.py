@@ -340,6 +340,67 @@ def gbuffer_pass(scene, camera_index, settings: RasterSettings,
 
 
 @partial(jax.jit, static_argnames=("settings", "hooks"))
+def peel_layers_pass(scene, camera_index, settings: RasterSettings,
+                     hooks: RasterHooks | None = None, prim_count=None):
+    """Extract the K nearest TRANSPARENT layers front to back (depth
+    peeling): each pass only accepts fragments strictly farther than
+    the last layer, so pixels with no further fragment get depth 0 and
+    every later pass self-disables there. Returns a tuple of K
+    FragmentBuffers — pure visibility, cacheable across light changes
+    (relight() re-shades them without re-peeling)."""
+    ss = settings.msaa
+    rw = settings.width * ss
+    rh = settings.height * ss
+    screen, dpt, inv_w, valid, _ = _raster_setup(
+        scene, camera_index, settings, hooks, prim_count
+    )
+    t_valid = valid & _transparent_tris(scene)
+    pix = jnp.arange(rw * rh, dtype=jnp.int32)
+    px = (pix % rw).astype(jnp.float32) + 0.5
+    py = (pix // rw).astype(jnp.float32) + 0.5
+    layers = []
+    bound = None
+    for _ in range(settings.peel_layers):
+        fr = rasterize(
+            screen, dpt, inv_w, t_valid, px, py,
+            chunk=settings.chunk, depth_bound=bound, seam_dedup=True,
+        )
+        layers.append(fr)
+        # Relative margin: along a coplanar quad's diagonal both
+        # triangles cover nearby pixel centers (inexact edge functions)
+        # with depths an ulp apart — without the margin the same pane
+        # peels twice there. Surfaces closer than 1e-5 relative
+        # reverse-Z depth merge into one layer (z-fighting territory).
+        bound = fr.depth * (1.0 - 1e-5)
+    return tuple(layers)
+
+
+@partial(jax.jit, static_argnames=("settings", "hooks"))
+def peel_composite_pass(scene, layers, color, opaque_depth, camera_index,
+                        settings: RasterSettings,
+                        hooks: RasterHooks | None = None):
+    """Composite peeled transparent layers back-to-front over the
+    opaque color (flat (N,3)) with the over operator
+    a*src + (1-a)*dst; layers not strictly nearer than the opaque
+    depth are occluded. Pushed rz.fragment kernels apply to each
+    layer's shading, as the reference's fragment stage runs for
+    blended draws too."""
+    cam_pos = scene.cameras.position[camera_index]
+    geom = scene.geometry
+    for fr in reversed(layers):
+        lc, la, ln, _ = _shade(scene, fr, cam_pos)
+        if hooks is not None and hooks.fragment is not None:
+            lc, la, ln = hooks.fragment(lc, la, ln)
+        mat = jnp.maximum(
+            jnp.take(geom.tri_mat, jnp.maximum(fr.tri, 0)), 0
+        )
+        a = jnp.take(scene.materials.opacity, mat)[:, None]
+        over = ((fr.tri >= 0) & (fr.depth > opaque_depth))[:, None]
+        color = jnp.where(over, a * lc + (1.0 - a) * color, color)
+    return color
+
+
+@partial(jax.jit, static_argnames=("settings", "hooks"))
 def raster_frame(scene, camera_index, settings: RasterSettings,
                  hooks: RasterHooks | None = None, prim_count=None):
     """FORWARD path: rasterize + shade one frame in a single fused jit.
@@ -380,44 +441,13 @@ def raster_frame(scene, camera_index, settings: RasterSettings,
         color, albedo, normal = hooks.fragment(color, albedo, normal)
 
     if peel:
-        screen, dpt, inv_w, valid, _ = _raster_setup(
+        layers = peel_layers_pass(
             scene, camera_index, settings, hooks, prim_count
         )
-        t_valid = valid & trans
-        pix = jnp.arange(rw * rh, dtype=jnp.int32)
-        px = (pix % rw).astype(jnp.float32) + 0.5
-        py = (pix // rw).astype(jnp.float32) + 0.5
-        geom = scene.geometry
-        # Extract the K nearest transparent layers front to back: each
-        # pass only accepts fragments strictly farther than the last
-        # layer (pixels with no further fragment get depth 0 and every
-        # later pass self-disables there).
-        layers = []
-        bound = None
-        for _ in range(settings.peel_layers):
-            fr = rasterize(
-                screen, dpt, inv_w, t_valid, px, py,
-                chunk=settings.chunk, depth_bound=bound,
-                seam_dedup=True,
-            )
-            layers.append(fr)
-            # Relative margin: along a coplanar quad's diagonal both
-            # triangles cover nearby pixel centers (inexact edge
-            # functions) with depths an ulp apart — without the margin
-            # the same pane peels twice there. Surfaces closer than
-            # 1e-5 relative reverse-Z depth merge into one layer
-            # (z-fighting territory anyway).
-            bound = fr.depth * (1.0 - 1e-5)
-        # Composite back-to-front over the opaque result; layers not
-        # strictly nearer than the opaque depth are occluded.
-        for fr in reversed(layers):
-            lc, _, _, _ = _shade(scene, fr, cam_pos)
-            mat = jnp.maximum(
-                jnp.take(geom.tri_mat, jnp.maximum(fr.tri, 0)), 0
-            )
-            a = jnp.take(scene.materials.opacity, mat)[:, None]
-            over = ((fr.tri >= 0) & (fr.depth > frag.depth))[:, None]
-            color = jnp.where(over, a * lc + (1.0 - a) * color, color)
+        color = peel_composite_pass(
+            scene, layers, color, frag.depth, camera_index, settings,
+            hooks,
+        )
 
     def resolve(img_flat, ch):
         img = img_flat.reshape(rh, rw, ch)
@@ -585,15 +615,30 @@ class RasterizationRenderer(BaseRenderer):
             # 1455-1570): subpass 1 materializes the visibility/G-buffer,
             # subpass 2 is a fullscreen lighting dispatch. The fragment
             # buffer is cached so lighting can re-run without
-            # re-rasterizing (relight()).
+            # re-rasterizing (relight()). Transparent materials stay out
+            # of the G-buffer (it cannot blend — the reference's hybrid
+            # draws them in the forward pass, rz_renderer.rs:896) and
+            # composite from cached peel layers after lighting.
+            peel = (
+                self.scene.materials.has_alpha
+                and self.settings.peel_layers > 0
+            )
+            hooks = getattr(self, "hooks", None)
+            cam = jnp.int32(self.camera_index)
             self._frag = gbuffer_pass(
-                self.scene, jnp.int32(self.camera_index), self.settings,
-                getattr(self, "hooks", None),
+                self.scene, cam, self.settings, hooks,
+                tri_mask=(
+                    ~_transparent_tris(self.scene) if peel else None
+                ),
+            )
+            self._peel = (
+                peel_layers_pass(self.scene, cam, self.settings, hooks)
+                if peel else None
             )
             color, gbuffer = lighting_pass(
-                self.scene, self._frag, jnp.int32(self.camera_index),
-                self.settings, getattr(self, "hooks", None),
+                self.scene, self._frag, cam, self.settings, hooks,
             )
+            color = self._composite_peel(color)
         else:
             color, gbuffer = raster_frame(
                 self.scene, jnp.int32(self.camera_index), self.settings,
@@ -618,11 +663,26 @@ class RasterizationRenderer(BaseRenderer):
             self.scene, self._frag, jnp.int32(self.camera_index),
             self.settings, getattr(self, "hooks", None),
         )
+        color = self._composite_peel(color)
         if self.post_program is not None:
             color = self.post_program.dispatch(color)
         self._pending = (color, gbuffer)
         self.color = color
         self.gbuffer = gbuffer
+
+    def _composite_peel(self, color):
+        """Blend the cached transparency layers (deferred path) over the
+        lit color; relight() reuses the cached layers so light changes
+        re-shade transparency without re-peeling."""
+        if getattr(self, "_peel", None) is None:
+            return color
+        h, w, _ = color.shape
+        flat = peel_composite_pass(
+            self.scene, self._peel, color.reshape(-1, 3),
+            self._frag.depth, jnp.int32(self.camera_index),
+            self.settings, getattr(self, "hooks", None),
+        )
+        return flat.reshape(h, w, 3)
 
     def get_final_image(self) -> np.ndarray:
         self.wait_idle()

@@ -604,3 +604,22 @@ class TestTransparency:
         img_a = self._render(cornell_box())
         img_b = self._render(cornell_box(), peel_layers=0)
         np.testing.assert_array_equal(img_a, img_b)
+
+    def test_deferred_matches_forward_with_relight(self):
+        """Transparency composites identically through the deferred
+        hybrid (G-buffer excludes transparent prims, peel layers cached
+        and composited after lighting), and relight() re-shades the
+        cached layers."""
+        scene = self._glass_scene(front_a=0.4, mid_a=0.3)
+        fwd = self._render(scene)
+        r = RasterizationRenderer("trd", 24, 24, chunk=128,
+                                  use_deferred=True)
+        r.set_scene(scene)
+        r.commit()
+        r.update()
+        dfr = np.asarray(r.get_final_image())
+        np.testing.assert_allclose(dfr, fwd, atol=2e-6)
+        r.relight()
+        np.testing.assert_allclose(
+            np.asarray(r.get_final_image()), dfr, atol=1e-7
+        )
