@@ -623,3 +623,14 @@ class TestTransparency:
         np.testing.assert_allclose(
             np.asarray(r.get_final_image()), dfr, atol=1e-7
         )
+
+    def test_msaa_transparency_supersampled(self):
+        """Peel runs at supersampled resolution and composites before
+        the resolve: the over-operator algebra must hold under msaa
+        (per-pixel, since the full-screen pane covers every sample)."""
+        a = 0.4
+        kw = dict(msaa=2)
+        bg = self._render(self._glass_scene(), **kw)
+        f = self._render(self._glass_scene(front_a=1.0), **kw)
+        b = self._render(self._glass_scene(front_a=a), **kw)
+        np.testing.assert_allclose(b, a * f + (1 - a) * bg, atol=2e-6)
