@@ -120,6 +120,74 @@ def cull_ordered(o, d, t_max, cluster_min, cluster_max, k_per_ray: int,
     )
 
 
+def cull_candidates(o, d, t_max, cluster_min, cluster_max,
+                    k_per_ray: int, interpret: bool = False,
+                    kernel: bool | None = None,
+                    superchunk: int | None = None):
+    """Per-ray K nearest candidate clusters in unpacked (ids, tns) form.
+
+    Front end for the ordered-traversal engines: on TPU (or in Pallas
+    interpret mode) the Pallas cull kernel (ops/cull.py, measured 4.4x
+    faster than the lax.top_k sweep) produces packed keys per
+    <=CULL_MAX_CLUSTERS cluster superchunk; superchunk lists merge with
+    one (N, K*chunks) row sort on UNPACKED (tn, global id) pairs, so —
+    unlike the packed path — the cluster-id width is unbounded and this
+    serves the >MATRIX_MAX_CLUSTERS fallback (PLAN round-3 completeness
+    item). The packed keys' sacrificed mantissa bits round each tn DOWN,
+    which every consumer tolerates: ordering is efficiency-only, and the
+    truncation-fallback bound compares hit-t against a LOWER bound of
+    the true entry distance (still >= the last kept tn). On CPU without
+    interpret the exact XLA `cull_ordered` runs instead.
+
+    Returns (ids (N, K) i32 BIG_CLUSTER-padded, tns (N, K) f32
+    INF-padded ascending, overflow (N,) bool).
+    """
+    c = cluster_min.shape[0]
+    k = min(k_per_ray, c)
+    if kernel is None:
+        kernel = jax.default_backend() == "tpu" or interpret
+    if not kernel:
+        return cull_ordered(o, d, t_max, cluster_min, cluster_max, k)
+    from .cull import _ID_MASK, CULL_MAX_CLUSTERS, INF_KEY, cull_topk
+
+    sc = CULL_MAX_CLUSTERS if superchunk is None else superchunk
+    ids_all, tns_all, cnt = [], [], None
+    for lo in range(0, c, sc):
+        pk, cnt_i = cull_topk(
+            o, d, t_max,
+            cluster_min[lo : lo + sc], cluster_max[lo : lo + sc],
+            k=k, interpret=interpret,
+        )
+        valid = pk != jnp.int32(INF_KEY)
+        ids_all.append(jnp.where(
+            valid, (pk & jnp.int32(_ID_MASK)) + jnp.int32(lo),
+            jnp.int32(BIG_CLUSTER),
+        ))
+        tns_all.append(jnp.where(
+            valid,
+            jax.lax.bitcast_convert_type(
+                pk & jnp.int32(~_ID_MASK), jnp.float32
+            ),
+            jnp.float32(_INF),
+        ))
+        cnt = cnt_i if cnt is None else cnt + cnt_i
+    if len(ids_all) == 1:
+        ids, tns = ids_all[0], tns_all[0]
+    else:
+        # ascending per-superchunk lists merge exactly: a candidate
+        # outside its own chunk's top-K is farther than K same-chunk
+        # candidates, so it can never enter the global top-K. Ties in
+        # the rounded tn break to the smaller global id (num_keys=2),
+        # matching the packed key's in-chunk ordering.
+        tns, ids = jax.lax.sort(
+            (jnp.concatenate(tns_all, axis=1),
+             jnp.concatenate(ids_all, axis=1)),
+            dimension=1, num_keys=2,
+        )
+        tns, ids = tns[:, :k], ids[:, :k]
+    return ids, tns, cnt > k
+
+
 @functools.partial(
     jax.jit, static_argnames=("k_per_ray", "exact", "interpret")
 )
@@ -140,9 +208,10 @@ def traverse_query(
     else:
         tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
 
-    ids, tns, ovf = cull_ordered(
+    ids, tns, ovf = cull_candidates(
         o, d, tm, geometry.cluster_min, geometry.cluster_max,
         min(k_per_ray, geometry.cluster_min.shape[0]),
+        interpret=interpret,
     )
     octant = (
         (d[:, 0] >= 0).astype(jnp.uint32)
@@ -333,8 +402,9 @@ def intersect_traversed(
     else:
         tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
 
-    ids, tns, ovf = cull_ordered(
-        o, d, tm, geometry.cluster_min, geometry.cluster_max, k
+    ids, tns, ovf = cull_candidates(
+        o, d, tm, geometry.cluster_min, geometry.cluster_max, k,
+        interpret=interpret,
     )
     return _traverse_core(
         o, d, geometry, tm, ids, tns, ovf,

@@ -65,6 +65,51 @@ class TestCullOrdered:
         np.testing.assert_array_equal(np.asarray(ovf), counts > 8)
 
 
+class TestCullCandidates:
+    """The kernel-cull front end (cull_candidates): unpacked-merge
+    superchunking lifts the packed key's 13-bit id cap, serving the
+    >MATRIX_MAX_CLUSTERS traverse fallback (PLAN completeness item)."""
+
+    def test_superchunk_merge_matches_single_call(self, geom, rs):
+        from hala_tpu.ops.traverse import cull_candidates
+
+        g = geom
+        o, d = _rays(256, rs)
+        tm = jnp.full((256,), T_MAX)
+        ref = cull_candidates(
+            o, d, tm, g.cluster_min, g.cluster_max, 8,
+            interpret=True, kernel=True,
+        )
+        got = cull_candidates(
+            o, d, tm, g.cluster_min, g.cluster_max, 8,
+            interpret=True, kernel=True, superchunk=8,
+        )
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # merged tns stay ascending per ray (INF padding last)
+        assert (np.diff(np.asarray(got[1]), axis=1) >= 0).all()
+
+    def test_traversal_exact_through_superchunk_merge(self, geom, rs):
+        """Full traversal fed by the forced superchunk merge must stay
+        exact vs brute force (incl. the truncation fallback at K=4)."""
+        from hala_tpu.ops.traverse import _traverse_core, cull_candidates
+
+        g = geom
+        o, d = _rays(1024, rs)
+        tm = jnp.full((1024,), T_MAX)
+        ids, tns, ovf = cull_candidates(
+            o, d, tm, g.cluster_min, g.cluster_max, 4,
+            interpret=True, kernel=True, superchunk=8,
+        )
+        hit = _traverse_core(
+            o, d, g, tm, ids, tns, ovf, exact=True, interpret=True
+        )
+        bf = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128
+        )
+        _assert_hits_equal(hit, bf)
+
+
 class TestTraversed:
     @pytest.mark.parametrize("k", [4, 12])
     def test_exact_vs_bruteforce(self, geom, rs, k):
@@ -411,3 +456,32 @@ class TestMatrixBeyond4096Clusters:
         np.testing.assert_array_equal(
             np.asarray(hit.tri >= 0), np.asarray(ref)
         )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("HALA_BIG_TESTS"),
+    reason="~15 min scene build; opt in with HALA_BIG_TESTS=1",
+)
+class TestTraverseBeyondKeyWidth:
+    """The >MATRIX_MAX_CLUSTERS (8191) fallback end-to-end: ~930k
+    triangles / >8192 SAH clusters exceed the 13-bit packed-key width
+    of every other large-scene engine, so _backend routes to
+    intersect_traversed, whose kernel cull must run the unpacked
+    superchunk merge (cull_candidates) for real. Exactness vs brute
+    force at a scale no packed-key engine can address."""
+
+    def test_traversed_exact_past_8192_clusters(self):
+        from hala_tpu.ops.traverse import MATRIX_MAX_CLUSTERS
+        from hala_tpu.scene.procedural import sponza_like
+
+        g = SceneUploader.upload(
+            sponza_like(rooms=(56, 56), columns_per_room=8,
+                        boxes_per_room=16),
+            use_ray_tracing=False,
+        ).geometry
+        assert g.tri_packed.shape[0] > MATRIX_MAX_CLUSTERS
+        o, d = _big_rays(128, 13)
+        bf = intersect_bruteforce(o, d, g.tri_v0, g.tri_e1, g.tri_e2)
+        hit = intersect_traversed(o, d, g, k_per_ray=8, interpret=True)
+        _assert_hits_equal(hit, bf)
+        assert int((np.asarray(bf.tri) >= 0).sum()) > 40
