@@ -133,6 +133,16 @@ class RenderSettings:
     # frame f uses virtual RNG frame f*spp+s, so a spp=S frame equals S
     # sequential spp=1 frames up to accumulation rounding.
     spp: int = 1
+    # Geometry-sharded (tensor-parallel) rendering: the mesh-axis name
+    # the scene's traversal arrays + shade rows are sharded over
+    # (parallel/scene_shard.py). Visibility queries all-gather the rays
+    # over the axis, intersect the LOCAL cluster shard, and merge the
+    # per-shard hits with a lexicographic-(t, tri) min — bit-identical
+    # to the unsharded render by construction (the min over a partition
+    # of the triangle set is the global min). Winner shade rows come
+    # back through one owner-masked psum per bounce. None = replicated
+    # scene (the default film-tiling mode).
+    scene_axis: str | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -253,8 +263,12 @@ def _backend(settings: RenderSettings, scene) -> str:
             return "bruteforce"
         if g.tri_packed is None or g.num_triangles <= 4096:
             # whole scene streams through SMEM; brute force on the VPU
-            # beats any traversal at this size (DESIGN.md ledger)
-            return "pallas"
+            # beats any traversal at this size (DESIGN.md ledger).
+            # Sharded shards must scan all local slots (no prefix trim).
+            return (
+                "bruteforce" if settings.scene_axis is not None
+                else "pallas"
+            )
         from ..ops.traverse import MATRIX_MAX_CLUSTERS
 
         # Closest-hit: the VMEM matrix kernel wins on incoherent bounce
@@ -266,6 +280,10 @@ def _backend(settings: RenderSettings, scene) -> str:
             return "matrix"
         return "traverse"
     if sel == "bvh" and scene.bvh is None:
+        return "bruteforce"
+    if sel == "pallas" and settings.scene_axis is not None:
+        # the SMEM kernel's prefix trim assumes the unsharded slot
+        # layout; sharded shards scan all local slots instead
         return "bruteforce"
     return sel
 
@@ -292,7 +310,72 @@ def _sorted_dispatch(scene, o, d, settings, t_max, query):
     return _H(*(permute(ro.inverse, x) for x in hit))
 
 
+def _rows_sharded(table, idx, ax):
+    """Owner-masked fetch from a row-sharded table — the tensor-parallel
+    embedding-lookup pattern. Every shard's ray batch may need rows
+    owned by any shard, so the GLOBAL row ids are all-gathered first;
+    each shard serves the gathered queries it owns (clamped local take),
+    one psum returns the owners' rows everywhere, and each shard keeps
+    its own segment. `idx` must be pre-clamped >= 0."""
+    n = idx.shape[0]
+    idx_g = jax.lax.all_gather(idx, ax, axis=0, tiled=True)
+    rows_local = table.shape[0]
+    me = jax.lax.axis_index(ax).astype(jnp.int32)
+    lid = jnp.clip(idx_g - me * rows_local, 0, rows_local - 1)
+    own = (idx_g // rows_local) == me
+    if table.ndim == 1:
+        r = jnp.where(own, jnp.take(table, lid), 0)
+    else:
+        r = jnp.where(own[:, None], take_rows(table, lid), 0)
+    full = jax.lax.psum(r, ax)
+    return jax.lax.dynamic_slice_in_dim(
+        full, jax.lax.axis_index(ax) * n, n, 0
+    )
+
+
 def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
+    """Closest-hit dispatch; with settings.scene_axis set, the
+    geometry-sharded merge wraps the local backend query."""
+    if settings.scene_axis is None:
+        return _intersect_local(scene, o, d, settings, t_max)
+    ax = settings.scene_axis
+    n = o.shape[0]
+    og = jax.lax.all_gather(o, ax, axis=0, tiled=True)
+    dg = jax.lax.all_gather(d, ax, axis=0, tiled=True)
+    tg = None
+    if t_max is not None:
+        tm = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
+        tg = jax.lax.all_gather(tm, ax, axis=0, tiled=True)
+    hit = _intersect_local(scene, og, dg, settings, tg)
+    # globalize the shard-local triangle ids (slot arrays are sliced in
+    # cluster-block order, so global id = local id + shard slot offset)
+    slots = scene.geometry.tri_v0.shape[0]
+    me = jax.lax.axis_index(ax).astype(jnp.int32)
+    tri_g = jnp.where(
+        hit.tri >= 0, hit.tri + me * jnp.int32(slots), jnp.int32(-1)
+    )
+    # lexicographic (t, tri) min across shards: per-shard t comes from
+    # the canonical Moller-Trumbore bits, so the cross-shard min equals
+    # the single-device result bit-for-bit (ties break to the smaller
+    # global tri, the documented single-device tie order)
+    imax = jnp.int32(2**31 - 1)
+    t_min = jax.lax.pmin(hit.t, ax)
+    cand = (hit.t == t_min) & (tri_g >= 0)
+    tri_w = jax.lax.pmin(jnp.where(cand, tri_g, imax), ax)
+    win = cand & (tri_g == tri_w)
+    uv = jax.lax.psum(
+        jnp.where(win[:, None], jnp.stack([hit.u, hit.v], axis=-1), 0.0),
+        ax,
+    )
+    tri_f = jnp.where(tri_w == imax, jnp.int32(-1), tri_w)
+    i0 = jax.lax.axis_index(ax) * n
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i0, n, 0)
+    from ..ops.intersect import Hit as _H
+
+    return _H(t=sl(t_min), tri=sl(tri_f), u=sl(uv[:, 0]), v=sl(uv[:, 1]))
+
+
+def _intersect_local(scene, o, d, settings: RenderSettings, t_max=None):
     g = scene.geometry
     backend = _backend(settings, scene)
     if backend in ("wavefront", "matrix", "grouped"):
@@ -386,6 +469,26 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
 
 
 def _occluded(scene, o, d, t_far, settings: RenderSettings):
+    """Any-hit dispatch; with settings.scene_axis set, per-shard
+    occlusion ORs across the scene axis (a blocker on ANY shard
+    occludes)."""
+    if settings.scene_axis is None:
+        return _occluded_local(scene, o, d, t_far, settings)
+    ax = settings.scene_axis
+    n = o.shape[0]
+    og = jax.lax.all_gather(o, ax, axis=0, tiled=True)
+    dg = jax.lax.all_gather(d, ax, axis=0, tiled=True)
+    tfg = jax.lax.all_gather(
+        jnp.broadcast_to(t_far, (n,)).astype(jnp.float32),
+        ax, axis=0, tiled=True,
+    )
+    occ = _occluded_local(scene, og, dg, tfg, settings)
+    occ = jax.lax.psum(occ.astype(jnp.int32), ax) > 0
+    i0 = jax.lax.axis_index(ax) * n
+    return jax.lax.dynamic_slice_in_dim(occ, i0, n, 0)
+
+
+def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
     g = scene.geometry
     backend = _backend(settings, scene)
     if backend in ("wavefront", "matrix", "grouped"):
@@ -460,7 +563,8 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
             pipeline=settings.matrix_pipeline,
         ).tri >= 0
     if backend in ("cluster", "traverse"):
-        hit = _intersect(
+        # local dispatch: the sharded wrapper (if any) already gathered
+        hit = _intersect_local(
             scene, o, d, settings, t_max=t_far * (1.0 - 1e-4)
         )
         return hit.tri >= 0
@@ -637,7 +741,11 @@ def _path_context(
         tid = jnp.maximum(hit.tri, 0)
         u, v = hit.u, hit.v
         w0 = 1.0 - u - v
-        rows = take_rows(geom.shade_table, tid)  # (N, 32) via MXU one-hot
+        rows = (
+            take_rows(geom.shade_table, tid)  # (N, 32) via MXU one-hot
+            if settings.scene_axis is None
+            else _rows_sharded(geom.shade_table, tid, settings.scene_axis)
+        )
         ns = normalize(
             w0[:, None] * rows[:, 0:3]
             + u[:, None] * rows[:, 3:6]
@@ -1052,7 +1160,14 @@ def _path_context(
                 return blocked0
 
             def opacity_of(tri):
-                m = jnp.take(geom.tri_mat, jnp.maximum(tri, 0))
+                m = (
+                    jnp.take(geom.tri_mat, jnp.maximum(tri, 0))
+                    if settings.scene_axis is None
+                    else _rows_sharded(
+                        geom.tri_mat, jnp.maximum(tri, 0),
+                        settings.scene_axis,
+                    )
+                )
                 return jnp.take(
                     scene.materials.packed[:, 3], jnp.maximum(m, 0)
                 )
