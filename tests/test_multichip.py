@@ -278,6 +278,18 @@ tiled, r2 = render_frame_multichip(
 g = tiled.gather()
 np.testing.assert_array_equal(np.asarray(film.accum), np.asarray(g.accum))
 assert float(r1) == float(r2)
+from hala_tpu.parallel.scene_shard import (
+    render_frame_scene_sharded, shard_scene,
+)
+sharded, specs = shard_scene(dev, mesh)
+tp = TiledFilm.create(mesh, size, size)
+tp, r3 = render_frame_scene_sharded(
+    sharded, None, uniforms, tp, 0, settings, specs=specs
+)
+np.testing.assert_array_equal(
+    np.asarray(film.accum), np.asarray(tp.gather().accum)
+)
+assert float(r1) == float(r3)
 print("OK16")
 """
     out = subprocess.run(
