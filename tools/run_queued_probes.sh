@@ -37,6 +37,14 @@ MODES=staged_wf_all timeout 3000 python -u tools/probe_staged.py \
   > out/probe_logs/staged_wf_all.log 2>&1
 stamp "6/6 exit=$?"
 
+stamp "6b/7 per-stage breakdown of the sponza frame (round-4 targets)"
+SHADOW=auto timeout 3000 python -u tools/probe_breakdown.py \
+  > out/probe_logs/breakdown_matrix.log 2>&1
+stamp "6b exit=$?"
+SHADOW=wavefront timeout 3000 python -u tools/probe_breakdown.py \
+  > out/probe_logs/breakdown_wf.log 2>&1
+stamp "6c exit=$?"
+
 stamp "7/7 full bench (warms the XLA cache for the driver's run)"
 timeout 5400 python -u bench.py > out/probe_logs/bench_all.log 2>&1
 stamp "7/7 exit=$?"
