@@ -1654,6 +1654,12 @@ def render_frame_staged(
             "(matrix/grouped/wavefront) and no alpha materials; use "
             "render_frame."
         )
+    if settings.scene_axis is not None:
+        raise HalaRendererError(
+            "render_frame_staged is single-chip; geometry sharding "
+            "(scene_axis) needs the megakernel inside shard_map — use "
+            "render_frame_scene_sharded."
+        )
     h, w = settings.height, settings.width
     cam_h = h
     spp = max(1, settings.spp)
