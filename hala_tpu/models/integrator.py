@@ -281,9 +281,12 @@ def _backend(settings: RenderSettings, scene) -> str:
         return "traverse"
     if sel == "bvh" and scene.bvh is None:
         return "bruteforce"
-    if sel == "pallas" and settings.scene_axis is not None:
-        # the SMEM kernel's prefix trim assumes the unsharded slot
-        # layout; sharded shards scan all local slots instead
+    if settings.scene_axis is not None and sel in ("pallas", "bvh"):
+        # the SMEM kernel's prefix trim and the BVH's global slot ids
+        # both assume the unsharded layout; sharded shards scan all
+        # local slots with the chunked brute force instead (silently
+        # wrong renders otherwise — the BVH node table is replicated
+        # while tri_v0 is the local 1/n shard)
         return "bruteforce"
     return sel
 
@@ -326,11 +329,14 @@ def _rows_sharded(table, idx, ax):
     if table.ndim == 1:
         r = jnp.where(own, jnp.take(table, lid), 0)
     else:
+        # take_rows picks one-hot vs element-gather by the LOCAL table
+        # size; on MXU the one-hot matmul can flip -0.0 to +0.0, so the
+        # bit-identity guarantee vs single-chip is exact where tested
+        # (CPU mesh) and holds up to zero-sign on real multi-chip TPU.
         r = jnp.where(own[:, None], take_rows(table, lid), 0)
-    full = jax.lax.psum(r, ax)
-    return jax.lax.dynamic_slice_in_dim(
-        full, jax.lax.axis_index(ax) * n, n, 0
-    )
+    # reduce-scatter, not psum+slice: each shard only needs its own
+    # ray segment, so the ICI payload drops by the axis size
+    return jax.lax.psum_scatter(r, ax, scatter_dimension=0, tiled=True)
 
 
 def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
@@ -363,16 +369,19 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
     cand = (hit.t == t_min) & (tri_g >= 0)
     tri_w = jax.lax.pmin(jnp.where(cand, tri_g, imax), ax)
     win = cand & (tri_g == tri_w)
-    uv = jax.lax.psum(
+    # uv rides a reduce-scatter (each shard needs only its segment);
+    # t/tri need the full pmin (no min-scatter collective exists) and
+    # are sliced after
+    uv = jax.lax.psum_scatter(
         jnp.where(win[:, None], jnp.stack([hit.u, hit.v], axis=-1), 0.0),
-        ax,
+        ax, scatter_dimension=0, tiled=True,
     )
     tri_f = jnp.where(tri_w == imax, jnp.int32(-1), tri_w)
     i0 = jax.lax.axis_index(ax) * n
     sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i0, n, 0)
     from ..ops.intersect import Hit as _H
 
-    return _H(t=sl(t_min), tri=sl(tri_f), u=sl(uv[:, 0]), v=sl(uv[:, 1]))
+    return _H(t=sl(t_min), tri=sl(tri_f), u=uv[:, 0], v=uv[:, 1])
 
 
 def _intersect_local(scene, o, d, settings: RenderSettings, t_max=None):
@@ -483,9 +492,10 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
         ax, axis=0, tiled=True,
     )
     occ = _occluded_local(scene, og, dg, tfg, settings)
-    occ = jax.lax.psum(occ.astype(jnp.int32), ax) > 0
-    i0 = jax.lax.axis_index(ax) * n
-    return jax.lax.dynamic_slice_in_dim(occ, i0, n, 0)
+    # OR across shards via a reduce-scatter of the int mask
+    return jax.lax.psum_scatter(
+        occ.astype(jnp.int32), ax, scatter_dimension=0, tiled=True
+    ) > 0
 
 
 def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
@@ -1646,6 +1656,14 @@ def render_frame_staged(
     megakernel (shard_map wraps one program). All pushed kernels
     (raygen/miss/hit/post_shade) dispatch in their owning stages.
     """
+    if settings.scene_axis is not None:
+        # checked FIRST: with scene_axis set the backend guard below
+        # could resolve to bruteforce and emit a misleading message
+        raise HalaRendererError(
+            "render_frame_staged is single-chip; geometry sharding "
+            "(scene_axis) needs the megakernel inside shard_map — use "
+            "render_frame_scene_sharded."
+        )
     if scene.materials.has_alpha or _backend(settings, scene) not in (
         "wavefront", "matrix", "grouped",
     ):
@@ -1653,12 +1671,6 @@ def render_frame_staged(
             "render_frame_staged requires a large-scene backend "
             "(matrix/grouped/wavefront) and no alpha materials; use "
             "render_frame."
-        )
-    if settings.scene_axis is not None:
-        raise HalaRendererError(
-            "render_frame_staged is single-chip; geometry sharding "
-            "(scene_axis) needs the megakernel inside shard_map — use "
-            "render_frame_scene_sharded."
         )
     h, w = settings.height, settings.width
     cam_h = h

@@ -29,14 +29,12 @@ rather than animating shards in place.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax import shard_map
 
-from ..models.integrator import Film, RenderSettings, Uniforms, render_frame
+from ..models.integrator import RenderSettings, Uniforms
 from ..scene.gpu.scene import TRI_PAD
 from .tiling import AXIS, TiledFilm
 
@@ -75,18 +73,23 @@ def pad_scene_for_sharding(scene, n: int):
             [a, jnp.full((rows,) + a.shape[1:], fill, a.dtype)], axis=0
         )
 
-    geom = dataclasses.replace(
-        g,
-        cluster_min=pad0(g.cluster_min, dc, far),
-        cluster_max=pad0(g.cluster_max, dc, far),
-        tri_packed=pad0(g.tri_packed, dc, 0.0),
-        tri_v0=pad0(g.tri_v0, ds, 0.0),
-        tri_e1=pad0(g.tri_e1, ds, 0.0),
-        tri_e2=pad0(g.tri_e2, ds, 0.0),
-        shade_table=pad0(g.shade_table, ds, 0.0),
-        tri_mat=pad0(g.tri_mat, ds, -1),
-    )
-    return dataclasses.replace(scene, geometry=geom)
+    # ONE jitted dispatch for all pads: eager per-array concatenates
+    # would each be a tunnel round trip on the axon TPU (CLAUDE.md)
+    @jax.jit
+    def _pad(gg):
+        return dataclasses.replace(
+            gg,
+            cluster_min=pad0(gg.cluster_min, dc, far),
+            cluster_max=pad0(gg.cluster_max, dc, far),
+            tri_packed=pad0(gg.tri_packed, dc, 0.0),
+            tri_v0=pad0(gg.tri_v0, ds, 0.0),
+            tri_e1=pad0(gg.tri_e1, ds, 0.0),
+            tri_e2=pad0(gg.tri_e2, ds, 0.0),
+            shade_table=pad0(gg.shade_table, ds, 0.0),
+            tri_mat=pad0(gg.tri_mat, ds, -1),
+        )
+
+    return dataclasses.replace(scene, geometry=_pad(g))
 
 
 def scene_shard_specs(scene):
@@ -131,65 +134,10 @@ def render_frame_scene_sharded(
     sharded over the mesh axis. `scene` must be padded for the mesh
     size (use shard_scene); pass its `specs` to skip recomputing them.
     Returns (TiledFilm, total rays)."""
-    mesh = tiled.mesh
-    nd = mesh.devices.size
-    full_h = settings.height
-    shard_h = full_h // nd
-    shard_settings = dataclasses.replace(
-        settings, height=shard_h, scene_axis=AXIS
-    )
+    from .tiling import _sharded_frame
 
-    spec_film = Film(
-        accum=P(AXIS, None, None),
-        albedo=P(AXIS, None, None),
-        normal=P(AXIS, None, None),
-    )
     spec_scene = specs if specs is not None else scene_shard_specs(scene)
-    rep_env = jax.tree.map(lambda _: P(), env) if env is not None else None
-    rep_uni = jax.tree.map(lambda _: P(), uniforms)
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(spec_scene, rep_env, rep_uni, spec_film, P()),
-        out_specs=(spec_film, P()),
-        check_vma=not settings.interpret_pallas,
-    )
-    def step(scene_r, env_r, uniforms_r, film_shard, fidx):
-        # promote REPLICATED leaves to the axis's varying type (sharded
-        # geometry leaves are already varying) — see tiling.py
-        cast = (
-            (lambda x: jax.lax.pcast(x, AXIS, to="varying"))
-            if hasattr(jax.lax, "pcast")
-            else (lambda x: jax.lax.pvary(x, AXIS))
-        )
-        scene_r = jax.tree.map(
-            lambda x, s: x if AXIS in s else cast(x), scene_r, spec_scene
-        )
-        uniforms_r = jax.tree.map(cast, uniforms_r)
-        env_r = jax.tree.map(cast, env_r) if env_r is not None else None
-        fidx = cast(fidx)
-        row0 = jax.lax.axis_index(AXIS) * shard_h
-        new_film, rays = render_frame(
-            scene_r,
-            env_r,
-            uniforms_r,
-            film_shard,
-            fidx,
-            shard_settings,
-            row_offset=row0,
-            full_height=full_h,
-        )
-        return new_film, jax.lax.psum(rays, AXIS)
-
-    new_film, rays = step(
-        scene, env, uniforms, tiled.film,
-        jnp.asarray(frame_index, jnp.uint32),
-    )
-    return (
-        TiledFilm(
-            film=new_film, mesh=mesh, full_height=full_h,
-            width=tiled.width,
-        ),
-        rays,
+    return _sharded_frame(
+        scene, env, uniforms, tiled, frame_index, settings,
+        spec_scene=spec_scene, scene_axis=AXIS,
     )

@@ -62,38 +62,40 @@ class TiledFilm:
         return jax.tree.map(lambda x: jnp.asarray(jax.device_get(x)), self.film)
 
 
-def render_frame_multichip(
+def _sharded_frame(
     scene,
     env,
     uniforms: Uniforms,
     tiled: TiledFilm,
     frame_index,
     settings: RenderSettings,
+    spec_scene,
+    scene_axis: str | None = None,
 ):
-    """One progressive frame over the mesh. Returns (TiledFilm, total rays).
-
-    `settings.height` must be the full film height; each shard renders
-    full_height / n_devices rows with the correct global row offset.
-    """
+    """Shared shard_map scaffolding for both multi-chip modes: film
+    rows over AXIS, scene laid out per `spec_scene` (all-replicated for
+    film tiling; geometry over AXIS for scene sharding, which also sets
+    scene_axis so the integrator runs its cross-shard merge)."""
     mesh = tiled.mesh
     nd = mesh.devices.size
     full_h = settings.height
     shard_h = full_h // nd
-    shard_settings = dataclasses.replace(settings, height=shard_h)
+    shard_settings = dataclasses.replace(
+        settings, height=shard_h, scene_axis=scene_axis
+    )
 
     spec_film = Film(
         accum=P(AXIS, None, None),
         albedo=P(AXIS, None, None),
         normal=P(AXIS, None, None),
     )
-    replicated = jax.tree.map(lambda _: P(), scene)
     rep_env = jax.tree.map(lambda _: P(), env) if env is not None else None
     rep_uni = jax.tree.map(lambda _: P(), uniforms)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(replicated, rep_env, rep_uni, spec_film, P()),
+        in_specs=(spec_scene, rep_env, rep_uni, spec_film, P()),
         out_specs=(spec_film, P()),
         # Pallas interpret mode (CPU tests) lowers through closed_calls
         # whose internal constants are replicated, tripping jax's vma
@@ -101,18 +103,21 @@ def render_frame_multichip(
         check_vma=not settings.interpret_pallas,
     )
     def step(scene_r, env_r, uniforms_r, film_shard, fidx):
-        # Promote the replicated operands to the mesh axis's varying
+        # Promote the REPLICATED operands to the mesh axis's varying
         # type (free — a vma type cast): nested jitted kernels (the
         # Pallas query wrappers) lower as closed_call, and jax's
         # check_vma rejects mixed varying/replicated operands there.
+        # Sharded geometry leaves are already varying.
         cast = (
             (lambda x: jax.lax.pcast(x, AXIS, to="varying"))
             if hasattr(jax.lax, "pcast")
             else (lambda x: jax.lax.pvary(x, AXIS))
         )
-        pv = lambda t: jax.tree.map(cast, t)
-        scene_r, uniforms_r = pv(scene_r), pv(uniforms_r)
-        env_r = pv(env_r) if env_r is not None else None
+        scene_r = jax.tree.map(
+            lambda x, s: x if AXIS in s else cast(x), scene_r, spec_scene
+        )
+        uniforms_r = jax.tree.map(cast, uniforms_r)
+        env_r = jax.tree.map(cast, env_r) if env_r is not None else None
         fidx = cast(fidx)
         row0 = jax.lax.axis_index(AXIS) * shard_h
         new_film, rays = render_frame(
@@ -136,4 +141,24 @@ def render_frame_multichip(
             film=new_film, mesh=mesh, full_height=full_h, width=tiled.width
         ),
         rays,
+    )
+
+
+def render_frame_multichip(
+    scene,
+    env,
+    uniforms: Uniforms,
+    tiled: TiledFilm,
+    frame_index,
+    settings: RenderSettings,
+):
+    """One progressive frame over the mesh (scene replicated). Returns
+    (TiledFilm, total rays).
+
+    `settings.height` must be the full film height; each shard renders
+    full_height / n_devices rows with the correct global row offset.
+    """
+    return _sharded_frame(
+        scene, env, uniforms, tiled, frame_index, settings,
+        spec_scene=jax.tree.map(lambda _: P(), scene),
     )
