@@ -613,6 +613,7 @@ def _path_context(
     settings: RenderSettings,
     full_height: int | None = None,
     hooks: KernelHooks | None = None,
+    blue_noise=None,
 ):
     """Build the per-trace path-tracing closures.
 
@@ -631,6 +632,23 @@ def _path_context(
 
     geom = scene.geometry
     has_env_map = settings.env_type == ENV_MAP and env is not None
+
+    if blue_noise is None:
+        def s4(bounce, seed):
+            return rng.sample4(pixel_idx, frame_index, bounce, seed=seed)
+    else:
+        # Blue-noise low-discrepancy sampling for EVERY dimension
+        # (rt_renderer.rs:1117-1156 binding-5 parity): per-pixel texel +
+        # per-(frame, bounce, stream) Cranley-Patterson rotation. Screen
+        # coords derive from the GLOBAL pixel id, so the multi-chip
+        # bit-identity invariant holds with blue noise enabled.
+        bn_px = pixel_idx % settings.width
+        bn_py = pixel_idx // settings.width
+
+        def s4(bounce, seed):
+            return rng.bn_sample4(
+                blue_noise, bn_px, bn_py, frame_index, bounce, seed
+            )
     # Scene capability specialization (cpu/scene.rs probe analog): BSDF
     # lobes unused by every material compile out of the megakernel.
     w_disney = bool(scene.materials.has_disney)
@@ -697,7 +715,7 @@ def _path_context(
         # v1: no NEE from the scatter point (area/env lights are reached
         # via phase-sampled continuation + MIS).
         if w_scatter:
-            r_med = rng.sample4(pixel_idx, frame_index, bounce, seed=29)
+            r_med = s4(bounce, 29)
             med_density = st["med_density"]
             t_free = -jnp.log(jnp.maximum(1.0 - r_med[:, 0], 1e-7)) / (
                 jnp.maximum(med_density, 1e-7)
@@ -922,12 +940,12 @@ def _path_context(
         # --- opacity stochastic pass-through ----------------------------
         # One RNG call serves both the alpha test ([0]) and Russian
         # roulette ([1]) — pcg4d calls are per-bounce fixed cost.
-        r_alpha = rng.sample4(pixel_idx, frame_index, bounce, seed=11)
+        r_alpha = s4(bounce, 11)
         pass_through = on_surface & (r_alpha[:, 0] > mp.opacity)
 
         # --- NEE: analytic lights (occlusion deferred to the batched
         # visibility query below) -----------------------------------------
-        r_nee = rng.sample4(pixel_idx, frame_index, bounce, seed=13)
+        r_nee = s4(bounce, 13)
         shadow_o = hit_p + ng_f * _RAY_EPS
         if scene.lights.num_lights > 0:
             ls = sample_one_light(scene.lights, hit_p, r_nee[:, :3])
@@ -954,7 +972,7 @@ def _path_context(
 
         # --- NEE: environment map (occlusion deferred likewise) ---------
         if has_env_map:
-            r_env = rng.sample4(pixel_idx, frame_index, bounce, seed=17)
+            r_env = s4(bounce, 17)
             wi_e, rad_e, pdf_e = env_sample(
                 env, r_env[:, :2], uniforms.env_rotation, uniforms.env_intensity
             )
@@ -972,7 +990,7 @@ def _path_context(
             env_tmax = jnp.where(cand_e, 1.0e7, 0.0)
 
         # --- BSDF sampling / continuation -------------------------------
-        r_bsdf = rng.sample4(pixel_idx, frame_index, bounce, seed=19)
+        r_bsdf = s4(bounce, 19)
         wi_s, f_s, pdf_s = bsdf_sample(mp, wo_l, r_bsdf, w_disney, w_trans)
         wi_w = to_world(wi_s, t_b, b_b, ns_f)
         cos_s = jnp.abs(wi_s[:, 2])
@@ -1192,9 +1210,7 @@ def _path_context(
                 )
                 qh_k = _intersect(scene, o_k, dir_s, settings, t_max=tm_k)
                 hit_k = passed & (qh_k.tri >= 0)
-                r_k = rng.sample4(
-                    pixel_idx, frame_index, bounce, seed=seed0 + k
-                )[:, 0]
+                r_k = s4(bounce, seed0 + k)[:, 0]
                 pass_k = hit_k & (r_k >= opacity_of(qh_k.tri))
                 blocked_acc = blocked_acc | (hit_k & ~pass_k)
                 t_base = t_base + jnp.where(passed, qh_k.t + _RAY_EPS, 0.0)
@@ -1232,6 +1248,7 @@ def trace_paths(
     settings: RenderSettings,
     full_height: int | None = None,
     hooks: KernelHooks | None = None,
+    blue_noise=None,
 ):
     """Trace full paths for a flat ray batch.
 
@@ -1246,7 +1263,7 @@ def trace_paths(
     """
     init_state, _, _, bounce_body, _, _ = _path_context(
         scene, env, uniforms, pixel_idx, frame_index, settings,
-        full_height, hooks,
+        full_height, hooks, blue_noise,
     )
     # Prologue: closest hit for the camera rays. Every later bounce folds
     # its extension ray into the batched end-of-bounce visibility query,
@@ -1294,27 +1311,16 @@ def _tile_raygen(
     gpix = py_i * w + px_i  # globally unique pixel id
     px = px_i.astype(jnp.float32)
     py = py_i.astype(jnp.float32)
-    r_jit = rng.sample4(gpix, fidx_r, 0, seed=1)
     if blue_noise is not None:
-        # Blue-noise pixel jitter (load_blue_noise_texture role,
-        # rt_renderer.rs:1117-1156): tile the texture over the film
-        # and Cranley-Patterson-rotate it per frame with the R2
-        # low-discrepancy sequence (per VIRTUAL frame under spp>1 so
-        # a pixel's samples keep distinct jitters).
-        bh, bw = blue_noise.shape[0], blue_noise.shape[1]
-        bx = (gpix % w) % bw
-        by = (gpix // w) % bh
-        f = jnp.broadcast_to(
-            jnp.asarray(fidx_r, jnp.float32), gpix.shape
+        # Blue-noise sample for the camera dimensions — pixel jitter +
+        # lens DOF — through the same Cranley-Patterson construction the
+        # path context uses for bounce/NEE/env sampling
+        # (rng.bn_sample4; rt_renderer.rs:1117-1156 binding-5 role).
+        r_jit = rng.bn_sample4(
+            blue_noise, gpix % w, gpix // w, fidx_r, 0, seed=1
         )
-        shift = jnp.stack(
-            [f * 0.7548776662466927, f * 0.5698402909980532], axis=-1
-        ) % 1.0
-        # single-index gather (multi-vector indexing lowers to a
-        # slow multi-dim XLA gather on TPU; see ops/env.py)
-        bn_flat = blue_noise[:, :, :2].reshape(bh * bw, 2)
-        bn = (jnp.take(bn_flat, by * bw + bx, axis=0) + shift) % 1.0
-        r_jit = r_jit.at[:, :2].set(bn)
+    else:
+        r_jit = rng.sample4(gpix, fidx_r, 0, seed=1)
     if hooks is not None and hooks.raygen is not None:
         # pushed raygen kernel overrides the sample jitter
         r_jit = hooks.raygen(gpix, fidx_r, r_jit)
@@ -1416,7 +1422,7 @@ def render_frame(
         )
         L, alb, nrm, rays = trace_paths(
             scene, env, uniforms, o, d, gpix, fidx_r, settings,
-            full_height=cam_h, hooks=hooks,
+            full_height=cam_h, hooks=hooks, blue_noise=blue_noise,
         )
         if hooks is not None and hooks.post_shade is not None:
             L, alb, nrm = hooks.post_shade(L, alb, nrm)
@@ -1506,10 +1512,11 @@ def _stage_occlude(scene, o, d, t_far, settings: RenderSettings):
 def _stage_init(
     scene, env, uniforms, pixel_idx, frame_index, o, d, hit0,
     settings: RenderSettings, full_height=None, hooks=None,
+    blue_noise=None,
 ):
     init_state, _, _, _, _, _ = _path_context(
         scene, env, uniforms, pixel_idx, frame_index, settings,
-        full_height, hooks,
+        full_height, hooks, blue_noise,
     )
     return init_state(o, d, hit0)
 
@@ -1518,10 +1525,11 @@ def _stage_init(
 def _stage_pre(
     scene, env, uniforms, pixel_idx, frame_index, bounce, st,
     settings: RenderSettings, full_height=None, hooks=None,
+    blue_noise=None,
 ):
     _, bounce_pre, _, _, shadow_queries, _ = _path_context(
         scene, env, uniforms, pixel_idx, frame_index, settings,
-        full_height, hooks,
+        full_height, hooks, blue_noise,
     )
     c = bounce_pre(bounce, st)
     sh_o, sh_d, sh_t = shadow_queries(c)
@@ -1532,10 +1540,11 @@ def _stage_pre(
 def _stage_post(
     scene, env, uniforms, pixel_idx, frame_index, bounce, c, qhit, occ,
     settings: RenderSettings, full_height=None, hooks=None,
+    blue_noise=None,
 ):
     _, _, bounce_post, _, _, _ = _path_context(
         scene, env, uniforms, pixel_idx, frame_index, settings,
-        full_height, hooks,
+        full_height, hooks, blue_noise,
     )
     n = c["active"].shape[0]
     has_env = settings.env_type == ENV_MAP and env is not None
@@ -1700,13 +1709,13 @@ def render_frame_staged(
         hit0 = _stage_primary(scene, o, d, settings)
         st = _stage_init(
             scene, env, uniforms, gpix, fidx_r, o, d, hit0,
-            settings, cam_h, hooks,
+            settings, cam_h, hooks, blue_noise,
         )
         for b in range(settings.max_depth):
             bounce = _bounce_const(b)
             c, sh_o, sh_d, sh_t = _stage_pre(
                 scene, env, uniforms, gpix, fidx_r, bounce, st,
-                settings, cam_h, hooks,
+                settings, cam_h, hooks, blue_noise,
             )
             qhit = _stage_extend(
                 scene, c["next_o"], c["next_d"], c["ext_tmax"], settings
@@ -1714,7 +1723,7 @@ def render_frame_staged(
             occ = _stage_occlude(scene, sh_o, sh_d, sh_t, settings)
             st = _stage_post(
                 scene, env, uniforms, gpix, fidx_r, bounce, c, qhit, occ,
-                settings, cam_h, hooks,
+                settings, cam_h, hooks, blue_noise,
             )
         accum, albedo, normal, rays_total = _stage_accum(
             accum, albedo, normal, rays_total,

@@ -252,8 +252,18 @@ class RayTracingRenderer(BaseRenderer):
                 )
                 self._staged = False
 
-    def update(self, delta_time: float = 0.0) -> None:
-        """Dispatch one progressive frame (rt_renderer.rs:387-471)."""
+    def update(self, delta_time: float = 0.0, ui_fn=None) -> None:
+        """Dispatch one progressive frame (rt_renderer.rs:387-471).
+
+        `ui_fn` is the per-frame UI/overlay callback the reference
+        threads through every record path (rt_renderer.rs:430-468:
+        ui_fn records UI draws into the swapchain image AFTER scene
+        rendering). TPU analog: a jax-traceable
+        `(color (H, W, 3)) -> (H, W, 3)` applied to the DISPLAY image —
+        after tonemapping, never to the progressive accumulator — in
+        `get_final_image`/`save_images`. It runs device-side in one jit
+        (no host round trip); pass None to clear."""
+        self._ui_fn = ui_fn
         if self.settings is None:
             self.commit()
         self.check_and_restore_device()
@@ -310,6 +320,11 @@ class RayTracingRenderer(BaseRenderer):
         total = float(sum(rays_acc)) if rays_acc else 0.0
         self.total_rays += total
         n = max(len(rays_acc), 1)
+        # Per-frame gpu_ms/cpu_ms here are the aggregate wall time spread
+        # uniformly over the frames: with no host sync inside the loop
+        # there IS no per-frame timing to observe. Aggregate fps and
+        # Mrays/s are exact; anything consuming per-frame numbers sees
+        # the `synthetic_per_frame` flag.
         for _ in range(len(rays_acc)):
             self.statistics.record_frame(dt / n, dt / n, total / n)
         # aggregate metrics are always available after a pipelined loop
@@ -319,24 +334,29 @@ class RayTracingRenderer(BaseRenderer):
             "cpu_ms": 1000.0 * dt / n,
             "mrays_per_s": total / dt / 1e6,
             "total_frames": self.statistics.total_frames,
+            "synthetic_per_frame": True,
         }
 
     # -- output ----------------------------------------------------------
 
     def get_final_image(self) -> np.ndarray:
-        """Display path: exposure * accum through the tonemap chain."""
+        """Display path: exposure * accum through the tonemap chain,
+        then the per-frame ui_fn overlay (rt_renderer.rs ui_fn role —
+        drawn on the display image, so the accumulator stays clean)."""
         self.wait_idle()
         color = np.asarray(self.film.accum[..., :3]) * float(
             self.uniforms.exposure_value
         )
-        return np.asarray(
-            apply_tonemap(
-                jnp.asarray(color),
-                self.enable_tonemap,
-                self.enable_aces,
-                self.use_simple_aces,
-            )
+        img = apply_tonemap(
+            jnp.asarray(color),
+            self.enable_tonemap,
+            self.enable_aces,
+            self.use_simple_aces,
         )
+        ui_fn = getattr(self, "_ui_fn", None)
+        if ui_fn is not None:
+            img = jax.jit(ui_fn)(img)
+        return np.asarray(img)
 
     def save_images(self, path: str) -> None:
         """PFM export (rt_renderer.rs:1224-1352): color gets the tonemap

@@ -71,6 +71,12 @@ class RasterSettings:
     # a material with opacity < 1 (static capability, so opaque scenes
     # compile no extra passes).
     peel_layers: int = 4
+    # Transparency blend operator, from the graphics pipeline's blend
+    # state (graphics_program.rs:62-65 color_blend; rz_renderer.rs:490
+    # uses SRC_ALPHA/ONE_MINUS_SRC_ALPHA = "over"). "additive" is
+    # ONE/ONE, "premultiplied" is ONE/ONE_MINUS_SRC_ALPHA, "none"
+    # disables blending (transparent materials rasterize opaque).
+    blend: str = "over"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -380,13 +386,20 @@ def peel_composite_pass(scene, layers, color, opaque_depth, camera_index,
                         settings: RasterSettings,
                         hooks: RasterHooks | None = None):
     """Composite peeled transparent layers back-to-front over the
-    opaque color (flat (N,3)) with the over operator
-    a*src + (1-a)*dst; layers not strictly nearer than the opaque
-    depth are occluded. Pushed rz.fragment kernels apply to each
-    layer's shading, as the reference's fragment stage runs for
+    opaque color (flat (N,3)) with the settings.blend operator —
+    "over" a*src + (1-a)*dst (the reference's forward blend state,
+    rz_renderer.rs:490), "additive" src + dst (ONE/ONE), or
+    "premultiplied" src + (1-a)*dst; layers not strictly nearer than
+    the opaque depth are occluded. Pushed rz.fragment kernels apply to
+    each layer's shading, as the reference's fragment stage runs for
     blended draws too."""
     cam_pos = scene.cameras.position[camera_index]
     geom = scene.geometry
+    if settings.blend not in ("over", "additive", "premultiplied"):
+        raise HalaRendererError(
+            f"unsupported blend operator {settings.blend!r} "
+            "(over | additive | premultiplied | none)"
+        )
     for fr in reversed(layers):
         lc, la, ln, _ = _shade(scene, fr, cam_pos)
         if hooks is not None and hooks.fragment is not None:
@@ -396,7 +409,13 @@ def peel_composite_pass(scene, layers, color, opaque_depth, camera_index,
         )
         a = jnp.take(scene.materials.opacity, mat)[:, None]
         over = ((fr.tri >= 0) & (fr.depth > opaque_depth))[:, None]
-        color = jnp.where(over, a * lc + (1.0 - a) * color, color)
+        if settings.blend == "additive":
+            blended = lc + color
+        elif settings.blend == "premultiplied":
+            blended = lc + (1.0 - a) * color
+        else:
+            blended = a * lc + (1.0 - a) * color
+        color = jnp.where(over, blended, color)
     return color
 
 
@@ -424,7 +443,10 @@ def raster_frame(scene, camera_index, settings: RasterSettings,
     # peeling composites the K nearest layers back-to-front, which is
     # order-independent and never less correct. has_alpha is a static
     # scene capability, so opaque scenes trace none of this.
-    peel = scene.materials.has_alpha and settings.peel_layers > 0
+    peel = (
+        scene.materials.has_alpha and settings.peel_layers > 0
+        and settings.blend != "none"
+    )
     if peel:
         trans = _transparent_tris(scene)
         frag = gbuffer_pass(
@@ -499,6 +521,7 @@ class RasterizationRenderer(BaseRenderer):
         tile: int = 64,
         bin_k_max: int = 256,
         peel_layers: int = 4,
+        blend: str = "over",
         post_program=None,
     ):
         super().__init__(name, width, height)
@@ -519,6 +542,12 @@ class RasterizationRenderer(BaseRenderer):
         self._tile = tile
         self._bin_k_max = bin_k_max
         self._peel_layers = peel_layers
+        if blend not in ("over", "additive", "premultiplied", "none"):
+            raise HalaRendererError(
+                f"unsupported blend operator {blend!r} "
+                "(over | additive | premultiplied | none)"
+            )
+        self._blend = blend
         # Optional ComputeProgram applied to the shaded color image — the
         # "compute_program post pass" of BASELINE config[5].
         self.post_program = post_program
@@ -587,6 +616,7 @@ class RasterizationRenderer(BaseRenderer):
             bin_k_max=self._bin_k_max,
             mesh_shader=self.use_mesh_shader,
             peel_layers=self._peel_layers,
+            blend=self._blend,
         )
         # Resolve pushed rz.* kernels into the frame dispatch table (the
         # pipeline-build step of the reference's commit).
@@ -605,7 +635,12 @@ class RasterizationRenderer(BaseRenderer):
             else None
         )
 
-    def update(self, delta_time: float = 0.0) -> None:
+    def update(self, delta_time: float = 0.0, ui_fn=None) -> None:
+        """One frame. `ui_fn` is the reference's per-frame UI callback
+        (rz_renderer.rs update(..., ui_fn) — records UI draws over the
+        shaded image): a jax-traceable (H, W, 3) -> (H, W, 3) applied
+        after the post pass, device-side in one jit."""
+        self._ui_fn = ui_fn
         if self.settings is None:
             self.commit()
         self.check_and_restore_device()
@@ -622,6 +657,7 @@ class RasterizationRenderer(BaseRenderer):
             peel = (
                 self.scene.materials.has_alpha
                 and self.settings.peel_layers > 0
+                and self.settings.blend != "none"
             )
             hooks = getattr(self, "hooks", None)
             cam = jnp.int32(self.camera_index)
@@ -646,6 +682,8 @@ class RasterizationRenderer(BaseRenderer):
             )
         if self.post_program is not None:
             color = self.post_program.dispatch(color)
+        if ui_fn is not None:
+            color = jax.jit(ui_fn)(color)
         self._pending = (color, gbuffer)
         self.color = color
         self.gbuffer = gbuffer

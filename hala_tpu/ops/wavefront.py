@@ -324,7 +324,7 @@ def _wf_pallas_call(o, d, tm_p, geometry, pkl, want, own_last, m: int,
     jax.jit,
     static_argnames=(
         "k_per_ray", "m_group", "any_hit", "interpret", "canonical",
-        "with_stats",
+        "with_stats", "fallback",
     ),
 )
 def intersect_wavefront(
@@ -338,6 +338,7 @@ def intersect_wavefront(
     interpret: bool = False,
     canonical: bool = True,
     with_stats: bool = False,
+    fallback: bool = True,
 ) -> Hit:
     """Exact closest (or any) hit via the rank-iteration wavefront.
 
@@ -471,7 +472,15 @@ def intersect_wavefront(
             v=jnp.zeros_like(t_lim),
         )
 
-    fb = jax.lax.cond(jnp.any(need), run_fb, no_fb, 0)
+    # fallback=False drops the matrix_query branch from the program —
+    # NOT exact (truncated lanes keep their conservative kernel result);
+    # exists to bisect which sub-kernel owns the TPU compile wall
+    # (DESIGN.md round-3 ledger) and for workloads that tolerate a
+    # bounded miss rate on truncated candidate lists.
+    fb = (
+        jax.lax.cond(jnp.any(need), run_fb, no_fb, 0)
+        if fallback else no_fb(0)
+    )
     kern = Hit(t=t_fin, tri=tri_fin, u=u_fin, v=v_fin)
     if canonical and not any_hit:
         # Canonicalize BOTH candidates before merging and break exact

@@ -150,6 +150,78 @@ class TestGraphicsProgram:
         assert not GraphicsProgramDesc().uses_mesh_shader
 
 
+class TestGraphicsDescValidation:
+    """The desc's pipeline state is CONSUMED, not carried (round-3
+    verdict item 8): blend state selects the transparency composite
+    operator; unsupported state fails pipeline creation loudly."""
+
+    def _glass_program(self, **desc_kw):
+        from conftest import make_glass_scene
+
+        from hala_tpu.scene.loader.uploader import SceneUploader
+
+        scene = SceneUploader.upload(
+            make_glass_scene(front_a=0.4), use_ray_tracing=False
+        )
+        return GraphicsProgram(GraphicsProgramDesc(**desc_kw), scene)
+
+    def test_additive_blend_desc_renders_differently(self):
+        from hala_tpu.programs.graphics_program import BlendState
+
+        over = self._glass_program()  # default = SRC_ALPHA/1-SRC_ALPHA
+        additive = self._glass_program(
+            color_blend=BlendState("one", "one", "add")
+        )
+        assert over.blend == "over" and additive.blend == "additive"
+        c_over, _ = over.draw(24, 24)
+        c_add, _ = additive.draw(24, 24)
+        assert np.abs(np.asarray(c_add) - np.asarray(c_over)).max() > 0.01
+
+    def test_blend_state_json_roundtrip(self):
+        d = GraphicsProgramDesc.from_json(
+            '{"color_blend": {"src_factor": "src_alpha", '
+            '"dst_factor": "one_minus_src_alpha", "op": "add"}}'
+        )
+        assert d.validate() == "over"
+        d2 = GraphicsProgramDesc.from_json(d.to_json())
+        assert d2.validate() == "over"
+
+    def test_unsupported_blend_state_raises(self):
+        from hala_tpu.programs.graphics_program import BlendState
+
+        with pytest.raises(HalaRendererError, match="blend"):
+            self._glass_program(
+                color_blend=BlendState("dst_color", "src_color", "add")
+            )
+
+    def test_invalid_topology_raises(self):
+        with pytest.raises(HalaRendererError, match="topology"):
+            self._glass_program(primitive_topology="line_strip")
+
+    def test_invalid_msaa_raises(self):
+        with pytest.raises(HalaRendererError, match="multisample"):
+            self._glass_program(multisample_count=3)
+
+    def test_deferred_msaa_exclusive(self):
+        with pytest.raises(HalaRendererError, match="Multisampling"):
+            self._glass_program(deferred=True, multisample_count=4)
+
+    def test_invalid_format_raises(self):
+        with pytest.raises(HalaRendererError, match="color_format"):
+            self._glass_program(color_format="R5G6B5_UNORM")
+
+    def test_custom_vs_plus_mesh_shader_raises(self):
+        with pytest.raises(HalaRendererError, match="exclusive"):
+            self._glass_program(
+                vertex_shader_file_path="mypkg:custom_vs",
+                mesh_shader_file_path="builtin:meshlet",
+            )
+
+    def test_task_without_mesh_raises(self):
+        with pytest.raises(HalaRendererError, match="task"):
+            self._glass_program(task_shader_file_path="builtin:cull")
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, rs):
         film = Film(
@@ -242,6 +314,106 @@ class TestBlueNoise:
         a, b = np.asarray(f1.accum), np.asarray(f2.accum)
         assert np.isfinite(b).all()
         assert np.abs(a - b).max() > 0  # different jitter stream
+
+    @staticmethod
+    def _bn():
+        return jnp.asarray(
+            np.random.RandomState(0).rand(32, 32, 4).astype(np.float32)
+        )
+
+    def test_blue_noise_seeds_all_sampling_dimensions(
+        self, cornell_device_scene
+    ):
+        """The texture is the sampler for bounce/NEE dimensions too
+        (rt_renderer.rs:1117-1156 binding-5 role), not only primary
+        jitter: two renders whose textures differ ONLY where primary
+        jitter cannot see it still produce different images."""
+        from hala_tpu.models.integrator import (
+            RenderSettings, Uniforms, render_frame,
+        )
+
+        settings = RenderSettings(
+            width=16, height=16, max_depth=3, tile_size=256
+        )
+        uni = Uniforms.default()
+        bn1 = np.asarray(self._bn()).copy()
+        bn2 = bn1.copy()
+        # channels 2-3 drive the second half of each 4-dim sample; the
+        # primary PIXEL jitter uses channels 0-1 of its own stream.
+        # Changing all four channels under a different toroidal shift
+        # per stream guarantees a bounce/NEE stream sees the change.
+        bn2[:, :, 2:] = np.random.RandomState(9).rand(32, 32, 2)
+        f1, _ = render_frame(
+            cornell_device_scene, None, uni, Film.create(16, 16), 0,
+            settings, blue_noise=jnp.asarray(bn1),
+        )
+        f2, _ = render_frame(
+            cornell_device_scene, None, uni, Film.create(16, 16), 0,
+            settings, blue_noise=jnp.asarray(bn2),
+        )
+        assert np.abs(np.asarray(f1.accum) - np.asarray(f2.accum)).max() > 0
+
+    def test_blue_noise_estimator_unbiased(self, cornell_device_scene):
+        """Blue-noise sampling must converge to the same image as PCG4D
+        (the Cranley-Patterson rotation preserves uniformity): frame
+        means agree within estimator noise after a short accumulation."""
+        from hala_tpu.models.integrator import (
+            RenderSettings, Uniforms, render_frame,
+        )
+
+        settings = RenderSettings(
+            width=16, height=16, max_depth=3, tile_size=256
+        )
+        uni = Uniforms.default()
+        fp = Film.create(16, 16)
+        fb = Film.create(16, 16)
+        for f in range(16):
+            fp, _ = render_frame(
+                cornell_device_scene, None, uni, fp, f, settings
+            )
+            fb, _ = render_frame(
+                cornell_device_scene, None, uni, fb, f, settings,
+                blue_noise=self._bn(),
+            )
+        mp = float(np.mean(np.asarray(fp.accum)[..., :3]))
+        mb = float(np.mean(np.asarray(fb.accum)[..., :3]))
+        assert abs(mp - mb) / mp < 0.08, (mp, mb)
+
+    def test_blue_noise_tiling_invariance(self, cornell_device_scene):
+        """Pixel results stay independent of the tile split with blue
+        noise enabled (the multi-chip bit-identity invariant: screen
+        coords derive from the global pixel id)."""
+        from hala_tpu.models.integrator import (
+            RenderSettings, Uniforms, render_frame,
+        )
+
+        uni = Uniforms.default()
+        bn = self._bn()
+        films = []
+        for tile in (64, 256):
+            settings = RenderSettings(
+                width=16, height=16, max_depth=2, tile_size=tile
+            )
+            f, _ = render_frame(
+                cornell_device_scene, None, uni, Film.create(16, 16), 0,
+                settings, blue_noise=bn,
+            )
+            films.append(np.asarray(f.accum))
+        np.testing.assert_array_equal(films[0], films[1])
+
+    def test_bn_sample4_vector_frame_and_range(self):
+        from hala_tpu.ops import rng
+
+        px = jnp.arange(64, dtype=jnp.int32) % 16
+        py = jnp.arange(64, dtype=jnp.int32) // 16
+        fidx = jnp.arange(64, dtype=jnp.uint32) % 4  # spp-style frames
+        r = np.asarray(rng.bn_sample4(self._bn(), px, py, fidx, 2, 13))
+        assert r.shape == (64, 4)
+        assert (r >= 0).all() and (r < 1).all()
+        # same pixel, different virtual frame -> different sample
+        r0 = np.asarray(rng.bn_sample4(self._bn(), px, py, 0, 2, 13))
+        r1 = np.asarray(rng.bn_sample4(self._bn(), px, py, 1, 2, 13))
+        assert np.abs(r0 - r1).max() > 0
 
 
 class TestKernelHookDispatch:
@@ -364,3 +536,53 @@ class TestKernelHookDispatch:
 def blue_miss(d, uniforms, default):
     """Importable miss kernel for the desc-path test."""
     return jnp.broadcast_to(jnp.asarray([0.0, 0.0, 6.0]), default.shape)
+
+
+class TestUiCallback:
+    """update(delta_time, ui_fn) parity: the reference threads a
+    per-frame UI callback through every record path (rt_renderer.rs:
+    430-468; rz update signature) drawing over the DISPLAY image."""
+
+    @staticmethod
+    def _overlay(img):
+        # paint a 4x4 marker in the corner, like a UI overlay would
+        return img.at[:4, :4, :].set(jnp.asarray([1.0, 0.0, 1.0]))
+
+    def test_rt_ui_fn_draws_on_display_not_accum(self):
+        from hala_tpu.models.rt_renderer import RayTracingRenderer
+        from hala_tpu.scene.procedural import cornell_box
+
+        r = RayTracingRenderer("ui", 16, 16, max_frames=4, tile_size=256)
+        r.set_scene(cornell_box())
+        r.commit()
+        r.update(0.0, ui_fn=self._overlay)
+        r.render()
+        accum_before = np.asarray(r.film.accum).copy()
+        img = r.get_final_image()
+        np.testing.assert_allclose(
+            img[:4, :4], np.broadcast_to([1.0, 0.0, 1.0], (4, 4, 3)),
+            atol=1e-6,
+        )
+        # the accumulator is untouched (progressive frames stay clean)
+        np.testing.assert_array_equal(np.asarray(r.film.accum), accum_before)
+        # a second frame without ui_fn clears the overlay
+        r.update(0.0)
+        r.render()
+        img2 = r.get_final_image()
+        assert not np.allclose(img2[:4, :4], [1.0, 0.0, 1.0])
+
+    def test_rz_ui_fn_applies_after_post(self):
+        from hala_tpu.models.rz_renderer import RasterizationRenderer
+        from hala_tpu.scene.procedural import cornell_box
+
+        r = RasterizationRenderer("ui_rz", 24, 24, chunk=128)
+        r.set_scene(cornell_box())
+        r.commit()
+        r.update(0.0, ui_fn=self._overlay)
+        img = np.asarray(r.color)
+        np.testing.assert_allclose(
+            img[:4, :4], np.broadcast_to([1.0, 0.0, 1.0], (4, 4, 3)),
+            atol=1e-6,
+        )
+        r.update(0.0)
+        assert not np.allclose(np.asarray(r.color)[:4, :4], [1.0, 0.0, 1.0])

@@ -495,58 +495,9 @@ class TestTransparency:
 
     @staticmethod
     def _glass_scene(front_a=None, mid_a=None):
-        """Opaque back wall at z=-1; optional transparent full-screen
-        quads at z=0 (front_a) and z=-0.5 (mid_a). Single-sided quads
-        facing the camera, so each contributes exactly ONE layer."""
-        import numpy as np
+        from conftest import make_glass_scene
 
-        from hala_tpu.scene.cpu.camera import PerspectiveCamera
-        from hala_tpu.scene.cpu.light import Light, LightType
-        from hala_tpu.scene.cpu.material import Material, MaterialType
-        from hala_tpu.scene.cpu.mesh import Mesh
-        from hala_tpu.scene.cpu.node import Node
-        from hala_tpu.scene.cpu.scene import Scene
-        from hala_tpu.scene.procedural import make_quad
-
-        scene = Scene()
-        mats = [Material(type=MaterialType.DIFFUSE,
-                         base_color=np.array([0.6, 0.2, 0.2], np.float32))]
-        prims = [make_quad([-2, -2, -1], [4, 0, 0], [0, 4, 0], 0)]
-        for z, a, col in [(-0.5, mid_a, [0.2, 0.6, 0.2]),
-                          (0.0, front_a, [0.8, 0.8, 0.9])]:
-            if a is None:
-                continue
-            mats.append(Material(
-                type=MaterialType.DIFFUSE,
-                base_color=np.array(col, np.float32),
-                opacity=np.float32(a),
-            ))
-            prims.append(
-                make_quad([-2, -2, z], [4, 0, 0], [0, 4, 0], len(mats) - 1)
-            )
-        scene.materials = mats
-        scene.meshes = [Mesh(primitives=prims)]
-        root = Node(name="root")
-        root.mesh_index = 0
-        scene.nodes.append(root)
-        light_node = Node(name="light")
-        m = np.eye(4, dtype=np.float32)
-        m[:3, 3] = [0, 0, 2.5]
-        light_node.local_transform = m
-        light_node.light_index = 0
-        scene.nodes.append(light_node)
-        scene.lights = [Light(color=np.ones(3, np.float32), intensity=30.0,
-                              light_type=LightType.POINT)]
-        cam_node = Node(name="camera")
-        cm = np.eye(4, dtype=np.float32)
-        cm[:3, 3] = [0, 0, 3.0]
-        cam_node.local_transform = cm
-        cam_node.camera_index = 0
-        scene.nodes.append(cam_node)
-        scene.cameras = [PerspectiveCamera(aspect=1.0, yfov=0.7, znear=0.1,
-                                           focal_distance=3.0)]
-        scene.update_node_hierarchies()
-        return scene
+        return make_glass_scene(front_a=front_a, mid_a=mid_a)
 
     @classmethod
     def _render(cls, scene, **kw):
@@ -589,6 +540,38 @@ class TestTransparency:
                           peel_layers=1)
         expect = a1 * f1 + (1 - a1) * bg
         np.testing.assert_allclose(b1, expect, atol=2e-6)
+
+    def test_additive_blend_operator(self):
+        """blend="additive" (ONE/ONE): composite == pane + background,
+        and differs from the default over operator."""
+        a = 0.4
+        bg = self._render(self._glass_scene())
+        f = self._render(self._glass_scene(front_a=1.0))
+        add = self._render(self._glass_scene(front_a=a), blend="additive")
+        np.testing.assert_allclose(add, f + bg, atol=2e-6)
+        over = self._render(self._glass_scene(front_a=a))
+        assert np.abs(add - over).max() > 0.01
+
+    def test_premultiplied_blend_operator(self):
+        """blend="premultiplied" (ONE/ONE_MINUS_SRC_ALPHA):
+        composite == pane + (1-a) * background."""
+        a = 0.4
+        bg = self._render(self._glass_scene())
+        f = self._render(self._glass_scene(front_a=1.0))
+        pm = self._render(self._glass_scene(front_a=a),
+                          blend="premultiplied")
+        np.testing.assert_allclose(pm, f + (1 - a) * bg, atol=2e-6)
+
+    def test_blend_none_renders_opaque(self):
+        """blend="none" (blending disabled): transparent materials
+        rasterize opaque, like the reference with blend state off."""
+        none = self._render(self._glass_scene(front_a=0.4), blend="none")
+        opaque = self._render(self._glass_scene(front_a=1.0))
+        np.testing.assert_allclose(none, opaque, atol=1e-6)
+
+    def test_invalid_blend_rejected(self):
+        with pytest.raises(HalaRendererError, match="blend"):
+            RasterizationRenderer("bad", 24, 24, blend="screen")
 
     def test_peel_zero_restores_legacy_opaque(self):
         """peel_layers=0: transparent materials rasterize opaque (the

@@ -1,0 +1,123 @@
+"""Bisect the wavefront TPU compile wall (DESIGN.md round-3 ledger).
+
+Facts going in: the cull+wavefront(+matrix-fallback) composition
+compiles in minutes at 369 clusters (atrium) but an isolated staged jit
+at 1861 clusters (atrium_big) was still compiling when killed at
+29 min. Compile time depends on SHAPES only, so this probe slices the
+atrium_big geometry to intermediate cluster counts and times
+jit-lower-compile of one configuration per process invocation:
+
+  CLUSTERS=1024 K=16 PART=wf python -u tools/probe_wall.py
+    PART=cull  — cull_topk alone
+    PART=wf    — intersect_wavefront any-hit (full, incl. fallback)
+    PART=wfnf  — intersect_wavefront any-hit, fallback branch removed
+    PART=mq    — matrix_query any-hit alone (the fallback body)
+
+Run each under `timeout` from tools/run_wall_sweep.sh; a hang loses
+only its own process.
+"""
+import dataclasses
+import os
+import sys
+import time
+
+t00 = time.perf_counter()
+
+
+def stamp(msg):
+    print(f"[{time.perf_counter() - t00:8.1f}s] {msg}", flush=True)
+
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from hala_tpu.scene.cpu.scene import Scene
+from hala_tpu.scene.loader.uploader import SceneUploader
+from hala_tpu.utils.compile_cache import enable_compilation_cache
+
+if os.environ.get("CPU"):
+    jax.config.update("jax_platforms", "cpu")
+else:
+    enable_compilation_cache()
+
+C = int(os.environ.get("CLUSTERS", "1861"))
+K = int(os.environ.get("K", "16"))
+M = int(os.environ.get("M", "32"))
+PART = os.environ.get("PART", "wf")
+N = int(os.environ.get("N", "131072"))
+
+path = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", os.environ.get("ASSET", "atrium_big.glb"),
+)
+scene = SceneUploader.upload(Scene.load(path), use_ray_tracing=False)
+g = scene.geometry
+c_full = g.tri_packed.shape[0]
+lanes = g.tri_packed.shape[2]
+if C < c_full:
+    # Compile time is a function of shapes, not values: slicing the
+    # cluster tables (and their slot rows) to C clusters produces the
+    # exact shape profile of a C-cluster scene.
+    t_slots = C * lanes
+    g = dataclasses.replace(
+        g,
+        tri_v0=g.tri_v0[:t_slots], tri_e1=g.tri_e1[:t_slots],
+        tri_e2=g.tri_e2[:t_slots], normals=g.normals[:t_slots],
+        tangents=g.tangents[:t_slots], uvs=g.uvs[:t_slots],
+        tri_mat=g.tri_mat[:t_slots], tri_prim=g.tri_prim[:t_slots],
+        shade_table=(
+            g.shade_table[:t_slots] if g.shade_table is not None else None
+        ),
+        cluster_min=g.cluster_min[:C], cluster_max=g.cluster_max[:C],
+        tri_packed=g.tri_packed[:C],
+        num_triangles=min(g.num_triangles, t_slots),
+        prefix_layout=False,
+    )
+jax.block_until_ready(g.tri_packed)
+stamp(f"geometry ready: C={g.tri_packed.shape[0]} PART={PART} K={K} M={M}")
+
+rs_key = jax.random.PRNGKey(0)
+o = jax.random.uniform(rs_key, (N, 3), jnp.float32, -5.0, 5.0)
+d = jax.random.normal(jax.random.PRNGKey(1), (N, 3), jnp.float32)
+d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+tf = jnp.full((N,), 30.0, jnp.float32)
+
+if PART == "cull":
+    from hala_tpu.ops.cull import cull_topk
+
+    def fn(o, d, tf):
+        return cull_topk(o, d, tf, g.cluster_min, g.cluster_max, k=K)
+elif PART == "mq":
+    from hala_tpu.ops.traverse import matrix_query
+
+    def fn(o, d, tf):
+        return matrix_query(o, d, g, t_max=tf, any_hit=True)
+elif PART in ("wf", "wfnf"):
+    from hala_tpu.ops.wavefront import intersect_wavefront
+
+    def fn(o, d, tf):
+        return intersect_wavefront(
+            o, d, g, t_max=tf, any_hit=True, k_per_ray=K, m_group=M,
+            fallback=(PART == "wf"),
+        )
+else:
+    raise SystemExit(f"unknown PART {PART}")
+
+jfn = jax.jit(fn)
+t0 = time.perf_counter()
+lowered = jfn.lower(o, d, tf)
+stamp(f"lowered in {time.perf_counter() - t0:.1f}s")
+t0 = time.perf_counter()
+compiled = lowered.compile()
+stamp(f"COMPILED in {time.perf_counter() - t0:.1f}s")
+t0 = time.perf_counter()
+out = compiled(o, d, tf)
+jax.block_until_ready(out)
+stamp(f"first run {time.perf_counter() - t0:.2f}s")
+t0 = time.perf_counter()
+for _ in range(5):
+    out = compiled(o, d, tf)
+jax.block_until_ready(out)
+stamp(f"steady {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
