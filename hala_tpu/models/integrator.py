@@ -498,11 +498,38 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
     ) > 0
 
 
+def _shadow_wavefront_route(settings: RenderSettings, scene) -> bool:
+    """True iff shadow-class queries route to the any-hit wavefront.
+    Shared by the megakernel's _occluded_local and the staged
+    dispatcher (which must dispatch the wavefront as its OWN XLA
+    program — the cull+wavefront pair inlined into any enclosing jit
+    hits the TPU compile wall, round-4 wall sweep) so the two paths
+    cannot drift."""
+    from ..ops.cull import _ID_MASK as _CULL_ID_MASK
+
+    g = scene.geometry
+    if _backend(settings, scene) not in ("wavefront", "matrix", "grouped"):
+        return False
+    c = g.tri_packed.shape[0]
+    if settings.shadow_dense_k > 0:
+        from ..ops.dense import DENSE_MAX_CLUSTERS
+
+        if c <= DENSE_MAX_CLUSTERS:
+            return False  # dense shadow engine takes precedence
+    return (
+        settings.shadow_intersector == "wavefront"
+        or (
+            settings.intersector == "auto"
+            and settings.shadow_intersector == "auto"
+            and c <= WAVEFRONT_AUTO_CLUSTER_CAP
+        )
+    ) and c < _CULL_ID_MASK  # the cull kernel owns this key width
+
+
 def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
     g = scene.geometry
     backend = _backend(settings, scene)
     if backend in ("wavefront", "matrix", "grouped"):
-        from ..ops.cull import _ID_MASK as _CULL_ID_MASK
         from ..ops.traverse import (
             intersect_grouped, intersect_matrix, matrix_query,
         )
@@ -517,17 +544,7 @@ def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
                     o, d, tf, g, k=settings.shadow_dense_k,
                     interpret=settings.interpret_pallas,
                 )
-        if (
-            (
-                settings.shadow_intersector == "wavefront"
-                or (
-                    settings.intersector == "auto"
-                    and settings.shadow_intersector == "auto"
-                    and c <= WAVEFRONT_AUTO_CLUSTER_CAP
-                )
-            )
-            and c < _CULL_ID_MASK  # the cull kernel owns this key width
-        ):
+        if _shadow_wavefront_route(settings, scene):
             # shadow-class queries: any-hit wavefront — blocked lanes
             # retire on first hit and the tight t_max prunes candidate
             # lists in the cull (measured 15.5 vs ~60 ms per 131k rays,
@@ -1508,6 +1525,38 @@ def _stage_occlude(scene, o, d, t_far, settings: RenderSettings):
     return _occluded(scene, o, d, t_far, settings)
 
 
+# Tiny glue jits for the own-program wavefront occlude (below): the
+# shadow t_max scaling and the hit->mask compare must not run eagerly
+# (an eager op on the axon TPU is a tunnel round trip per call site).
+_stage_occ_prep = jax.jit(lambda t: t * (1.0 - 1e-4))
+_stage_occ_post = jax.jit(lambda tri: tri >= 0)
+
+
+def _dispatch_occlude_staged(scene, o, d, t_far, settings: RenderSettings):
+    """Occlusion for one staged tile-bounce.
+
+    When the shadow class routes to the any-hit wavefront, the
+    cull+wavefront pair is dispatched as intersect_wavefront's OWN XLA
+    program instead of inlining into the _stage_occlude jit: the pair
+    compiles and runs standalone (round-3 probes, 15.5 ms/131k) but
+    inlined into ANY enclosing jit the TPU compiler does not finish even
+    at 369 clusters (round-4 wall sweep, out/probe_logs/r4/wall_*.log).
+    Dispatch count is identical (3 async programs vs 1), and the math is
+    the same code path _occluded_local would take."""
+    if _shadow_wavefront_route(settings, scene):
+        from ..ops.wavefront import intersect_wavefront
+
+        tf = _stage_occ_prep(t_far)
+        hit = intersect_wavefront(
+            o, d, scene.geometry, t_max=tf, any_hit=True,
+            interpret=settings.interpret_pallas,
+            k_per_ray=settings.wavefront_k,
+            m_group=settings.wavefront_m,
+        )
+        return _stage_occ_post(hit.tri)
+    return _stage_occlude(scene, o, d, t_far, settings)
+
+
 @partial(jax.jit, static_argnames=("settings", "full_height", "hooks"))
 def _stage_init(
     scene, env, uniforms, pixel_idx, frame_index, o, d, hit0,
@@ -1720,7 +1769,7 @@ def render_frame_staged(
             qhit = _stage_extend(
                 scene, c["next_o"], c["next_d"], c["ext_tmax"], settings
             )
-            occ = _stage_occlude(scene, sh_o, sh_d, sh_t, settings)
+            occ = _dispatch_occlude_staged(scene, sh_o, sh_d, sh_t, settings)
             st = _stage_post(
                 scene, env, uniforms, gpix, fidx_r, bounce, c, qhit, occ,
                 settings, cam_h, hooks, blue_noise,

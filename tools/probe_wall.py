@@ -12,6 +12,9 @@ jit-lower-compile of one configuration per process invocation:
     PART=wf    — intersect_wavefront any-hit (full, incl. fallback)
     PART=wfnf  — intersect_wavefront any-hit, fallback branch removed
     PART=mq    — matrix_query any-hit alone (the fallback body)
+    PART=wfown — intersect_wavefront called DIRECTLY (its own jit
+                 program, no enclosing jit — the way the round-3
+                 standalone probes ran it successfully)
 
 Run each under `timeout` from tools/run_wall_sweep.sh; a hang loses
 only its own process.
@@ -84,40 +87,69 @@ d = jax.random.normal(jax.random.PRNGKey(1), (N, 3), jnp.float32)
 d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
 tf = jnp.full((N,), 30.0, jnp.float32)
 
+# Geometry must be a jit ARGUMENT, not a closure capture: captured
+# device arrays embed as jaxpr constants, and lowering then fetches the
+# whole geometry through the tunnel to inline it (~100 MB at
+# atrium_big scale — measured 680 s of "lowering" at C=369 before this
+# fix, vs 87 s argument-passed). Production passes the scene as an
+# argument everywhere, so the argument form is the honest shape.
 if PART == "cull":
     from hala_tpu.ops.cull import cull_topk
 
-    def fn(o, d, tf):
-        return cull_topk(o, d, tf, g.cluster_min, g.cluster_max, k=K)
+    def fn(o, d, tf, cmin, cmax):
+        return cull_topk(o, d, tf, cmin, cmax, k=K)
+
+    args = (o, d, tf, g.cluster_min, g.cluster_max)
 elif PART == "mq":
     from hala_tpu.ops.traverse import matrix_query
 
-    def fn(o, d, tf):
+    def fn(o, d, tf, g):
         return matrix_query(o, d, g, t_max=tf, any_hit=True)
+
+    args = (o, d, tf, g)
 elif PART in ("wf", "wfnf"):
     from hala_tpu.ops.wavefront import intersect_wavefront
 
-    def fn(o, d, tf):
+    def fn(o, d, tf, g):
         return intersect_wavefront(
             o, d, g, t_max=tf, any_hit=True, k_per_ray=K, m_group=M,
             fallback=(PART == "wf"),
         )
+
+    args = (o, d, tf, g)
+elif PART == "wfown":
+    from hala_tpu.ops.wavefront import intersect_wavefront
+
+    t0 = time.perf_counter()
+    out = intersect_wavefront(
+        o, d, g, t_max=tf, any_hit=True, k_per_ray=K, m_group=M,
+    )
+    jax.block_until_ready(out.t)
+    stamp(f"OWN-JIT compile+first {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = intersect_wavefront(
+            o, d, g, t_max=tf, any_hit=True, k_per_ray=K, m_group=M,
+        )
+    jax.block_until_ready(out.t)
+    stamp(f"steady {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
+    raise SystemExit(0)
 else:
     raise SystemExit(f"unknown PART {PART}")
 
 jfn = jax.jit(fn)
 t0 = time.perf_counter()
-lowered = jfn.lower(o, d, tf)
+lowered = jfn.lower(*args)
 stamp(f"lowered in {time.perf_counter() - t0:.1f}s")
 t0 = time.perf_counter()
 compiled = lowered.compile()
 stamp(f"COMPILED in {time.perf_counter() - t0:.1f}s")
 t0 = time.perf_counter()
-out = compiled(o, d, tf)
+out = compiled(*args)
 jax.block_until_ready(out)
 stamp(f"first run {time.perf_counter() - t0:.2f}s")
 t0 = time.perf_counter()
 for _ in range(5):
-    out = compiled(o, d, tf)
+    out = compiled(*args)
 jax.block_until_ready(out)
 stamp(f"steady {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")

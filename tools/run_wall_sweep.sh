@@ -1,6 +1,15 @@
 #!/bin/bash
 # Wavefront compile-wall bisect (round-4). One probe_wall.py config per
 # process; a compiler hang costs only its own timeout slot.
+#
+# Established so far (out/probe_logs/r4/wall_*.log):
+#   - lowering is seconds once geometry is a jit ARGUMENT (closure
+#     capture inlines the scene as constants: 680 s of fake "lowering")
+#   - the full composition under an OUTER jit does not compile in 880 s
+#     even at C=369 — the wall is composition/inlining, not cluster
+#     count (round-3 "cluster scaling" reading was wrong)
+# This sweep isolates WHICH sub-structure owns it and whether the
+# own-jit form (how the round-3 standalone probes ran) escapes.
 cd "$(dirname "$0")/.."
 mkdir -p out/probe_logs/r4
 stamp() { date +"%F %T $*" | tee -a out/probe_logs/r4/wall_queue.log; }
@@ -13,23 +22,17 @@ run() {  # run NAME TIMEOUT ENV...
   stamp "wall $name exit=$?"
 }
 
-# NOTE: host-side tracing of intersect_wavefront alone takes minutes
-# under load (439s observed while the CPU test suite ran); run this on
-# a QUIET host and budget the timeout for trace + compile.
+# Which sub-structure owns the outer-jit wall at 369?
+run wfnf_c369 900 CLUSTERS=369 K=16 PART=wfnf
+run cull_c369 900 CLUSTERS=369 K=16 PART=cull
+run mq_c369   900 CLUSTERS=369 K=16 PART=mq
 
-# 1. Where does the full composition start hanging? (known: 369 ok,
-#    1861 hangs >29min — cap at 15 min: past that it IS the wall)
-run wf_c369  900 CLUSTERS=369  K=16 PART=wf
-run wf_c741  900 CLUSTERS=741  K=16 PART=wf
-run wf_c1113 900 CLUSTERS=1113 K=16 PART=wf
-run wf_c1861 900 CLUSTERS=1861 K=16 PART=wf
+# Does the own-jit form escape, and does IT scale to 1861?
+run wfown_c369  900 CLUSTERS=369  K=16 PART=wfown
+run wfown_c1861 1200 CLUSTERS=1861 K=16 PART=wfown
 
-# 2. Which sub-kernel owns it at 1861? (each alone)
-run cull_c1861 900 CLUSTERS=1861 K=16 PART=cull
-run mq_c1861   900 CLUSTERS=1861 K=16 PART=mq
-run wfnf_c1861 900 CLUSTERS=1861 K=16 PART=wfnf
-
-# 3. Does K matter? (the cull unrolls K extraction passes)
-run wf_c1861_k8 900 CLUSTERS=1861 K=8 PART=wf
+# If wfnf compiled: the fallback cond is the wall. If not: the pair is.
+# Either way check K=8 (the measured 15.5 ms shadow config).
+run wfown_c1861_k8 1200 CLUSTERS=1861 K=8 PART=wfown
 
 stamp "wall sweep done"
