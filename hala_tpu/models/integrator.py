@@ -62,6 +62,29 @@ _RAY_EPS = 1e-4
 # covered by tests + the driver dryrun in interpret mode.
 WAVEFRONT_AUTO_CLUSTER_CAP = 0
 
+# The STAGED dispatcher is exempt from the compile wall: it dispatches
+# the cull+wavefront pair as intersect_wavefront's OWN XLA program
+# (never inlined into an enclosing jit), and the round-4 wall sweep
+# measured that exact composition compiling in 188 s at 1861 clusters
+# with K=8 (out/probe_logs/r4/wall_wfown_c1861_k8.log) while every
+# inlined variant and every K=16 variant hangs the TPU compiler.
+# COMPILING is not WINNING though: at 1861 clusters the K=8 wavefront
+# LOST at the frame level (occlude 4.72 s vs 3.64 s matrix, warm frame
+# 8.68 s vs 7.51 s — out/probe_logs/r4/breakdown_{wavefront,matrix}.log;
+# the round-3 15.5 ms/131k any-hit figure was measured on the
+# 369-cluster atrium, where per-ray K=8 candidate lists rarely
+# overflow — at 1861 clusters the matrix fallback re-dispatch eats the
+# win). Auto therefore keeps the staged shadow wavefront OFF until a
+# scale where it measures a frame-level win; explicit
+# shadow_intersector="wavefront" dispatches own-program regardless.
+WAVEFRONT_STAGED_SHADOW_CLUSTER_CAP = 0
+
+# Same own-program exemption for the EXTEND (closest-hit bounce) class:
+# 0 until the closest own-jit compile + steady-state are measured on
+# the TPU (tools/probe_wall.py PART=wfown AH=0); explicit
+# settings.extend_intersector="wavefront" is available regardless.
+WAVEFRONT_STAGED_EXTEND_CLUSTER_CAP = 0
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderSettings:
@@ -112,6 +135,24 @@ class RenderSettings:
     # render_frame_staged where each kernel compiles standalone, which
     # is the whole point of that dispatcher; "matrix" forces matrix.
     shadow_intersector: str = "auto"
+    # Per-ray candidate-list cap for the SHADOW-class wavefront. Shadow
+    # segments are short (tight t_max prunes the cull), so K=8 loses no
+    # measurable exactness work to the fallback and was the measured
+    # 15.5 ms/131k config (round-3 ledger); K=16 also hits a much worse
+    # TPU compile wall in the cull+wavefront+fallback composition
+    # (round-4 wall sweep: K=16 exceeds 880 s even as its own program).
+    shadow_wavefront_k: int = 8
+    # EXTEND-class (closest-hit bounce ray) engine override, mirroring
+    # shadow_intersector: "auto" follows the backend policy (matrix
+    # today; the staged dispatcher may widen it via
+    # WAVEFRONT_STAGED_EXTEND_CLUSTER_CAP once measured), "wavefront"
+    # forces the K-candidate wavefront for bounce rays, "matrix" pins
+    # the matrix engine. Exactness is engine-independent (canonical
+    # Moller-Trumbore re-eval + lexicographic ties, DESIGN.md round-3).
+    extend_intersector: str = "auto"
+    # K for the extend-class wavefront: 8, the only K measured through
+    # the TPU compiler as an own program (round-4 wall sweep).
+    extend_wavefront_k: int = 8
     # Matrix-kernel visit engine: worklist (packed-nibble drain, single
     # scalar sync per level) vs the branch engine, and how many
     # clusters one visit round batches (overlapped DMAs). See
@@ -498,13 +539,18 @@ def _occluded(scene, o, d, t_far, settings: RenderSettings):
     ) > 0
 
 
-def _shadow_wavefront_route(settings: RenderSettings, scene) -> bool:
+def _shadow_wavefront_route(
+    settings: RenderSettings, scene, staged: bool = False
+) -> bool:
     """True iff shadow-class queries route to the any-hit wavefront.
     Shared by the megakernel's _occluded_local and the staged
     dispatcher (which must dispatch the wavefront as its OWN XLA
     program — the cull+wavefront pair inlined into any enclosing jit
     hits the TPU compile wall, round-4 wall sweep) so the two paths
-    cannot drift."""
+    cannot drift. `staged=True` widens the auto policy to
+    WAVEFRONT_STAGED_SHADOW_CLUSTER_CAP: own-program dispatch is the
+    composition the wall sweep measured compiling (K=8), so only the
+    staged dispatcher may auto-enable it."""
     from ..ops.cull import _ID_MASK as _CULL_ID_MASK
 
     g = scene.geometry
@@ -516,14 +562,42 @@ def _shadow_wavefront_route(settings: RenderSettings, scene) -> bool:
 
         if c <= DENSE_MAX_CLUSTERS:
             return False  # dense shadow engine takes precedence
+    auto_cap = (
+        WAVEFRONT_STAGED_SHADOW_CLUSTER_CAP
+        if staged
+        else WAVEFRONT_AUTO_CLUSTER_CAP
+    )
     return (
         settings.shadow_intersector == "wavefront"
         or (
             settings.intersector == "auto"
             and settings.shadow_intersector == "auto"
-            and c <= WAVEFRONT_AUTO_CLUSTER_CAP
+            and c <= auto_cap
         )
     ) and c < _CULL_ID_MASK  # the cull kernel owns this key width
+
+
+def _extend_wavefront_route(
+    settings: RenderSettings, scene, staged: bool = False
+) -> bool:
+    """True iff EXTEND-class (closest-hit bounce) queries route to the
+    K-candidate wavefront. Same shape as _shadow_wavefront_route: only
+    the staged dispatcher may auto-enable it (own-program dispatch is
+    the composition that survives the TPU compile wall)."""
+    from ..ops.cull import _ID_MASK as _CULL_ID_MASK
+
+    if _backend(settings, scene) not in ("wavefront", "matrix", "grouped"):
+        return False
+    c = scene.geometry.tri_packed.shape[0]
+    auto_cap = WAVEFRONT_STAGED_EXTEND_CLUSTER_CAP if staged else 0
+    return (
+        settings.extend_intersector == "wavefront"
+        or (
+            settings.intersector == "auto"
+            and settings.extend_intersector == "auto"
+            and c <= auto_cap
+        )
+    ) and c < _CULL_ID_MASK
 
 
 def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
@@ -554,7 +628,7 @@ def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
             return intersect_wavefront(
                 o, d, g, t_max=tf,
                 interpret=settings.interpret_pallas, any_hit=True,
-                k_per_ray=settings.wavefront_k,
+                k_per_ray=settings.shadow_wavefront_k,
                 m_group=settings.wavefront_m,
             ).tri >= 0
         if settings.sort_rays:
@@ -574,7 +648,7 @@ def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
             return intersect_wavefront(
                 o, d, g, t_max=tf,
                 interpret=settings.interpret_pallas, any_hit=True,
-                k_per_ray=settings.wavefront_k,
+                k_per_ray=settings.shadow_wavefront_k,
                 m_group=settings.wavefront_m,
             ).tri >= 0
         if backend == "grouped":
@@ -1532,6 +1606,32 @@ _stage_occ_prep = jax.jit(lambda t: t * (1.0 - 1e-4))
 _stage_occ_post = jax.jit(lambda tri: tri >= 0)
 
 
+def _dispatch_extend_staged(scene, o, d, t_max, settings: RenderSettings):
+    """Closest-hit for one staged tile-bounce.
+
+    When the extend class routes to the wavefront
+    (settings.extend_intersector, or auto under
+    WAVEFRONT_STAGED_EXTEND_CLUSTER_CAP), the cull+wavefront pair is
+    dispatched as intersect_wavefront's OWN XLA program — the same
+    compile-wall exemption _dispatch_occlude_staged uses. The wavefront
+    sorts internally by candidate signature, so no outer coherence sort
+    is added (matrix_query delegates the same way). Results are
+    bit-identical to the matrix engine: winning hits are re-evaluated
+    with the canonical Moller-Trumbore and ties break lexicographically
+    (DESIGN.md round-3 ledger), and unresolved lanes fall back through
+    matrix_query inside the same program."""
+    if _extend_wavefront_route(settings, scene, staged=True):
+        from ..ops.wavefront import intersect_wavefront
+
+        return intersect_wavefront(
+            o, d, scene.geometry, t_max=t_max,
+            interpret=settings.interpret_pallas,
+            k_per_ray=settings.extend_wavefront_k,
+            m_group=settings.wavefront_m,
+        )
+    return _stage_extend(scene, o, d, t_max, settings)
+
+
 def _dispatch_occlude_staged(scene, o, d, t_far, settings: RenderSettings):
     """Occlusion for one staged tile-bounce.
 
@@ -1543,14 +1643,14 @@ def _dispatch_occlude_staged(scene, o, d, t_far, settings: RenderSettings):
     at 369 clusters (round-4 wall sweep, out/probe_logs/r4/wall_*.log).
     Dispatch count is identical (3 async programs vs 1), and the math is
     the same code path _occluded_local would take."""
-    if _shadow_wavefront_route(settings, scene):
+    if _shadow_wavefront_route(settings, scene, staged=True):
         from ..ops.wavefront import intersect_wavefront
 
         tf = _stage_occ_prep(t_far)
         hit = intersect_wavefront(
             o, d, scene.geometry, t_max=tf, any_hit=True,
             interpret=settings.interpret_pallas,
-            k_per_ray=settings.wavefront_k,
+            k_per_ray=settings.shadow_wavefront_k,
             m_group=settings.wavefront_m,
         )
         return _stage_occ_post(hit.tri)
@@ -1766,7 +1866,7 @@ def render_frame_staged(
                 scene, env, uniforms, gpix, fidx_r, bounce, st,
                 settings, cam_h, hooks, blue_noise,
             )
-            qhit = _stage_extend(
+            qhit = _dispatch_extend_staged(
                 scene, c["next_o"], c["next_d"], c["ext_tmax"], settings
             )
             occ = _dispatch_occlude_staged(scene, sh_o, sh_d, sh_t, settings)

@@ -824,12 +824,19 @@ def _matrix_traverse(
                         axis=(0, 1), keepdims=True,
                     )
                 )
-        pk0 = _pack_worklist(flags)[0, 0]
+        # One nibble word holds 8 entries; finer MT groups (mg=8 at
+        # bs=128 -> 16 groups) or batched visits spill into extra
+        # words, drained in order (global entry id = word*8 + nibble).
+        # Cost per extra word: one vector->scalar sync per visit.
+        words = [
+            _pack_worklist(flags[w:w + 8])[0, 0]
+            for w in range(0, len(flags), 8)
+        ]
         for cp in cps:
             cp.wait()
 
-        def g_body(pkc):
-            e = pkc & nib
+        def g_body(pkc, base_e):
+            e = (pkc & nib) + jnp.int32(base_e)
             if nb == 1:
                 g = e
                 ci = jnp.int32(0)
@@ -976,14 +983,17 @@ def _matrix_traverse(
                 )
             return jax.lax.shift_right_logical(pkc, 4)
 
-        def g_loop(carry):
-            pkc, gi = carry
-            return g_body(pkc), gi + 1
+        for w, word in enumerate(words):
+            cap = min(8, len(flags) - w * 8)
 
-        jax.lax.while_loop(
-            lambda c: ((c[0] & nib) != nib) & (c[1] < nb * n_groups),
-            g_loop, (pk0, jnp.int32(0)),
-        )
+            def g_loop(carry, base_e=w * 8):
+                pkc, gi = carry
+                return g_body(pkc, base_e), gi + 1
+
+            jax.lax.while_loop(
+                lambda c, cap=cap: ((c[0] & nib) != nib) & (c[1] < cap),
+                g_loop, (word, jnp.int32(0)),
+            )
 
     max_chunk = jnp.int32((num_clusters - 1) // subs)
 
@@ -1340,17 +1350,18 @@ def intersect_matrix(
     tri_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     mg = _MT_GROUP if mt_group is None else mt_group
-    # The worklist engine packs per-level wanting-entry ids into one
-    # 32-bit nibble list: both levels must fit 8 entries (a batched
-    # visit spends visit_batch * n_groups group-level nibbles).
+    # The worklist engine packs wanting-entry ids into 32-bit nibble
+    # lists; the group level spills past 8 entries into extra words
+    # (one extra scalar sync each), capped at 4 words, while the
+    # pretest-span level stays single-word (8 spans at subs=1).
     span = min(_MT_ITERS, TRI_CHUNK // subs)
     n_pre = (
         span // _PRETEST_TRIS
         if pretest and span % _PRETEST_TRIS == 0 else 0
     )
-    wl = worklist and bs // min(mg, bs) <= 8 and n_pre <= 8
+    wl = worklist and bs // min(mg, bs) <= 32 and n_pre <= 8
     vb = visit_batch if (
-        wl and visit_batch * (bs // min(mg, bs)) <= 8
+        wl and visit_batch * (bs // min(mg, bs)) <= 32
     ) else 1
     pipe = bool(pipeline) and wl and vb == 1
     kern = (

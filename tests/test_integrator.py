@@ -372,7 +372,34 @@ class TestStagedFrame:
                 width=size, height=size, max_depth=2, rr_depth=2,
                 tile_size=512, intersector="matrix", sort_rays=True,
                 interpret_pallas=True, shadow_intersector="wavefront",
-                wavefront_k=3, wavefront_m=8,
+                wavefront_k=3, shadow_wavefront_k=3, wavefront_m=8,
+            ),
+            frames=1,
+        )
+
+    def test_extend_wavefront_staged_bit_identical(self):
+        """EXTEND-class own-program wavefront (settings.
+        extend_intersector="wavefront" routes bounce closest-hit rays
+        through _dispatch_extend_staged's own-jit wavefront while the
+        megakernel comparison frame runs matrix closest): exactness is
+        engine-independent (canonical re-eval + lexicographic ties), so
+        the films must stay bit-identical."""
+        from hala_tpu.scene.loader.uploader import SceneUploader
+        from hala_tpu.scene.procedural import sponza_like
+
+        dev = SceneUploader.upload(
+            sponza_like(rooms=(3, 3), columns_per_room=3,
+                        boxes_per_room=6),
+            use_ray_tracing=False,
+        )
+        size = 32
+        self._pair(
+            dev,
+            RenderSettings(
+                width=size, height=size, max_depth=2, rr_depth=2,
+                tile_size=512, intersector="matrix", sort_rays=True,
+                interpret_pallas=True, extend_intersector="wavefront",
+                extend_wavefront_k=3, wavefront_m=8,
             ),
             frames=1,
         )

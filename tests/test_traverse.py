@@ -202,6 +202,35 @@ class TestMatrix:
             np.asarray(occ.tri) >= 0, np.asarray(bf_t.tri) >= 0
         )
 
+    @pytest.mark.parametrize("mg,vb", [(8, 1), (16, 1), (8, 2)])
+    def test_worklist_multiword_exact(self, geom, rs, mg, vb):
+        """Fine MT groups under the worklist engine spill past the
+        8-entry nibble word into extra words (mg=8 at bs=64 -> 8
+        groups x vb). The multi-word drain (global entry id =
+        word*8 + nibble) must stay bit-equal to the branch engine,
+        including the full-word no-sentinel edge."""
+        g = geom
+        o, d = _rays(1024, rs)
+        bf = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, chunk=128
+        )
+        hit = intersect_matrix(
+            o, d, g, interpret=True, worklist=True, sublanes=64,
+            mt_group=mg, visit_batch=vb,
+        )
+        _assert_hits_equal(hit, bf)
+        occ = intersect_matrix(
+            o, d, g, t_max=jnp.full((1024,), 2.5), interpret=True,
+            any_hit=True, worklist=True, sublanes=64, mt_group=mg,
+            visit_batch=vb,
+        )
+        bf_t = intersect_bruteforce(
+            o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=2.5, chunk=128
+        )
+        np.testing.assert_array_equal(
+            np.asarray(occ.tri) >= 0, np.asarray(bf_t.tri) >= 0
+        )
+
     def test_worklist_batch4_exact(self, geom, rs):
         """4-cluster batched visits (legal only when visit_batch *
         n_groups <= 8 worklist nibbles; mg=bs pins n_groups=1). The

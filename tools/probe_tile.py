@@ -97,6 +97,24 @@ SWEEPS = {
           # only legal at mg >= bs/2 — amortizes 4 selection rounds +
           # overlaps 4 DMAs per drain
           (128, 64, True, True, 4), (128, 64, True, True, 2)],
+    # round 4: FINE MT groups under the multi-word worklist (the
+    # branch engine was per-group-sync bound at mg=8; the worklist
+    # pays one extra scalar sync per 8 groups instead). A wanting
+    # mg=8 group runs MT over (8,128)=1024 rays vs (32,128)=4096 —
+    # 4x less lockstep waste if the ~42 wanting rays/visit clump.
+    "6": [(128, 32, True, True, 1, True),   # shipped champion (control)
+          (128, 16, True, True), (128, 8, True, True),
+          (64, 8, True, True), (64, 16, True, True),
+          (128, 8, True, True, 2)],
+    # round 4b: TALLER ray tiles at coarse groups (only mg=8/16 were
+    # ever tried at bs=256, before worklist+pipeline existed). Taller
+    # tiles cut the number of cluster-union sweeps linearly while the
+    # per-tile union grows sublinearly on sorted rays; bs=512 mg=32 is
+    # 16 groups = 2 worklist words (legal only since the multi-word
+    # drain landed).
+    "7": [(256, 32, True, True, 1, True), (256, 64, True, True, 1, True),
+          (512, 32, True, True, 1, True), (512, 64, True, True, 1, True),
+          (256, 32, True, True, 1, False)],
 }
 sweep = SWEEPS[os.environ.get("SWEEP", "3")]
 

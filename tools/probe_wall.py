@@ -50,6 +50,7 @@ K = int(os.environ.get("K", "16"))
 M = int(os.environ.get("M", "32"))
 PART = os.environ.get("PART", "wf")
 N = int(os.environ.get("N", "131072"))
+AH = os.environ.get("AH", "1") != "0"  # any-hit (default) vs closest
 
 path = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -79,7 +80,7 @@ if C < c_full:
         prefix_layout=False,
     )
 jax.block_until_ready(g.tri_packed)
-stamp(f"geometry ready: C={g.tri_packed.shape[0]} PART={PART} K={K} M={M}")
+stamp(f"geometry ready: C={g.tri_packed.shape[0]} PART={PART} K={K} M={M} AH={AH}")
 
 rs_key = jax.random.PRNGKey(0)
 o = jax.random.uniform(rs_key, (N, 3), jnp.float32, -5.0, 5.0)
@@ -104,7 +105,7 @@ elif PART == "mq":
     from hala_tpu.ops.traverse import matrix_query
 
     def fn(o, d, tf, g):
-        return matrix_query(o, d, g, t_max=tf, any_hit=True)
+        return matrix_query(o, d, g, t_max=tf, any_hit=AH)
 
     args = (o, d, tf, g)
 elif PART in ("wf", "wfnf"):
@@ -112,7 +113,7 @@ elif PART in ("wf", "wfnf"):
 
     def fn(o, d, tf, g):
         return intersect_wavefront(
-            o, d, g, t_max=tf, any_hit=True, k_per_ray=K, m_group=M,
+            o, d, g, t_max=tf, any_hit=AH, k_per_ray=K, m_group=M,
             fallback=(PART == "wf"),
         )
 
@@ -122,14 +123,14 @@ elif PART == "wfown":
 
     t0 = time.perf_counter()
     out = intersect_wavefront(
-        o, d, g, t_max=tf, any_hit=True, k_per_ray=K, m_group=M,
+        o, d, g, t_max=tf, any_hit=AH, k_per_ray=K, m_group=M,
     )
     jax.block_until_ready(out.t)
     stamp(f"OWN-JIT compile+first {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(5):
         out = intersect_wavefront(
-            o, d, g, t_max=tf, any_hit=True, k_per_ray=K, m_group=M,
+            o, d, g, t_max=tf, any_hit=AH, k_per_ray=K, m_group=M,
         )
     jax.block_until_ready(out.t)
     stamp(f"steady {(time.perf_counter() - t0) / 5 * 1e3:.1f} ms")
