@@ -156,10 +156,13 @@ class RenderSettings:
     # Matrix-kernel visit engine: worklist (packed-nibble drain, single
     # scalar sync per level) vs the branch engine, and how many
     # clusters one visit round batches (overlapped DMAs). See
-    # ops/traverse._worklist_visit and the DESIGN.md round-3 ledger.
-    matrix_worklist: bool = False
+    # ops/traverse._worklist_visit and the DESIGN.md round-3/4 ledgers.
+    # Worklist + pipelined visits are the measured champion (113.4/66.6
+    # ms vs 127.5/69.3 branch per 131k rays at 1861 clusters) and the
+    # default since round 4.
+    matrix_worklist: bool = True
     matrix_visit_batch: int = 1
-    matrix_pipeline: bool = False
+    matrix_pipeline: bool = True
     # Max alpha-tested surfaces a shadow ray may stochastically pass
     # through (any-hit-shader parity: the reference's hit shaders can
     # continue through stacked transparent surfaces). 1 = legacy

@@ -385,17 +385,27 @@ def intersect_wavefront(
     # the full top-2 plus a prefix of the 3rd, never touching the sign
     skey = (id0 << 18) | (id1 << 5) | (id2 >> 8)
     lane = jnp.arange(n_pad, dtype=jnp.int32)
-    srt = jax.lax.sort(
-        (skey, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         tm_p, lane, cnt) + tuple(pk[:, i] for i in range(k)),
-        num_keys=1,
-    )
-    o_s = jnp.stack(srt[1:4], axis=1)
-    d_s = jnp.stack(srt[4:7], axis=1)
-    tm_s = srt[7]
-    lane_s = srt[8]
-    cnt_s = srt[9]
-    pk_s = jnp.stack(srt[10:], axis=1)
+    # TWO-operand sort + ONE row take, NOT a (10+K)-operand payload
+    # sort: XLA-TPU compile time explodes in variadic-sort operand
+    # count (out/probe_logs/r4/sortwall.log — 26 operands at K=16 is
+    # the round-3 "wavefront compile wall"; the Pallas walker itself is
+    # m-bounded and compiles in seconds). num_keys=2 makes the order a
+    # total one (lane breaks signature ties), so grouping is
+    # deterministic. The row take costs ~2-4 ms at frame batch sizes
+    # (DESIGN.md glue-primitive probes) — noise next to the minutes of
+    # compile it buys back.
+    _, lane_s = jax.lax.sort((skey, lane), num_keys=2)
+    bc_f = functools.partial(jax.lax.bitcast_convert_type,
+                             new_dtype=jnp.float32)
+    payload = jnp.concatenate(
+        [o, d, tm_p[:, None], bc_f(cnt)[:, None], bc_f(pk)], axis=1
+    )  # (N, 8 + k); int columns ride as raw f32 bits (pure data move)
+    pay_s = jnp.take(payload, lane_s, axis=0)
+    o_s = pay_s[:, 0:3]
+    d_s = pay_s[:, 3:6]
+    tm_s = pay_s[:, 6]
+    cnt_s = jax.lax.bitcast_convert_type(pay_s[:, 7], jnp.int32)
+    pk_s = jax.lax.bitcast_convert_type(pay_s[:, 8:], jnp.int32)
 
     tnb, grp_bound = _group_lists(pk_s, g_total, k, m)
     pkl = jnp.pad(

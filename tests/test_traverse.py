@@ -202,7 +202,7 @@ class TestMatrix:
             np.asarray(occ.tri) >= 0, np.asarray(bf_t.tri) >= 0
         )
 
-    @pytest.mark.parametrize("mg,vb", [(8, 1), (16, 1), (8, 2)])
+    @pytest.mark.parametrize("mg,vb", [(8, 1), (16, 1), (8, 2), (4, 1)])
     def test_worklist_multiword_exact(self, geom, rs, mg, vb):
         """Fine MT groups under the worklist engine spill past the
         8-entry nibble word into extra words (mg=8 at bs=64 -> 8

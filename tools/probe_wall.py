@@ -118,6 +118,46 @@ elif PART in ("wf", "wfnf"):
         )
 
     args = (o, d, tf, g)
+elif PART == "glue":
+    # Everything BEFORE the Pallas walker: cull + signature sort +
+    # payload gather + group merge + want mask. If this compiles fast
+    # while wfnf is slow, the wall is the walker (or its composition);
+    # if THIS is slow, the wall is the XLA glue.
+    import functools
+
+    from hala_tpu.ops.cull import INF_KEY, _ID_MASK, cull_topk
+    from hala_tpu.ops.wavefront import GROUP, _group_lists
+
+    def fn(o, d, tf, cmin, cmax):
+        n = o.shape[0]
+        k = K
+        m = M
+        pk, cnt = cull_topk(o, d, tf, cmin, cmax, k=k)
+        id0 = pk[:, 0] & _ID_MASK
+        id1 = pk[:, min(1, k - 1)] & _ID_MASK
+        id2 = pk[:, min(2, k - 1)] & _ID_MASK
+        skey = (id0 << 18) | (id1 << 5) | (id2 >> 8)
+        lane = jnp.arange(n, dtype=jnp.int32)
+        _, lane_s = jax.lax.sort((skey, lane), num_keys=2)
+        bc_f = functools.partial(
+            jax.lax.bitcast_convert_type, new_dtype=jnp.float32
+        )
+        payload = jnp.concatenate(
+            [o, d, tf[:, None], bc_f(cnt)[:, None], bc_f(pk)], axis=1
+        )
+        pay_s = jnp.take(payload, lane_s, axis=0)
+        pk_s = jax.lax.bitcast_convert_type(pay_s[:, 8:], jnp.int32)
+        g_total = n // GROUP
+        tnb, grp_bound = _group_lists(pk_s, g_total, k, m)
+        eid = jnp.where(tnb != INF_KEY, tnb & _ID_MASK, -2)
+        cand = jnp.where(pk_s != INF_KEY, pk_s & _ID_MASK, -1)
+        cand = cand.reshape(g_total, GROUP, k)
+        want = jnp.any(
+            cand[:, :, :, None] == eid[:, None, None, :], axis=2
+        )
+        return (tnb.sum(), grp_bound.sum(), want.sum(), pay_s.sum())
+
+    args = (o, d, tf, g.cluster_min, g.cluster_max)
 elif PART == "wfown":
     from hala_tpu.ops.wavefront import intersect_wavefront
 
