@@ -233,7 +233,11 @@ def bench_envmap():
         width=512, height=512, max_depth=4, rr_depth=2, tile_size=65536,
         env_type=ENV_MAP, intersector="auto",
     )
-    mrays, _ = _trace_loop(scene, env, settings, 8, "envmap")
+    # 16 pipelined frames: same steady-state window as cornell/ggx (the
+    # round-2 ledger measured short windows under-reporting ~30% by
+    # timing the dispatch ramp; envmap ran an 8-frame window through
+    # round 4's first capture — 90.2 vs the 104.1 quiet-host probe).
+    mrays, _ = _trace_loop(scene, env, settings, 16, "envmap")
     _emit("envmap_cdf_pathtrace_throughput", mrays, vs="throughput")
 
 

@@ -1956,7 +1956,7 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
     static_argnames=(
         "interpret", "any_hit", "subs", "kernel", "wavefront_k",
         "wavefront_m", "sublanes", "mt_group", "pretest", "worklist",
-        "visit_batch", "pipeline",
+        "visit_batch", "pipeline", "sort_key",
     ),
 )
 def matrix_query(
@@ -1965,8 +1965,9 @@ def matrix_query(
     kernel: str = "matrix",
     wavefront_k: int = 16, wavefront_m: int = 32,
     sublanes: int | None = None, mt_group: int | None = None,
-    pretest: bool = True, worklist: bool = False,
-    visit_batch: int = 1, pipeline: bool = False,
+    pretest: bool = True, worklist: bool = True,
+    visit_batch: int = 1, pipeline: bool = True,
+    sort_key: str = "morton",
 ) -> Hit:
     """Coherence-sorted traversal with FUSED payload sorts.
 
@@ -1977,8 +1978,19 @@ def matrix_query(
     in-kernel selection loop), "grouped" (the static-grid MXU traversal
     — the sort is what makes its 128-ray groups tight), or "wavefront"
     (per-ray top-K candidates merged into per-group lists,
-    ops/wavefront.py — the large-scene default)."""
+    ops/wavefront.py — the large-scene default).
+
+    Defaults are the measured champion of the round-3/4 tile sweeps
+    (tools/probe_tile.py on 1861 clusters / 131k sorted rays):
+    worklist + software-pipelined visits, and 512-sublane ray tiles at
+    frame batch sizes (107.7/61.5 ms closest/any-hit vs 127.5/69.3 for
+    the round-3 branch-engine default)."""
     n = o.shape[0]
+    if sublanes is None and worklist and pipeline and visit_batch == 1:
+        # 65536-ray tiles only where they divide the batch (padding a
+        # ragged tail to a 65536 tile can waste up to 2x); the tall
+        # tile was measured only under the pipelined worklist engine.
+        sublanes = 512 if n > 0 and n % (512 * LANES) == 0 else None
     if t_max is None:
         tm = varying_like(o[:, 0], 0.0) + T_MAX
     else:
@@ -1993,7 +2005,32 @@ def matrix_query(
             o, d, geometry, t_max=tm, interpret=interpret,
             any_hit=any_hit, k_per_ray=wavefront_k, m_group=wavefront_m,
         )
-    key = _coherence_key(o, d, tm, geometry.cluster_min, geometry.cluster_max)
+    if sort_key == "signature":
+        # Candidate-signature ordering: rays keyed by their two nearest
+        # candidate-cluster ids plus a prefix of the third (the
+        # wavefront's grouping key, ops/wavefront.py — measured tighter
+        # than origin-Morton for merged-list occupancy). For the matrix
+        # kernel the payoff is lockstep MT occupancy: lanes wanting the
+        # same cluster clump into fewer mt_group slices per visit.
+        # Costs one Pallas cull pass (~4.7 ms / 131k rays at 1861
+        # clusters).
+        from .cull import _ID_MASK as _CULL_ID_MASK
+        from .cull import cull_topk
+
+        pk, _ = cull_topk(
+            o, d, tm, geometry.cluster_min, geometry.cluster_max, k=4,
+            interpret=interpret,
+        )
+        id0 = pk[:, 0] & _CULL_ID_MASK
+        id1 = pk[:, 1] & _CULL_ID_MASK
+        id2 = pk[:, 2] & _CULL_ID_MASK
+        # Dead / no-candidate rays: INF_KEY ids land at 0x1FFF, so they
+        # key last, same as _coherence_key's dead-ray bit.
+        key = (id0 << 18) | (id1 << 5) | (id2 >> 8)
+    else:
+        key = _coherence_key(
+            o, d, tm, geometry.cluster_min, geometry.cluster_max
+        )
     idx = jnp.arange(n, dtype=jnp.int32)
     (_, o0, o1, o2, d0, d1, d2, tm_s, idx_s) = jax.lax.sort(
         (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], tm, idx),

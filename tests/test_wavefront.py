@@ -207,3 +207,31 @@ class TestWavefront:
                                   chunk=128)
         hit = matrix_query(o, d, g, interpret=True, kernel="wavefront")
         _assert_canonical_equal(hit, bf)
+
+    @pytest.mark.parametrize("any_hit", [False, True])
+    def test_signature_sort_key_exact(self, geom, rs, any_hit):
+        """matrix_query(sort_key="signature") — rays ordered by their
+        cull candidate signature instead of origin-Morton — must return
+        bit-identical hits (the ordering only changes kernel tile
+        grouping; the matrix kernel is exact under any permutation)."""
+        g = geom
+        o, d = _rays(1024, rs)
+        tmx = jnp.full((1024,), 2.5) if any_hit else None
+        base = matrix_query(
+            o, d, g, t_max=tmx, interpret=True, any_hit=any_hit
+        )
+        sig = matrix_query(
+            o, d, g, t_max=tmx, interpret=True, any_hit=any_hit,
+            sort_key="signature",
+        )
+        if any_hit:
+            np.testing.assert_array_equal(
+                np.asarray(sig.tri) >= 0, np.asarray(base.tri) >= 0
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(sig.tri), np.asarray(base.tri)
+            )
+            np.testing.assert_allclose(
+                np.asarray(sig.t), np.asarray(base.t), rtol=1e-6
+            )

@@ -46,9 +46,13 @@ stamp(f"upload done (clusters={scene.geometry.tri_packed.shape[0]})")
 w, h = int(os.environ.get("W", "1920")), int(os.environ.get("H", "1088"))
 settings = I.RenderSettings(
     width=w, height=h, max_depth=int(os.environ.get("DEPTH", "4")),
-    rr_depth=2, tile_size=131072, sort_rays=True,
+    rr_depth=2, tile_size=int(os.environ.get("TILE", "131072")),
+    sort_rays=True,
     intersector=os.environ.get("INTERSECTOR", "matrix"),
     shadow_intersector=os.environ.get("SHADOW", "auto"),
+    extend_intersector=os.environ.get("EXTEND", "auto"),
+    shadow_wavefront_k=int(os.environ.get("SK", "8")),
+    extend_wavefront_k=int(os.environ.get("EK", "8")),
     spp=int(os.environ.get("SPP", "1")),
 )
 uniforms = I.Uniforms.default()

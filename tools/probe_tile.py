@@ -115,6 +115,15 @@ SWEEPS = {
     "7": [(256, 32, True, True, 1, True), (256, 64, True, True, 1, True),
           (512, 32, True, True, 1, True), (512, 64, True, True, 1, True),
           (256, 32, True, True, 1, False)],
+    # round 4c: candidate-signature ray ordering (the wavefront's
+    # grouping key via the Pallas cull) vs origin-Morton at the shipped
+    # champion, plus a 1024-sublane tile (fits since nb=1 at 131k rays
+    # disables Pallas block double-buffering).
+    "8": [(512, 32, True, True, 1, True),            # control (morton)
+          (512, 32, True, True, 1, True, "signature"),
+          (512, 64, True, True, 1, True, "signature"),
+          (1024, 32, True, True, 1, True),
+          (1024, 32, True, True, 1, True, "signature")],
 }
 sweep = SWEEPS[os.environ.get("SWEEP", "3")]
 
@@ -123,19 +132,24 @@ for combo in sweep:
     wl = combo[3] if len(combo) > 3 else False
     vb = combo[4] if len(combo) > 4 else 1
     pip = combo[5] if len(combo) > 5 else False
-    tag = f"bs={bs} mg={mg} pre={int(pre)} wl={int(wl)} vb={vb} pipe={int(pip)}"
+    sk = combo[6] if len(combo) > 6 else "morton"
+    tag = (f"bs={bs} mg={mg} pre={int(pre)} wl={int(wl)} vb={vb} "
+           f"pipe={int(pip)} key={sk}")
     timed(
         f"closest {tag}",
-        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip: matrix_query(
+        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip, sk=sk:
+        matrix_query(
             o, dd, g, sublanes=bs, mt_group=mg, pretest=pre,
-            worklist=wl, visit_batch=vb, pipeline=pip,
+            worklist=wl, visit_batch=vb, pipeline=pip, sort_key=sk,
         ),
     )
     timed(
         f"any-hit {tag}",
-        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip: matrix_query(
+        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip, sk=sk:
+        matrix_query(
             o, dd, g, t_max=far, any_hit=True, sublanes=bs, mt_group=mg,
             pretest=pre, worklist=wl, visit_batch=vb, pipeline=pip,
+            sort_key=sk,
         ),
     )
 
