@@ -267,7 +267,8 @@ def bench_sponza():
     scene = _sponza_scene()
     settings = RenderSettings(
         width=1920, height=1088, max_depth=4, rr_depth=2,
-        tile_size=131072, intersector="auto", sort_rays=True,
+        tile_size=int(os.environ.get("SPONZA_TILE", "131072")),
+        intersector="auto", sort_rays=True,
     )
     mrays, ms = _trace_loop(scene, None, settings, 3, "sponza")
     _emit("sponza_scale_1080p_pathtrace_throughput", mrays, vs="throughput")

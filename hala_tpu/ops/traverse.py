@@ -559,16 +559,16 @@ MATRIX_BLOCK = MATRIX_SUBLANES * LANES
 
 def _make_matrix_kernel(num_clusters: int, subs: int, mt_group: int,
                         pretest: bool, worklist: bool,
-                        visit_batch: int, pipeline: bool):
+                        visit_batch: int, pipeline: bool, flat: bool):
     return functools.partial(
         _matrix_kernel_body, num_clusters, subs, mt_group, pretest,
-        worklist, visit_batch, pipeline,
+        worklist, visit_batch, pipeline, flat,
     )
 
 
 def _matrix_kernel_body(
     num_clusters, subs, mt_group, pretest, worklist, visit_batch,
-    pipeline,
+    pipeline, flat,
     cmin_ref, cmax_ref,             # VMEM (C, 3)
     ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
     tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
@@ -577,15 +577,17 @@ def _matrix_kernel_body(
     tri_smem,                       # scratch SMEM (16, TRI_CHUNK)
     invx_s, invy_s, invz_s,         # scratch VMEM (bs, LANES) f32
     inrun_s,                        # scratch VMEM (bs, LANES) i32
-    sem, sem2,
+    ew_vmem, ew_smem,               # scratch (8, LANES) i32 entry words
+    sem, sem2, sem3,
 ):
     _matrix_traverse(
         num_clusters, subs, mt_group, pretest, worklist, visit_batch,
-        pipeline,
+        pipeline, flat,
         cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
-        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem, sem2,
+        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s,
+        ew_vmem, ew_smem, sem, sem2, sem3,
         any_hit=False,
     )
 
@@ -593,32 +595,34 @@ def _matrix_kernel_body(
 def _make_matrix_occluded_kernel(num_clusters: int, subs: int,
                                  mt_group: int, pretest: bool,
                                  worklist: bool, visit_batch: int,
-                                 pipeline: bool):
+                                 pipeline: bool, flat: bool):
     return functools.partial(
         _matrix_occluded_body, num_clusters, subs, mt_group, pretest,
-        worklist, visit_batch, pipeline,
+        worklist, visit_batch, pipeline, flat,
     )
 
 
 def _matrix_occluded_body(
     num_clusters, subs, mt_group, pretest, worklist, visit_batch,
-    pipeline,
+    pipeline, flat,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
     t_out, tri_out, u_out, v_out, runs_out,
-    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem, sem2,
+    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s,
+    ew_vmem, ew_smem, sem, sem2, sem3,
 ):
     """Any-hit variant: a blocked lane zeroes its remaining range, so
     its liveness collapses immediately — shadow queries touch far fewer
     clusters than closest-hit (no need to ORDER hits, just find one)."""
     _matrix_traverse(
         num_clusters, subs, mt_group, pretest, worklist, visit_batch,
-        pipeline,
+        pipeline, flat,
         cmin_ref, cmax_ref,
         ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
         t_out, tri_out, u_out, v_out, runs_out,
-        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem, sem2,
+        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s,
+        ew_vmem, ew_smem, sem, sem2, sem3,
         any_hit=True,
     )
 
@@ -684,12 +688,13 @@ def _rmin_rows(c: int) -> int:
 
 def _matrix_traverse(
     num_clusters, subs, mt_group, pretest, worklist, visit_batch,
-    pipeline,
+    pipeline, flat,
     cmin_ref, cmax_ref,
     ox, oy, oz, dx, dy, dz, tmax,
     tri_hbm,
     t_out, tri_out, u_out, v_out, runs_out,
-    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s, sem, sem2,
+    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s,
+    ew_vmem, ew_smem, sem, sem2, sem3,
     any_hit: bool,
 ):
     bs = ox.shape[0]  # tile height (intersect_matrix adapts it to C)
@@ -789,6 +794,187 @@ def _matrix_traverse(
         nib = jnp.int32(_NIB)
         nb = len(clusters)
 
+        def mt_span_at(gsl, g_mask, g_ox, g_oy, g_oz, g_dx, g_dy, g_dz,
+                       coff, sub_off, base, k0, k_n):
+            """Moller-Trumbore over one mt_group slice for triangles
+            [k0, k0+k_n) of the visit's chunk column (shared by the
+            nibble drain and the flat SMEM-entry drain)."""
+            def tri_body(k, _):
+                t = coff + sub_off + k0 + k
+                av0x = tri_smem[0, t]
+                av0y = tri_smem[1, t]
+                av0z = tri_smem[2, t]
+                ae1x = tri_smem[3, t]
+                ae1y = tri_smem[4, t]
+                ae1z = tri_smem[5, t]
+                ae2x = tri_smem[6, t]
+                ae2y = tri_smem[7, t]
+                ae2z = tri_smem[8, t]
+
+                px = g_dy * ae2z - g_dz * ae2y
+                py = g_dz * ae2x - g_dx * ae2z
+                pz = g_dx * ae2y - g_dy * ae2x
+                det = px * ae1x + py * ae1y + pz * ae1z
+                inv_det = jnp.where(
+                    jnp.abs(det) > _EPS, 1.0 / det, 0.0
+                )
+                tx = g_ox - av0x
+                ty = g_oy - av0y
+                tz = g_oz - av0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * ae1z - tz * ae1y
+                qy = tz * ae1x - tx * ae1z
+                qz = tx * ae1y - ty * ae1x
+                v = (g_dx * qx + g_dy * qy + g_dz * qz) * inv_det
+                tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
+
+                t_cur = t_out[gsl]
+                ok = (
+                    g_mask
+                    & (jnp.abs(det) > _EPS)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (tt > _T_MIN)
+                    & (tt < t_cur)
+                )
+                if any_hit:
+                    t_out[gsl] = jnp.where(ok, 0.0, t_cur)
+                    tri_out[gsl] = jnp.where(
+                        ok, base + k0 + k, tri_out[gsl]
+                    )
+                else:
+                    t_out[gsl] = jnp.where(ok, tt, t_cur)
+                    tri_out[gsl] = jnp.where(
+                        ok, base + k0 + k, tri_out[gsl]
+                    )
+                    u_out[gsl] = jnp.where(ok, u, u_out[gsl])
+                    v_out[gsl] = jnp.where(ok, v, v_out[gsl])
+                return 0
+
+            jax.lax.fori_loop(0, k_n, tri_body, 0)
+
+        if flat and nb == 1 and n_pre > 0 and n_groups <= LANES:
+            # FLAT drain: the two-level nibble scheme pays one
+            # vector->scalar sync per word PLUS one per drained group
+            # (the span pack) — measured ~10 of the 37.6 us/visit at
+            # bs=512/mg=32 (probe_visits + DESIGN.md round-4 ledger).
+            # Here every (group, span-mask) want is computed in ONE
+            # vector pass (full-tile pretest slabs folded per group),
+            # staged one 32-bit entry per LANE of a (8, LANES) VMEM
+            # tile, and DMA'd to SMEM — after which the whole drain is
+            # scalar-domain SMEM reads: per visit the only
+            # vector->scalar round trips left are the selection min,
+            # the liveness bound, and this one 4 KB DMA wait.
+            cid, chunk, sub_off, base, valid = clusters[0]
+            if dma:
+                cp = pltpu.make_async_copy(
+                    tri_hbm.at[chunk], tri_smem.at[:, 0:TRI_CHUNK], sem
+                )
+                cp.start()
+            _, in_run = slab(cid, t_out[:])
+            if valid is not None:
+                in_run = in_run & valid
+            inrun_s[:] = in_run.astype(jnp.int32)
+            if dma:
+                cp.wait()
+            # Full-tile sub-chunk pretest (row-9 span AABBs just
+            # landed): span p is wanted by group g iff any of g's lanes
+            # is live for the cluster AND enters the span's box before
+            # its current best t.
+            t_cur_full = t_out[:]
+            pre_m = []
+            for p in range(n_pre):
+                lane0 = coff0 + (sub_off // _PRETEST_TRIS + p) * 6
+                bnx = tri_smem[9, lane0 + 0]
+                bny = tri_smem[9, lane0 + 1]
+                bnz = tri_smem[9, lane0 + 2]
+                bxx = tri_smem[9, lane0 + 3]
+                bxy = tri_smem[9, lane0 + 4]
+                bxz = tri_smem[9, lane0 + 5]
+                p0x = (bnx - rox) * invx
+                p1x = (bxx - rox) * invx
+                p0y = (bny - roy) * invy
+                p1y = (bxy - roy) * invy
+                p0z = (bnz - roz) * invz
+                p1z = (bxz - roz) * invz
+                ptn = jnp.maximum(
+                    jnp.maximum(
+                        jnp.minimum(p0x, p1x), jnp.minimum(p0y, p1y)
+                    ),
+                    jnp.minimum(p0z, p1z),
+                )
+                ptf = jnp.minimum(
+                    jnp.minimum(
+                        jnp.maximum(p0x, p1x), jnp.maximum(p0y, p1y)
+                    ),
+                    jnp.maximum(p0z, p1z),
+                )
+                pre = (
+                    in_run & (ptn <= ptf) & (ptf > 0.0)
+                    & (ptn < t_cur_full)
+                )
+                pre_m.append(pre.astype(jnp.int32))
+            # Per-group span masks, then one 32-bit (g << 16 | mask)
+            # entry per wanting group, compacted into row 0's lanes by
+            # a running count; -1 pads (n_groups < LANES guarantees a
+            # sentinel lane).
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+            acc = jnp.full((8, LANES), -1, jnp.int32)
+            cnt = jnp.zeros((1, 1), jnp.int32)
+            for g in range(n_groups):
+                sl = slice(g * g_sz, (g + 1) * g_sz)
+                bits = jnp.zeros((1, 1), jnp.int32)
+                for p in range(n_pre):
+                    b = jnp.max(pre_m[p][sl], axis=(0, 1), keepdims=True)
+                    bits = bits | jax.lax.shift_left(b, p)
+                has = bits != 0
+                entry = jnp.full((1, 1), g << 16, jnp.int32) | bits
+                acc = jnp.where(
+                    (row_i == 0) & (lane_i == cnt) & has, entry, acc
+                )
+                cnt = cnt + has.astype(jnp.int32)
+            ew_vmem[:] = acc
+            cpe = pltpu.make_async_copy(ew_vmem, ew_smem, sem3)
+            cpe.start()
+            cpe.wait()
+
+            def flat_entry(carry):
+                idx = carry
+                e = ew_smem[0, idx]
+                g = jax.lax.shift_right_logical(e, 16)
+                mask0 = e & jnp.int32(0xFFFF)
+                gsl = pl.ds(g * g_sz, g_sz)
+                g_ox, g_oy, g_oz = ox[gsl], oy[gsl], oz[gsl]
+                g_dx, g_dy, g_dz = dx[gsl], dy[gsl], dz[gsl]
+                g_mask = inrun_s[gsl] != 0
+
+                def s_body(c):
+                    m, p = c
+
+                    @pl.when((m & 1) != 0)
+                    def _():
+                        mt_span_at(
+                            gsl, g_mask, g_ox, g_oy, g_oz,
+                            g_dx, g_dy, g_dz,
+                            jnp.int32(coff0), sub_off, base,
+                            p * _PRETEST_TRIS, _PRETEST_TRIS,
+                        )
+                    return (
+                        jax.lax.shift_right_logical(m, 1), p + 1
+                    )
+
+                jax.lax.while_loop(
+                    lambda c: c[0] != 0, s_body, (mask0, jnp.int32(0))
+                )
+                return idx + 1
+
+            jax.lax.while_loop(
+                lambda i: ew_smem[0, i] != -1, flat_entry, jnp.int32(0)
+            )
+            return
+
         cps = []
         if dma:
             for i, (cid, chunk, sub_off, base, valid) in enumerate(
@@ -868,60 +1054,10 @@ def _matrix_traverse(
                 ) != 0
 
             def mt_span(k0, k_n):
-                def tri_body(k, _):
-                    t = coff + sub_off + k0 + k
-                    av0x = tri_smem[0, t]
-                    av0y = tri_smem[1, t]
-                    av0z = tri_smem[2, t]
-                    ae1x = tri_smem[3, t]
-                    ae1y = tri_smem[4, t]
-                    ae1z = tri_smem[5, t]
-                    ae2x = tri_smem[6, t]
-                    ae2y = tri_smem[7, t]
-                    ae2z = tri_smem[8, t]
-
-                    px = g_dy * ae2z - g_dz * ae2y
-                    py = g_dz * ae2x - g_dx * ae2z
-                    pz = g_dx * ae2y - g_dy * ae2x
-                    det = px * ae1x + py * ae1y + pz * ae1z
-                    inv_det = jnp.where(
-                        jnp.abs(det) > _EPS, 1.0 / det, 0.0
-                    )
-                    tx = g_ox - av0x
-                    ty = g_oy - av0y
-                    tz = g_oz - av0z
-                    u = (tx * px + ty * py + tz * pz) * inv_det
-                    qx = ty * ae1z - tz * ae1y
-                    qy = tz * ae1x - tx * ae1z
-                    qz = tx * ae1y - ty * ae1x
-                    v = (g_dx * qx + g_dy * qy + g_dz * qz) * inv_det
-                    tt = (ae2x * qx + ae2y * qy + ae2z * qz) * inv_det
-
-                    t_cur = t_out[gsl]
-                    ok = (
-                        g_mask
-                        & (jnp.abs(det) > _EPS)
-                        & (u >= 0.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
-                        & (tt > _T_MIN)
-                        & (tt < t_cur)
-                    )
-                    if any_hit:
-                        t_out[gsl] = jnp.where(ok, 0.0, t_cur)
-                        tri_out[gsl] = jnp.where(
-                            ok, base + k0 + k, tri_out[gsl]
-                        )
-                    else:
-                        t_out[gsl] = jnp.where(ok, tt, t_cur)
-                        tri_out[gsl] = jnp.where(
-                            ok, base + k0 + k, tri_out[gsl]
-                        )
-                        u_out[gsl] = jnp.where(ok, u, u_out[gsl])
-                        v_out[gsl] = jnp.where(ok, v, v_out[gsl])
-                    return 0
-
-                jax.lax.fori_loop(0, k_n, tri_body, 0)
+                mt_span_at(
+                    gsl, g_mask, g_ox, g_oy, g_oz, g_dx, g_dy, g_dz,
+                    coff, sub_off, base, k0, k_n,
+                )
 
             if n_pre == 0:
                 mt_span(jnp.int32(0), span)
@@ -1259,7 +1395,7 @@ def _matrix_traverse(
     jax.jit,
     static_argnames=("interpret", "with_stats", "any_hit", "subs",
                      "sublanes", "mt_group", "pretest", "worklist",
-                     "visit_batch", "pipeline"),
+                     "visit_batch", "pipeline", "flat"),
 )
 def intersect_matrix(
     o: jnp.ndarray,
@@ -1276,6 +1412,7 @@ def intersect_matrix(
     worklist: bool = False,
     visit_batch: int = 1,
     pipeline: bool = False,
+    flat: bool = False,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
@@ -1364,10 +1501,18 @@ def intersect_matrix(
         wl and visit_batch * (bs // min(mg, bs)) <= 32
     ) else 1
     pipe = bool(pipeline) and wl and vb == 1
+    # Flat SMEM-entry drain: single-visit worklist with pretest spans
+    # only (the (group, span-mask) entries assume both), entries bounded
+    # by the staging row's lane count.
+    fl = (
+        bool(flat) and wl and vb == 1 and n_pre > 0
+        and bs // min(mg, bs) <= LANES
+    )
     kern = (
-        _make_matrix_occluded_kernel(c, subs, mg, pretest, wl, vb, pipe)
+        _make_matrix_occluded_kernel(c, subs, mg, pretest, wl, vb, pipe,
+                                     fl)
         if any_hit
-        else _make_matrix_kernel(c, subs, mg, pretest, wl, vb, pipe)
+        else _make_matrix_kernel(c, subs, mg, pretest, wl, vb, pipe, fl)
     )
     t_b, tri_b, u_b, v_b, runs_b = pl.pallas_call(
         kern,
@@ -1389,6 +1534,9 @@ def intersect_matrix(
             pltpu.VMEM((bs, LANES), jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.int32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.SMEM((8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -1956,7 +2104,7 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
     static_argnames=(
         "interpret", "any_hit", "subs", "kernel", "wavefront_k",
         "wavefront_m", "sublanes", "mt_group", "pretest", "worklist",
-        "visit_batch", "pipeline", "sort_key",
+        "visit_batch", "pipeline", "sort_key", "flat",
     ),
 )
 def matrix_query(
@@ -1967,7 +2115,7 @@ def matrix_query(
     sublanes: int | None = None, mt_group: int | None = None,
     pretest: bool = True, worklist: bool = True,
     visit_batch: int = 1, pipeline: bool = True,
-    sort_key: str = "morton",
+    sort_key: str = "morton", flat: bool = False,
 ) -> Hit:
     """Coherence-sorted traversal with FUSED payload sorts.
 
@@ -2048,7 +2196,7 @@ def matrix_query(
             o_s, d_s, geometry, t_max=tm_s, interpret=interpret,
             any_hit=any_hit, subs=subs, sublanes=sublanes,
             mt_group=mt_group, pretest=pretest, worklist=worklist,
-            visit_batch=visit_batch, pipeline=pipeline,
+            visit_batch=visit_batch, pipeline=pipeline, flat=flat,
         )
     (_, t_o, tri_o, u_o, v_o) = jax.lax.sort(
         (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1

@@ -170,16 +170,21 @@ class TestMatrix:
         )
         assert (np.asarray(hit.tri) == -1).all()
 
-    @pytest.mark.parametrize("pretest,vb,pipe", [
-        (True, 1, False), (False, 1, False), (True, 2, False),
-        (False, 2, False), (True, 1, True), (False, 1, True),
+    @pytest.mark.parametrize("pretest,vb,pipe,flat", [
+        (True, 1, False, False), (False, 1, False, False),
+        (True, 2, False, False), (False, 2, False, False),
+        (True, 1, True, False), (False, 1, True, False),
+        (True, 1, False, True), (True, 1, True, True),
     ])
-    def test_worklist_engine_exact(self, geom, rs, pretest, vb, pipe):
+    def test_worklist_engine_exact(self, geom, rs, pretest, vb, pipe,
+                                   flat):
         """The packed-nibble worklist visit engine must be bit-equal to
         the branch engine (identical MT math over the identical visit
         set) for both query classes, with and without the sub-chunk
-        pretest spans, with batched (2-cluster) visits, and with the
-        software-pipelined (ping-pong DMA) loop."""
+        pretest spans, with batched (2-cluster) visits, with the
+        software-pipelined (ping-pong DMA) loop, and with the flat
+        SMEM-entry drain (one DMA'd (group, span-mask) table per
+        visit)."""
         g = geom
         o, d = _rays(1024, rs)
         bf = intersect_bruteforce(
@@ -187,13 +192,13 @@ class TestMatrix:
         )
         hit = intersect_matrix(
             o, d, g, interpret=True, worklist=True, pretest=pretest,
-            visit_batch=vb, pipeline=pipe,
+            visit_batch=vb, pipeline=pipe, flat=flat,
         )
         _assert_hits_equal(hit, bf)
         occ = intersect_matrix(
             o, d, g, t_max=jnp.full((1024,), 2.5), interpret=True,
             any_hit=True, worklist=True, pretest=pretest,
-            visit_batch=vb, pipeline=pipe,
+            visit_batch=vb, pipeline=pipe, flat=flat,
         )
         bf_t = intersect_bruteforce(
             o, d, g.tri_v0, g.tri_e1, g.tri_e2, t_max=2.5, chunk=128

@@ -124,8 +124,21 @@ SWEEPS = {
           (512, 64, True, True, 1, True, "signature"),
           (1024, 32, True, True, 1, True),
           (1024, 32, True, True, 1, True, "signature")],
+    # round 4d: the shipped champion alone — run with SUBS=2 / SUBS=4
+    # for the fine-cluster sweep.
+    "9": [(512, 32, True, True, 1, True)],
+    # round 4e: FLAT SMEM-entry drain (one DMA'd entry table per visit,
+    # scalar-domain span drains) vs the two-level nibble scheme.
+    "10": [(512, 32, True, True, 1, True),
+           (512, 32, True, True, 1, True, "morton", True),
+           (512, 16, True, True, 1, True, "morton", True),
+           (512, 64, True, True, 1, True, "morton", True)],
 }
 sweep = SWEEPS[os.environ.get("SWEEP", "3")]
+# SUBS=2/4 splits each 128-tri DMA chunk into finer traversal clusters
+# (tighter entry distances, half/quarter MT spans per visit, 2-4x the
+# visits). Never swept under the worklist+pipeline engine.
+SUBS = int(os.environ.get("SUBS", "1"))
 
 for combo in sweep:
     bs, mg, pre = combo[:3]
@@ -133,23 +146,27 @@ for combo in sweep:
     vb = combo[4] if len(combo) > 4 else 1
     pip = combo[5] if len(combo) > 5 else False
     sk = combo[6] if len(combo) > 6 else "morton"
+    fl = combo[7] if len(combo) > 7 else False
     tag = (f"bs={bs} mg={mg} pre={int(pre)} wl={int(wl)} vb={vb} "
-           f"pipe={int(pip)} key={sk}")
+           f"pipe={int(pip)} key={sk} flat={int(fl)}")
     timed(
         f"closest {tag}",
-        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip, sk=sk:
+        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip, sk=sk,
+        fl=fl:
         matrix_query(
-            o, dd, g, sublanes=bs, mt_group=mg, pretest=pre,
+            o, dd, g, subs=SUBS, sublanes=bs, mt_group=mg, pretest=pre,
             worklist=wl, visit_batch=vb, pipeline=pip, sort_key=sk,
+            flat=fl,
         ),
     )
     timed(
         f"any-hit {tag}",
-        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip, sk=sk:
+        lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip, sk=sk,
+        fl=fl:
         matrix_query(
-            o, dd, g, t_max=far, any_hit=True, sublanes=bs, mt_group=mg,
-            pretest=pre, worklist=wl, visit_batch=vb, pipeline=pip,
-            sort_key=sk,
+            o, dd, g, t_max=far, any_hit=True, subs=SUBS, sublanes=bs,
+            mt_group=mg, pretest=pre, worklist=wl, visit_batch=vb,
+            pipeline=pip, sort_key=sk, flat=fl,
         ),
     )
 
