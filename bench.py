@@ -119,18 +119,28 @@ def _film_mean(film):
     return float(jax.jit(lambda a: jnp.mean(a[..., :3]))(film.accum))
 
 
-def _trace_loop(scene, env, settings, frames, name):
+def _trace_loop(scene, env, settings, frames, name, staged=False):
     """Pipelined progressive loop (no host sync inside — a per-frame
     readback costs a full tunnel round trip, measured 6x throughput).
-    Returns (Mrays/s, ms/frame); checks the config's invariants."""
+    Returns (Mrays/s, ms/frame); checks the config's invariants.
+
+    staged=True dispatches each frame through render_frame_staged
+    (bit-equal to the megakernel, round-3 measured 0.5% overhead):
+    many small async XLA programs instead of one per frame, which both
+    respects the axon ~2 min single-execution bound at large tiles and
+    matches the tile-ladder measurement config (round-4 ledger:
+    7.51 s/frame at tile 131072 -> 5.02 s at 524288)."""
     import jax
 
-    from hala_tpu.models.integrator import Film, Uniforms, render_frame
+    from hala_tpu.models.integrator import (
+        Film, Uniforms, render_frame, render_frame_staged,
+    )
 
+    frame_fn = render_frame_staged if staged else render_frame
     uniforms = Uniforms.default()
     film = Film.create(settings.width, settings.height)
     t_cold = time.perf_counter()
-    film, rays = render_frame(scene, env, uniforms, film, 0, settings)
+    film, rays = frame_fn(scene, env, uniforms, film, 0, settings)
     jax.block_until_ready(rays)
     # cold = compile + first frame; across fresh processes this line is
     # the pipeline-cache verification (rt_renderer.rs:229-240 role): a
@@ -143,7 +153,7 @@ def _trace_loop(scene, env, settings, frames, name):
     rays_acc = []
     t0 = time.perf_counter()
     for f in range(1, 1 + frames):
-        film, rays = render_frame(scene, env, uniforms, film, f, settings)
+        film, rays = frame_fn(scene, env, uniforms, film, f, settings)
         rays_acc.append(rays)
     jax.block_until_ready(film.accum)
     dt = time.perf_counter() - t0
@@ -267,10 +277,15 @@ def bench_sponza():
     scene = _sponza_scene()
     settings = RenderSettings(
         width=1920, height=1088, max_depth=4, rr_depth=2,
-        tile_size=int(os.environ.get("SPONZA_TILE", "131072")),
+        # 524288-ray frame tiles: the round-4 tile ladder measured
+        # 7.51 s/frame (131072) -> 5.66 (262144) -> 5.02 (524288) as
+        # per-tile fixed work (sort, compaction, top_k, kernel ramp)
+        # amortizes; dispatched staged so no single XLA execution grows
+        # with the tile (axon kills ~2 min executions).
+        tile_size=int(os.environ.get("SPONZA_TILE", "524288")),
         intersector="auto", sort_rays=True,
     )
-    mrays, ms = _trace_loop(scene, None, settings, 3, "sponza")
+    mrays, ms = _trace_loop(scene, None, settings, 3, "sponza", staged=True)
     _emit("sponza_scale_1080p_pathtrace_throughput", mrays, vs="throughput")
     _emit("sponza_scale_1080p_ms_per_frame_1spp", ms, unit="ms")
 
@@ -296,7 +311,10 @@ def bench_sponza16():
     scene = _sponza_scene()
     settings = RenderSettings(
         width=1920, height=1088, max_depth=4, rr_depth=2,
-        tile_size=131072, intersector="auto", sort_rays=True, spp=16,
+        # same 524288-ray tile as the 1-spp config (round-4 ladder win);
+        # at 16 spp that is 32768 pixels x 16 sample-adjacent rays.
+        tile_size=int(os.environ.get("SPONZA16_TILE", "524288")),
+        intersector="auto", sort_rays=True, spp=16,
     )
     uniforms = Uniforms.default()
     film = Film.create(settings.width, settings.height)
