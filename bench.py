@@ -277,12 +277,14 @@ def bench_sponza():
     scene = _sponza_scene()
     settings = RenderSettings(
         width=1920, height=1088, max_depth=4, rr_depth=2,
-        # 524288-ray frame tiles: the round-4 tile ladder measured
-        # 7.51 s/frame (131072) -> 5.66 (262144) -> 5.02 (524288) as
-        # per-tile fixed work (sort, compaction, top_k, kernel ramp)
+        # 1048576-ray frame tiles: the round-4 tile ladder measured
+        # 7.51 s/frame (131072) -> 5.66 (262144) -> 4.96 (524288) ->
+        # 4.50 (1048576) -> 5.43 (2097152, whole frame — past the knee
+        # the morton sort / top_k n log n outgrows the amortized fixed
+        # work) as per-tile fixed cost (sort, compaction, kernel ramp)
         # amortizes; dispatched staged so no single XLA execution grows
         # with the tile (axon kills ~2 min executions).
-        tile_size=int(os.environ.get("SPONZA_TILE", "524288")),
+        tile_size=int(os.environ.get("SPONZA_TILE", "1048576")),
         intersector="auto", sort_rays=True,
     )
     mrays, ms = _trace_loop(scene, None, settings, 3, "sponza", staged=True)
@@ -311,9 +313,9 @@ def bench_sponza16():
     scene = _sponza_scene()
     settings = RenderSettings(
         width=1920, height=1088, max_depth=4, rr_depth=2,
-        # same 524288-ray tile as the 1-spp config (round-4 ladder win);
-        # at 16 spp that is 32768 pixels x 16 sample-adjacent rays.
-        tile_size=int(os.environ.get("SPONZA16_TILE", "524288")),
+        # same 1048576-ray tile as the 1-spp config (round-4 ladder
+        # win); at 16 spp that is 65536 pixels x 16 sample-adjacent rays.
+        tile_size=int(os.environ.get("SPONZA16_TILE", "1048576")),
         intersector="auto", sort_rays=True, spp=16,
     )
     uniforms = Uniforms.default()
