@@ -163,6 +163,13 @@ class RenderSettings:
     matrix_worklist: bool = True
     matrix_visit_batch: int = 1
     matrix_pipeline: bool = True
+    # Supercluster page size: selection/bound/visit overhead is paid
+    # once per PAGE of this many consecutive SAH-adjacent clusters
+    # (union AABB) instead of once per cluster — the TLAS level above
+    # the flat cluster list (VERDICT round-4 item 1). 1 = flat
+    # (round-4 behavior); >1 requires the worklist engine and disables
+    # the pipelined single-visit variant.
+    matrix_page: int = 1
     # Max alpha-tested surfaces a shadow ray may stochastically pass
     # through (any-hit-shader parity: the reference's hit shaders can
     # continue through stacked transparent surfaces). 1 = legacy
@@ -206,6 +213,22 @@ class KernelHooks:
     - post_shade(radiance, albedo, normal) -> same triple: transform a
       traced tile's outputs before film accumulation — the
       callable-shader seam.
+    - closest_hit(ctx, mp) -> mp: override the resolved material
+      parameters at the shading point (ctx: dict with p/ns/ng/uv/wo/t/
+      tri/mat/on_surface arrays) — the closest-hit-shader seam, run
+      after texture fetch and before every BSDF/NEE consumer
+      (rt_renderer.rs:1016-1112 push_hit_shaders, TRIANGLES group).
+    - any_hit(ctx, mp, r, default_pass) -> bool (N,): decide stochastic
+      pass-through (True = ignore the hit and continue the ray) given
+      the per-lane RNG draw `r` and the built-in alpha-test decision —
+      the any-hit-shader seam (alpha/shadow pass-through role).
+    - intersection(o, d, lhit) -> lhit: intersect custom procedural
+      primitives and merge them into the analytic light-set hit
+      (LightHit fields t/radiance/pdf) — the intersection-shader seam.
+      The reference's only in-repo hit group with an intersection
+      shader is the procedural LIGHT group at SBT offset 1
+      (gpu_uploader.rs:877-885); this seam covers exactly that role:
+      closer procedural hits terminate the path with their radiance.
 
     Hooks are traced into the frame jit (static identity), so pushing a
     different kernel recompiles, exactly like swapping a pipeline.
@@ -214,6 +237,9 @@ class KernelHooks:
     raygen: object = None
     miss: object = None
     post_shade: object = None
+    closest_hit: object = None
+    any_hit: object = None
+    intersection: object = None
 
 
 def resolve_intersector(preference: str = "auto") -> str:
@@ -447,6 +473,7 @@ def _intersect_local(scene, o, d, settings: RenderSettings, t_max=None):
                 worklist=settings.matrix_worklist,
                 visit_batch=settings.matrix_visit_batch,
                 pipeline=settings.matrix_pipeline,
+                page=settings.matrix_page,
             )
         if backend == "wavefront":
             from ..ops.wavefront import intersect_wavefront
@@ -465,6 +492,7 @@ def _intersect_local(scene, o, d, settings: RenderSettings, t_max=None):
             worklist=settings.matrix_worklist,
             visit_batch=settings.matrix_visit_batch,
             pipeline=settings.matrix_pipeline,
+            page=settings.matrix_page,
         )
     if backend == "traverse":
         from ..ops.traverse import intersect_traversed
@@ -644,6 +672,7 @@ def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
                 worklist=settings.matrix_worklist,
                 visit_batch=settings.matrix_visit_batch,
                 pipeline=settings.matrix_pipeline,
+                page=settings.matrix_page,
             ).tri >= 0
         if backend == "wavefront":
             from ..ops.wavefront import intersect_wavefront
@@ -665,6 +694,7 @@ def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
             worklist=settings.matrix_worklist,
             visit_batch=settings.matrix_visit_batch,
             pipeline=settings.matrix_pipeline,
+            page=settings.matrix_page,
         ).tri >= 0
     if backend in ("cluster", "traverse"):
         # local dispatch: the sharded wrapper (if any) already gathered
@@ -801,6 +831,12 @@ def _path_context(
 
         hit = _Hit(t=st["hit_t"], tri=st["hit_tri"], u=st["hit_u"], v=st["hit_v"])
         lhit = intersect_lights(scene.lights, o, d)
+        if hooks is not None and hooks.intersection is not None:
+            # intersection-shader seam: custom procedural primitives
+            # merge into the analytic light-set hit (the reference's
+            # procedural light hit group at SBT offset 1,
+            # gpu_uploader.rs:877-885).
+            lhit = hooks.intersection(o, d, lhit)
 
         # --- SCATTER media: free-flight distance sampling ----------------
         # Rays inside a scattering medium may scatter before reaching the
@@ -987,6 +1023,21 @@ def _path_context(
             ior=jnp.where(entering, mp.ior, 1.0 / jnp.maximum(mp.ior, 1e-3))
         )
 
+        hit_ctx = None
+        if hooks is not None and (
+            hooks.closest_hit is not None or hooks.any_hit is not None
+        ):
+            hit_ctx = dict(
+                p=hit_p, ns=ns_f, ng=ng_f, uv=uv,
+                wo=-d, t=hit.t, tri=hit.tri, mat=mat_idx,
+                on_surface=on_surface,
+            )
+        if hooks is not None and hooks.closest_hit is not None:
+            # closest-hit-shader seam: the pushed kernel sees the fully
+            # resolved shading context and returns (possibly rewritten)
+            # material params consumed by every BSDF/NEE site below.
+            mp = hooks.closest_hit(hit_ctx, mp)
+
         # Beer-Lambert absorption (cpu/material.rs ABSORB medium): a
         # backface hit means the segment just traversed was interior.
         if scene.materials.has_absorb_medium:
@@ -1035,7 +1086,14 @@ def _path_context(
         # One RNG call serves both the alpha test ([0]) and Russian
         # roulette ([1]) — pcg4d calls are per-bounce fixed cost.
         r_alpha = s4(bounce, 11)
-        pass_through = on_surface & (r_alpha[:, 0] > mp.opacity)
+        default_pass = r_alpha[:, 0] > mp.opacity
+        if hooks is not None and hooks.any_hit is not None:
+            # any-hit-shader seam: override the stochastic pass-through
+            # decision (True = ignore this hit, continue the ray).
+            default_pass = hooks.any_hit(
+                hit_ctx, mp, r_alpha[:, 0], default_pass
+            )
+        pass_through = on_surface & default_pass
 
         # --- NEE: analytic lights (occlusion deferred to the batched
         # visibility query below) -----------------------------------------

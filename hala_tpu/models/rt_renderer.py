@@ -226,10 +226,15 @@ class RayTracingRenderer(BaseRenderer):
             raygen=cache.get("rt.raygen"),
             miss=cache.get("rt.miss"),
             post_shade=cache.get("rt.callable"),
+            closest_hit=cache.get("rt.closest_hit"),
+            any_hit=cache.get("rt.any_hit"),
+            intersection=cache.get("rt.intersection"),
         )
         self.hooks = (
             hooks
-            if (hooks.raygen or hooks.miss or hooks.post_shade)
+            if (hooks.raygen or hooks.miss or hooks.post_shade
+                or hooks.closest_hit or hooks.any_hit
+                or hooks.intersection)
             else None
         )
         # Staged dispatch needs the split-shadow regime (large-scene

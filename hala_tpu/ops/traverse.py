@@ -559,27 +559,40 @@ MATRIX_BLOCK = MATRIX_SUBLANES * LANES
 
 def _make_matrix_kernel(num_clusters: int, subs: int, mt_group: int,
                         pretest: bool, worklist: bool,
-                        visit_batch: int, pipeline: bool, flat: bool):
+                        visit_batch: int, pipeline: bool, flat: bool,
+                        page: int = 1):
     return functools.partial(
         _matrix_kernel_body, num_clusters, subs, mt_group, pretest,
-        worklist, visit_batch, pipeline, flat,
+        worklist, visit_batch, pipeline, flat, page, False,
     )
 
 
 def _matrix_kernel_body(
     num_clusters, subs, mt_group, pretest, worklist, visit_batch,
-    pipeline, flat,
-    cmin_ref, cmax_ref,             # VMEM (C, 3)
-    ox, oy, oz, dx, dy, dz, tmax,   # VMEM (MATRIX_SUBLANES, LANES)
-    tri_hbm,                        # ANY (C, 16, TRI_CHUNK)
-    t_out, tri_out, u_out, v_out, runs_out,
-    rmin,                           # scratch VMEM (ceil(C/LANES)|8, LANES)
-    tri_smem,                       # scratch SMEM (16, TRI_CHUNK)
-    invx_s, invy_s, invz_s,         # scratch VMEM (bs, LANES) f32
-    inrun_s,                        # scratch VMEM (bs, LANES) i32
-    ew_vmem, ew_smem,               # scratch (8, LANES) i32 entry words
-    sem, sem2, sem3,
+    pipeline, flat, page, any_hit,
+    *args,
+    # positional refs (page > 1 prepends the page-AABB pair):
+    #   [pmin_ref, pmax_ref]            VMEM (P, LANES)  (page > 1 only)
+    #   cmin_ref, cmax_ref              VMEM (C, LANES)
+    #   ox, oy, oz, dx, dy, dz, tmax    VMEM (bs, LANES)
+    #   tri_hbm                         ANY (C, 16, TRI_CHUNK)
+    #   t_out, tri_out, u_out, v_out, runs_out
+    #   rmin                            scratch VMEM (rows(P|C), LANES)
+    #   tri_smem                        scratch SMEM (16, W*TRI_CHUNK)
+    #   invx_s, invy_s, invz_s          scratch VMEM (bs, LANES) f32
+    #   inrun_s                         scratch VMEM (bs, LANES) i32
+    #   ew_vmem, ew_smem                scratch (8, LANES) i32
+    #   sem, sem2, sem3
 ):
+    if page > 1:
+        pmin_ref, pmax_ref = args[0], args[1]
+        args = args[2:]
+    else:
+        pmin_ref = pmax_ref = None
+    (cmin_ref, cmax_ref, ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
+     t_out, tri_out, u_out, v_out, runs_out,
+     rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s,
+     ew_vmem, ew_smem, sem, sem2, sem3) = args
     _matrix_traverse(
         num_clusters, subs, mt_group, pretest, worklist, visit_batch,
         pipeline, flat,
@@ -588,42 +601,22 @@ def _matrix_kernel_body(
         t_out, tri_out, u_out, v_out, runs_out,
         rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s,
         ew_vmem, ew_smem, sem, sem2, sem3,
-        any_hit=False,
+        any_hit=any_hit, page=page,
+        pmin_ref=pmin_ref, pmax_ref=pmax_ref,
     )
 
 
 def _make_matrix_occluded_kernel(num_clusters: int, subs: int,
                                  mt_group: int, pretest: bool,
                                  worklist: bool, visit_batch: int,
-                                 pipeline: bool, flat: bool):
-    return functools.partial(
-        _matrix_occluded_body, num_clusters, subs, mt_group, pretest,
-        worklist, visit_batch, pipeline, flat,
-    )
-
-
-def _matrix_occluded_body(
-    num_clusters, subs, mt_group, pretest, worklist, visit_batch,
-    pipeline, flat,
-    cmin_ref, cmax_ref,
-    ox, oy, oz, dx, dy, dz, tmax,
-    tri_hbm,
-    t_out, tri_out, u_out, v_out, runs_out,
-    rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s,
-    ew_vmem, ew_smem, sem, sem2, sem3,
-):
+                                 pipeline: bool, flat: bool,
+                                 page: int = 1):
     """Any-hit variant: a blocked lane zeroes its remaining range, so
     its liveness collapses immediately — shadow queries touch far fewer
     clusters than closest-hit (no need to ORDER hits, just find one)."""
-    _matrix_traverse(
-        num_clusters, subs, mt_group, pretest, worklist, visit_batch,
-        pipeline, flat,
-        cmin_ref, cmax_ref,
-        ox, oy, oz, dx, dy, dz, tmax, tri_hbm,
-        t_out, tri_out, u_out, v_out, runs_out,
-        rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s,
-        ew_vmem, ew_smem, sem, sem2, sem3,
-        any_hit=True,
+    return functools.partial(
+        _matrix_kernel_body, num_clusters, subs, mt_group, pretest,
+        worklist, visit_batch, pipeline, flat, page, True,
     )
 
 
@@ -696,6 +689,8 @@ def _matrix_traverse(
     rmin, tri_smem, invx_s, invy_s, invz_s, inrun_s,
     ew_vmem, ew_smem, sem, sem2, sem3,
     any_hit: bool,
+    page: int = 1,
+    pmin_ref=None, pmax_ref=None,
 ):
     bs = ox.shape[0]  # tile height (intersect_matrix adapts it to C)
     inf_key = jnp.int32(_INF_KEY)
@@ -726,14 +721,14 @@ def _matrix_traverse(
 
     tm0 = tmax[:]
 
-    def slab(c, t_lim):
-        """Cluster c's slab test against the whole tile: (tn, live)."""
-        t0x = (cmin_ref[c, 0] - rox) * invx
-        t1x = (cmax_ref[c, 0] - rox) * invx
-        t0y = (cmin_ref[c, 1] - roy) * invy
-        t1y = (cmax_ref[c, 1] - roy) * invy
-        t0z = (cmin_ref[c, 2] - roz) * invz
-        t1z = (cmax_ref[c, 2] - roz) * invz
+    def slab_refs(lo_ref, hi_ref, c, t_lim):
+        """Box c's slab test against the whole tile: (tn, live)."""
+        t0x = (lo_ref[c, 0] - rox) * invx
+        t1x = (hi_ref[c, 0] - rox) * invx
+        t0y = (lo_ref[c, 1] - roy) * invy
+        t1y = (hi_ref[c, 1] - roy) * invy
+        t0z = (lo_ref[c, 2] - roz) * invz
+        t1z = (hi_ref[c, 2] - roz) * invz
         tn = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.minimum(t0z, t1z),
@@ -744,6 +739,26 @@ def _matrix_traverse(
         )
         return tn, (tn <= tf) & (tf > 0.0) & (tn < t_lim)
 
+    def slab(c, t_lim):
+        """Cluster c's slab test against the whole tile: (tn, live)."""
+        return slab_refs(cmin_ref, cmax_ref, c, t_lim)
+
+    # Supercluster pages: selection runs over pages of `page`
+    # consecutive SAH-adjacent clusters with one union AABB, so the
+    # fill loop is page-count long and each drain round serves a whole
+    # page through one merged worklist — the per-visit fixed cost
+    # (selection fold, bound, scalar syncs) amortizes over `page`
+    # clusters. The TLAS/BLAS two-level role the reference gets from
+    # the Vulkan driver (/root/reference/src/scene/loader/
+    # gpu_uploader.rs:843-959). Exactness is unchanged: per-cluster
+    # want-masks are still recomputed against the live t_out at visit
+    # time, and the page key (min slab tn of the union box) is a lower
+    # bound of every member cluster's entry distance, so the
+    # front-to-back early-exit bound stays conservative.
+    num_sel = -(-num_clusters // page) if page > 1 else num_clusters
+    sel_lo = pmin_ref if page > 1 else cmin_ref
+    sel_hi = pmax_ref if page > 1 else cmax_ref
+
     rm_rows = rmin.shape[0]
     lin = (
         jax.lax.broadcasted_iota(jnp.int32, (rm_rows, LANES), 0) * LANES
@@ -752,7 +767,7 @@ def _matrix_traverse(
     rmin[:] = jnp.full((rm_rows, LANES), _INF_KEY, jnp.int32)
 
     def fill_row(c, _):
-        tn, hit = slab(c, tm0)
+        tn, hit = slab_refs(sel_lo, sel_hi, c, tm0)
         bits = jax.lax.bitcast_convert_type(
             jnp.maximum(tn, 0.0), jnp.int32
         )
@@ -761,7 +776,7 @@ def _matrix_traverse(
         rmin[:] = jnp.where(lin == c, kmin, rmin[:])
         return 0
 
-    jax.lax.fori_loop(0, num_clusters, fill_row, 0)
+    jax.lax.fori_loop(0, num_sel, fill_row, 0)
 
     def next_key():
         # Nearest cluster any lane's slab test admitted: one vector min
@@ -1143,13 +1158,36 @@ def _matrix_traverse(
         cid = skey & jnp.int32(_ID_MASK)
         rmin[:] = jnp.where(lin == cid, inf_key, rmin[:])
 
-        chunk, sub_off, base = _decode(cid)
-
         span = min(_MT_ITERS, TRI_CHUNK // subs)
         n_pre = (
             span // _PRETEST_TRIS
             if pretest and span % _PRETEST_TRIS == 0 else 0
         )
+
+        if page > 1:
+            # `cid` is a PAGE id: drain its `page` member clusters
+            # through one merged worklist. The tail page carries
+            # past-the-end cluster ids; their `valid` mask kills every
+            # want lane (the wrapper pads the cluster-AABB operand rows
+            # so the slab recompute stays in bounds, and _decode clamps
+            # the DMA chunk).
+            visits = []
+            for i in range(page):
+                cid_i = cid * jnp.int32(page) + jnp.int32(i)
+                chunk_i, sub_off_i, base_i = _decode(cid_i)
+                # Only tail-page members at index >= C % page can fall
+                # past the end; every other (page, i) is always real.
+                valid_i = (
+                    None
+                    if num_clusters % page == 0
+                    or i < num_clusters % page
+                    else cid_i < jnp.int32(num_clusters)
+                )
+                visits.append((cid_i, chunk_i, sub_off_i, base_i, valid_i))
+            _worklist_visit(visits, span, n_pre)
+            return next_key(), bound(), cnt + 1
+
+        chunk, sub_off, base = _decode(cid)
 
         if worklist:
             visits = [(cid, chunk, sub_off, base, None)]
@@ -1395,7 +1433,7 @@ def _matrix_traverse(
     jax.jit,
     static_argnames=("interpret", "with_stats", "any_hit", "subs",
                      "sublanes", "mt_group", "pretest", "worklist",
-                     "visit_batch", "pipeline", "flat"),
+                     "visit_batch", "pipeline", "flat", "page"),
 )
 def intersect_matrix(
     o: jnp.ndarray,
@@ -1413,6 +1451,7 @@ def intersect_matrix(
     visit_batch: int = 1,
     pipeline: bool = False,
     flat: bool = False,
+    page: int = 1,
 ) -> Hit:
     """Exact closest hit via the VMEM-resident matrix traversal.
 
@@ -1474,18 +1513,6 @@ def intersect_matrix(
     def comp(a):
         return a.reshape(shape2)
 
-    # Lane- and row-padded AABB operands (see ops/cluster.py note).
-    c_rows = c + (-c) % 8
-    cmin_in = jnp.pad(cmin, ((0, c_rows - c), (0, LANES - 3)))
-    cmax_in = jnp.pad(cmax, ((0, c_rows - c), (0, LANES - 3)))
-    aabb_spec = pl.BlockSpec(
-        (c_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
-    ray_spec = pl.BlockSpec(
-        (bs, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    tri_spec = pl.BlockSpec(memory_space=pl.ANY)
-
     mg = _MT_GROUP if mt_group is None else mt_group
     # The worklist engine packs wanting-entry ids into 32-bit nibble
     # lists; the group level spills past 8 entries into extra words
@@ -1497,27 +1524,75 @@ def intersect_matrix(
         if pretest and span % _PRETEST_TRIS == 0 else 0
     )
     wl = worklist and bs // min(mg, bs) <= 32 and n_pre <= 8
+    # Supercluster pages need the merged-worklist visit path and
+    # exclude the (mutually redundant) batch/pipeline/flat variants.
+    pg = page if (wl and page > 1 and subs == 1 and c > page) else 1
     vb = visit_batch if (
-        wl and visit_batch * (bs // min(mg, bs)) <= 32
+        wl and pg == 1 and visit_batch * (bs // min(mg, bs)) <= 32
     ) else 1
-    pipe = bool(pipeline) and wl and vb == 1
+    pipe = bool(pipeline) and wl and vb == 1 and pg == 1
     # Flat SMEM-entry drain: single-visit worklist with pretest spans
     # only (the (group, span-mask) entries assume both), entries bounded
     # by the staging row's lane count.
     fl = (
-        bool(flat) and wl and vb == 1 and n_pre > 0
+        bool(flat) and wl and vb == 1 and pg == 1 and n_pre > 0
         and bs // min(mg, bs) <= LANES
     )
+
+    # Lane- and row-padded AABB operands (see ops/cluster.py note).
+    # With pages the cluster rows extend to the tail page's end so the
+    # visit-time slab recompute of past-the-end members stays in
+    # bounds (their want lanes are killed by the `valid` mask).
+    c_full = -(-c // pg) * pg
+    c_rows = c_full + (-c_full) % 8
+    cmin_in = jnp.pad(cmin, ((0, c_rows - c), (0, LANES - 3)))
+    cmax_in = jnp.pad(cmax, ((0, c_rows - c), (0, LANES - 3)))
+    aabb_spec = pl.BlockSpec(
+        (c_rows, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    ray_spec = pl.BlockSpec(
+        (bs, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    extra_in = []
+    extra_specs = []
+    num_sel = c
+    if pg > 1:
+        # Page (union) AABBs over `pg` consecutive SAH-adjacent
+        # clusters; padding members carry inverted far boxes so the
+        # union ignores them.
+        num_sel = c_full // pg
+        far = jnp.float32(3.0e37)
+        pm = jnp.pad(cmin, ((0, c_full - c), (0, 0)), constant_values=far)
+        px = jnp.pad(cmax, ((0, c_full - c), (0, 0)),
+                     constant_values=-far)
+        pmin = pm.reshape(num_sel, pg, 3).min(axis=1)
+        pmax = px.reshape(num_sel, pg, 3).max(axis=1)
+        p_rows = num_sel + (-num_sel) % 8
+        extra_in = [
+            jnp.pad(pmin, ((0, p_rows - num_sel), (0, LANES - 3))),
+            jnp.pad(pmax, ((0, p_rows - num_sel), (0, LANES - 3))),
+        ]
+        extra_specs = [
+            pl.BlockSpec(
+                (p_rows, LANES), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * 2
+
     kern = (
         _make_matrix_occluded_kernel(c, subs, mg, pretest, wl, vb, pipe,
-                                     fl)
+                                     fl, pg)
         if any_hit
-        else _make_matrix_kernel(c, subs, mg, pretest, wl, vb, pipe, fl)
+        else _make_matrix_kernel(c, subs, mg, pretest, wl, vb, pipe, fl,
+                                 pg)
     )
     t_b, tri_b, u_b, v_b, runs_b = pl.pallas_call(
         kern,
         grid=(nb,),
-        in_specs=[aabb_spec, aabb_spec] + [ray_spec] * 7 + [tri_spec],
+        in_specs=extra_specs + [aabb_spec, aabb_spec]
+        + [ray_spec] * 7 + [tri_spec],
         out_specs=[ray_spec] * 5,
         out_shape=[
             out_struct(shape2, jnp.float32, comp(tm_p)),
@@ -1527,8 +1602,8 @@ def intersect_matrix(
             out_struct(shape2, jnp.int32, comp(tm_p)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_rmin_rows(c), LANES), jnp.int32),
-            pltpu.SMEM((16, (2 if pipe else vb) * TRI_CHUNK),
+            pltpu.VMEM((_rmin_rows(num_sel), LANES), jnp.int32),
+            pltpu.SMEM((16, (2 if pipe else max(vb, pg)) * TRI_CHUNK),
                        jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.float32),
             pltpu.VMEM((bs, LANES), jnp.float32),
@@ -1545,6 +1620,7 @@ def intersect_matrix(
         ),
         interpret=interpret,
     )(
+        *extra_in,
         cmin_in, cmax_in,
         comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
         comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
@@ -2104,7 +2180,7 @@ def _coherence_key(o, d, t_max, cluster_min, cluster_max):
     static_argnames=(
         "interpret", "any_hit", "subs", "kernel", "wavefront_k",
         "wavefront_m", "sublanes", "mt_group", "pretest", "worklist",
-        "visit_batch", "pipeline", "sort_key", "flat",
+        "visit_batch", "pipeline", "sort_key", "flat", "page",
     ),
 )
 def matrix_query(
@@ -2116,6 +2192,7 @@ def matrix_query(
     pretest: bool = True, worklist: bool = True,
     visit_batch: int = 1, pipeline: bool = True,
     sort_key: str = "morton", flat: bool = False,
+    page: int = 1,
 ) -> Hit:
     """Coherence-sorted traversal with FUSED payload sorts.
 
@@ -2197,6 +2274,7 @@ def matrix_query(
             any_hit=any_hit, subs=subs, sublanes=sublanes,
             mt_group=mt_group, pretest=pretest, worklist=worklist,
             visit_batch=visit_batch, pipeline=pipeline, flat=flat,
+            page=page,
         )
     (_, t_o, tri_o, u_o, v_o) = jax.lax.sort(
         (idx_s, hit.t, hit.tri, hit.u, hit.v), num_keys=1

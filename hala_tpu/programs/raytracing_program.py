@@ -147,11 +147,20 @@ class RayTracingProgram:
 
         miss = self.desc.miss_shader_file_paths
         call = self.desc.callable_shader_file_paths
+        # Hit group tuple order follows the reference's push_hit_shaders
+        # (rt_renderer.rs:1020-1112): [closest_hit, any_hit,
+        # intersection]; trailing entries optional.
+        hit = self.desc.hit_shader_file_paths
         hooks = KernelHooks(
             raygen=resolve(self.desc.ray_gen_shader_file_path),
             miss=resolve(miss[0]) if miss else None,
             post_shade=resolve(call[0]) if call else None,
+            closest_hit=resolve(hit[0]) if len(hit) > 0 else None,
+            any_hit=resolve(hit[1]) if len(hit) > 1 else None,
+            intersection=resolve(hit[2]) if len(hit) > 2 else None,
         )
-        if hooks.raygen or hooks.miss or hooks.post_shade:
+        if (hooks.raygen or hooks.miss or hooks.post_shade
+                or hooks.closest_hit or hooks.any_hit
+                or hooks.intersection):
             return hooks
         return None

@@ -586,3 +586,163 @@ class TestUiCallback:
         )
         r.update(0.0)
         assert not np.allclose(np.asarray(r.color)[:4, :4], [1.0, 0.0, 1.0])
+
+
+class TestHitGroupHooks:
+    """The hit-group seams (VERDICT round-4 item 3): pushed
+    closest-hit / any-hit / intersection kernels must be dispatched by
+    the frame and change the image in their documented way
+    (rt_renderer.rs:1016-1112 push_hit_shaders role)."""
+
+    def _render(self, scene, hooks=None, size=16):
+        from hala_tpu.models.integrator import (
+            Film, RenderSettings, Uniforms, render_frame,
+        )
+
+        settings = RenderSettings(
+            width=size, height=size, max_depth=2, rr_depth=2,
+            tile_size=size * size, use_bvh=True,
+        )
+        film = Film.create(size, size)
+        film, _ = render_frame(
+            scene, None, Uniforms.default(), film, 0, settings,
+            hooks=hooks,
+        )
+        return np.asarray(film.accum)
+
+    def test_closest_hit_overrides_material(self, cornell_device_scene):
+        """A closest-hit kernel forcing every base color to red must
+        redden the image (material-eval override seam)."""
+        from hala_tpu.models.integrator import KernelHooks
+
+        def red_surfaces(ctx, mp):
+            return mp._replace(
+                base_color=jnp.broadcast_to(
+                    jnp.asarray([1.0, 0.0, 0.0]), mp.base_color.shape
+                )
+            )
+
+        base = self._render(cornell_device_scene)
+        hooked = self._render(
+            cornell_device_scene, KernelHooks(closest_hit=red_surfaces)
+        )
+        assert not np.allclose(base, hooked)
+        rb = base[..., 1].sum() / max(base[..., 0].sum(), 1e-6)
+        rh = hooked[..., 1].sum() / max(hooked[..., 0].sum(), 1e-6)
+        assert rh < rb  # green share drops when everything reflects red
+
+    def test_any_hit_forces_pass_through(self, cornell_device_scene):
+        """An any-hit kernel that always ignores the hit makes every
+        surface transparent: the render must collapse to the escape
+        radiance (alpha pass-through decision seam)."""
+        from hala_tpu.models.integrator import KernelHooks
+
+        def ghost(ctx, mp, r, default_pass):
+            return jnp.ones_like(default_pass)
+
+        base = self._render(cornell_device_scene)
+        hooked = self._render(
+            cornell_device_scene, KernelHooks(any_hit=ghost)
+        )
+        assert not np.allclose(base, hooked)
+
+    def test_intersection_adds_procedural_emitter(
+        self, cornell_device_scene
+    ):
+        """An intersection kernel adding an analytic emissive sphere
+        (the reference's procedural light hit group role,
+        gpu_uploader.rs:877-885) must add its radiance to the image."""
+        from hala_tpu.models.integrator import KernelHooks
+        from hala_tpu.ops.lights import LightHit
+
+        center = jnp.asarray([0.0, 1.0, 0.0])
+        radius = 0.4
+
+        def glow_sphere(o, d, lhit):
+            oc = o - center[None, :]
+            b = jnp.sum(oc * d, axis=1)
+            c = jnp.sum(oc * oc, axis=1) - radius * radius
+            disc = b * b - c
+            t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            hit = (disc > 0.0) & (t > 1e-4) & (t < lhit.t)
+            return LightHit(
+                t=jnp.where(hit, t, lhit.t),
+                radiance=jnp.where(
+                    hit[:, None],
+                    jnp.asarray([0.0, 0.0, 20.0])[None, :],
+                    lhit.radiance,
+                ),
+                pdf=jnp.where(hit, 0.0, lhit.pdf),
+            )
+
+        base = self._render(cornell_device_scene)
+        hooked = self._render(
+            cornell_device_scene, KernelHooks(intersection=glow_sphere)
+        )
+        assert not np.allclose(base, hooked)
+        assert hooked[..., 2].mean() > base[..., 2].mean()
+
+    def test_push_hit_kernels_dispatched(self, cornell_scene):
+        """RayTracingRenderer.push_hit_kernels -> commit -> render: the
+        pushed closest-hit kernel must be resolved into hooks and
+        change the image (the round-4 dead-API defect)."""
+        from hala_tpu.models.rt_renderer import RayTracingRenderer
+        from hala_tpu.programs import KernelCache
+
+        def white_surfaces(ctx, mp):
+            return mp._replace(
+                base_color=jnp.ones_like(mp.base_color)
+            )
+
+        def never_pass(ctx, mp, r, default_pass):
+            return jnp.zeros_like(default_pass)
+
+        cache = KernelCache.get_instance()
+        try:
+            r = RayTracingRenderer("plain-hit", 16, 16, max_frames=1,
+                                   tile_size=256)
+            r.set_scene(cornell_scene)
+            r.commit()
+            r.render_loop(1)
+            base = np.asarray(r.film.accum)
+
+            r2 = RayTracingRenderer("hooked-hit", 16, 16, max_frames=1,
+                                    tile_size=256)
+            r2.set_scene(cornell_scene)
+            r2.push_hit_kernels(white_surfaces, any_hit=never_pass)
+            r2.commit()
+            assert r2.hooks is not None
+            assert r2.hooks.closest_hit is white_surfaces
+            assert r2.hooks.any_hit is never_pass
+            r2.render_loop(1)
+            hooked = np.asarray(r2.film.accum)
+            assert not np.allclose(base, hooked)
+        finally:
+            cache.remove("rt.closest_hit")
+            cache.remove("rt.any_hit")
+
+    def test_desc_hit_paths_resolve(self, cornell_device_scene):
+        """RayTracingProgramDesc.hit_shader_file_paths entries resolve
+        through the KernelCache into the closest/any/intersection
+        seams (round-4: the field was carried and never consumed)."""
+        from hala_tpu.programs import (
+            KernelCache, RayTracingProgram, RayTracingProgramDesc,
+        )
+
+        def dark_surfaces(ctx, mp):
+            return mp._replace(base_color=mp.base_color * 0.1)
+
+        cache = KernelCache.get_instance()
+        cache.from_memory("tests.hitgroup:dark", dark_surfaces)
+        try:
+            desc = RayTracingProgramDesc(
+                hit_shader_file_paths=["tests.hitgroup:dark"],
+                ray_recursion_depth=2,
+            )
+            prog = RayTracingProgram(desc, cornell_device_scene)
+            hooks = prog._resolve_hooks()
+            assert hooks is not None
+            assert hooks.closest_hit is dark_surfaces
+            assert hooks.any_hit is None and hooks.intersection is None
+        finally:
+            cache.remove("tests.hitgroup:dark")

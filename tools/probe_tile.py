@@ -133,6 +133,20 @@ SWEEPS = {
            (512, 32, True, True, 1, True, "morton", True),
            (512, 16, True, True, 1, True, "morton", True),
            (512, 64, True, True, 1, True, "morton", True)],
+    # round 5: SUPERCLUSTER PAGES (union-AABB pages of `page`
+    # consecutive SAH-adjacent clusters; one selection/bound/scalar-
+    # sync round serves the whole page, fill loop is page-count long).
+    # Control = shipped pipelined champion.
+    "11": [(512, 32, True, True, 1, True),          # control
+           (512, 32, True, True, 1, False, "morton", False, 4),
+           (512, 32, True, True, 1, False, "morton", False, 8),
+           (512, 32, True, True, 1, False, "morton", False, 16),
+           (256, 32, True, True, 1, False, "morton", False, 8)],
+    # round 5b: page champion refinement + taller tile at pages
+    "12": [(512, 32, True, True, 1, False, "morton", False, 8),
+           (1024, 32, True, True, 1, False, "morton", False, 8),
+           (512, 64, True, True, 1, False, "morton", False, 8),
+           (512, 32, True, True, 1, False, "morton", False, 32)],
 }
 sweep = SWEEPS[os.environ.get("SWEEP", "3")]
 # SUBS=2/4 splits each 128-tri DMA chunk into finer traversal clusters
@@ -147,26 +161,27 @@ for combo in sweep:
     pip = combo[5] if len(combo) > 5 else False
     sk = combo[6] if len(combo) > 6 else "morton"
     fl = combo[7] if len(combo) > 7 else False
+    pgz = combo[8] if len(combo) > 8 else 1
     tag = (f"bs={bs} mg={mg} pre={int(pre)} wl={int(wl)} vb={vb} "
-           f"pipe={int(pip)} key={sk} flat={int(fl)}")
+           f"pipe={int(pip)} key={sk} flat={int(fl)} page={pgz}")
     timed(
         f"closest {tag}",
         lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip, sk=sk,
-        fl=fl:
+        fl=fl, pgz=pgz:
         matrix_query(
             o, dd, g, subs=SUBS, sublanes=bs, mt_group=mg, pretest=pre,
             worklist=wl, visit_batch=vb, pipeline=pip, sort_key=sk,
-            flat=fl,
+            flat=fl, page=pgz,
         ),
     )
     timed(
         f"any-hit {tag}",
         lambda bs=bs, mg=mg, pre=pre, wl=wl, vb=vb, pip=pip, sk=sk,
-        fl=fl:
+        fl=fl, pgz=pgz:
         matrix_query(
             o, dd, g, t_max=far, any_hit=True, subs=SUBS, sublanes=bs,
             mt_group=mg, pretest=pre, worklist=wl, visit_batch=vb,
-            pipeline=pip, sort_key=sk, flat=fl,
+            pipeline=pip, sort_key=sk, flat=fl, page=pgz,
         ),
     )
 
