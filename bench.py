@@ -27,6 +27,7 @@ deterministic) and emits nothing.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import subprocess
@@ -209,15 +210,17 @@ def bench_ggx():
         cornell_box(tall_box_material=metal, short_box_material=glossy),
         use_ray_tracing=False,
     )
-    # 16 pipelined frames: the 4-spp-class workload measured over the
-    # same steady-state window as the Cornell config (a 4-frame window
+    # Config 2's OWN shape (BASELINE "4 spp", round-4 verdict item 6):
+    # each frame renders 4 sample-adjacent spp (settings.spp=4 — bounce
+    # rays of a pixel's 4 samples share kernel tiles), over the same
+    # 16-frame steady-state window as Cornell (a 4-frame window
     # under-reports by ~30% — it mostly times the dispatch ramp). The
-    # metric key carries a _w16 suffix because the round-2 window change
-    # (4 -> 16 frames) altered the measurement methodology; comparing
-    # against rounds that used the unsuffixed key compares different
-    # windows (DESIGN.md ledger note).
-    mrays, _ = _trace_loop(scene, None, _ggx_settings(), 16, "ggx")
-    _emit("ggx_4spp_pathtrace_throughput_w16", mrays, vs="throughput")
+    # metric key's _s4 suffix marks the shape change from the rounds
+    # 2-4 16x1spp methodology (key then: _w16); comparing across
+    # suffixes compares different workloads (DESIGN.md ledger note).
+    settings = dataclasses.replace(_ggx_settings(), spp=4)
+    mrays, _ = _trace_loop(scene, None, settings, 16, "ggx")
+    _emit("ggx_4spp_pathtrace_throughput_w16s4", mrays, vs="throughput")
 
 
 def bench_envmap():

@@ -39,7 +39,10 @@ stack = TextureStack(
 )
 
 uv = jnp.asarray(rng.random((N, 2), np.float32) * 4.0 - 2.0)
-lod = jnp.asarray(rng.random((N,), np.float32) * 6.0)
+# sample_texture adds log2(width)=7 then clamps to num_levels-1=7, so a
+# [0,6] draw parked every sample on the top mip (l0==l1, ADVICE r4):
+# draw in [-7,0] so the trilinear path lerps distinct bracketing levels.
+lod = jnp.asarray(rng.random((N,), np.float32) * 7.0 - 7.0)
 idx = jnp.asarray(rng.integers(0, 2, N).astype(np.int32))
 
 
