@@ -144,3 +144,32 @@ def test_scene_sharded_multicluster():
     assert rays_s == rays_m
     # the render actually saw geometry (not an all-sky film)
     assert float(np.asarray(gathered.accum).mean()) > 0.01
+
+
+def test_scene_sharded_matrix_engine():
+    """VERDICT r4 item 9: the TP merge composed with the MATRIX kernel
+    (the engine that actually runs at scale) in interpret mode — not
+    just the CPU brute-force fallback — must still reproduce the
+    single-device bits. Exercises the sharded _intersect's canonical
+    (t, tri) merge over per-shard matrix traversals."""
+    from hala_tpu.scene.loader.uploader import SceneUploader
+    from hala_tpu.scene.procedural import sponza_like
+
+    scene = SceneUploader.upload(
+        sponza_like(rooms=(2, 2), columns_per_room=4, boxes_per_room=2),
+        use_ray_tracing=False,
+    )
+    size = 16
+    settings = RenderSettings(
+        width=size, height=size, max_depth=2, rr_depth=2,
+        tile_size=size * size,
+        intersector="matrix", interpret_pallas=True,
+    )
+    film, gathered, rays_s, rays_m = _run_sharded_pair(
+        scene, settings, frames=1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(film.accum), np.asarray(gathered.accum)
+    )
+    assert rays_s == rays_m
+    assert float(np.asarray(gathered.accum).mean()) > 0.01
