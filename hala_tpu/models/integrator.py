@@ -1002,6 +1002,11 @@ def _path_context(
             lod_uv = jnp.log2(
                 jnp.clip(path_dist * pixel_angle * rows[:, 29], 1e-6, 1e6)
             )
+            # Three separate trilinear fetches, NOT the packed
+            # multi-map gather: sample_textures_packed measured 1-2 ULP
+            # of film-tiling bit-identity drift inside the frame
+            # program (XLA fma re-association varies with the packed
+            # batch shape — ops/texture.py docstring, round-5 ledger).
             base_t = sample_texture(scene.textures, base_map, uv, lod_uv)
             mr_t = sample_texture(scene.textures, mr_map, uv, lod_uv)
             em_t = sample_texture(scene.textures, em_map, uv, lod_uv)

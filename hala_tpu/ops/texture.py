@@ -13,9 +13,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _bilinear(stack, idx, tex_idx, uv, level):
-    """Bilinear fetch at one mip level. level (N,) i32."""
-    sizes = jnp.take(stack.sizes, idx, axis=0)  # (N, 2) h, w (level 0)
+def _bilinear_addrs(stack, sizes, idx, uv, level):
+    """Corner addresses + lerp fractions for one mip level.
+
+    Returns ((a00, a01, a10, a11), fx, fy) over the FLATTENED stack —
+    shared by the per-map path and the packed multi-map path so both
+    produce bit-identical texels."""
     h0 = sizes[:, 0].astype(jnp.int32)
     w0 = sizes[:, 1].astype(jnp.int32)
     max_h = stack.data.shape[1] // 2
@@ -43,23 +46,42 @@ def _bilinear(stack, idx, tex_idx, uv, level):
     x0i, x1i = wrap(x0, lw), wrap(x0 + 1, lw)
     y0i = wrap(y0, lh) + row_off
     y1i = wrap(y0 + 1, lh) + row_off
-    # Single-index row gathers from the flattened stack: a 3-vector
-    # advanced index lowers to a multi-dim XLA gather that is several
-    # times slower on TPU than take() over the linearized index (same
-    # finding as ops/env.py _bilinear).
     th, tw = stack.data.shape[1], stack.data.shape[2]
-    flat = stack.data.reshape(-1, stack.data.shape[3])
     base = idx * (th * tw)
-    c00 = jnp.take(flat, base + y0i * tw + x0i, axis=0)
-    c01 = jnp.take(flat, base + y0i * tw + x1i, axis=0)
-    c10 = jnp.take(flat, base + y1i * tw + x0i, axis=0)
-    c11 = jnp.take(flat, base + y1i * tw + x1i, axis=0)
+    return (
+        (
+            base + y0i * tw + x0i,
+            base + y0i * tw + x1i,
+            base + y1i * tw + x0i,
+            base + y1i * tw + x1i,
+        ),
+        fx, fy,
+    )
+
+
+def _lerp2(c00, c01, c10, c11, fx, fy):
     return (
         c00 * (1 - fx) * (1 - fy)
         + c01 * fx * (1 - fy)
         + c10 * (1 - fx) * fy
         + c11 * fx * fy
     )
+
+
+def _bilinear(stack, idx, tex_idx, uv, level):
+    """Bilinear fetch at one mip level. level (N,) i32."""
+    sizes = jnp.take(stack.sizes, idx, axis=0)  # (N, 2) h, w (level 0)
+    addrs, fx, fy = _bilinear_addrs(stack, sizes, idx, uv, level)
+    # Single-index row gathers from the flattened stack: a 3-vector
+    # advanced index lowers to a multi-dim XLA gather that is several
+    # times slower on TPU than take() over the linearized index (same
+    # finding as ops/env.py _bilinear).
+    flat = stack.data.reshape(-1, stack.data.shape[3])
+    c00 = jnp.take(flat, addrs[0], axis=0)
+    c01 = jnp.take(flat, addrs[1], axis=0)
+    c10 = jnp.take(flat, addrs[2], axis=0)
+    c11 = jnp.take(flat, addrs[3], axis=0)
+    return _lerp2(c00, c01, c10, c11, fx, fy)
 
 
 def sample_texture(
@@ -93,3 +115,70 @@ def sample_texture(
     else:
         texel = _bilinear(stack, idx, tex_idx, uv, jnp.zeros_like(idx))
     return jnp.where((tex_idx >= 0)[:, None], texel, 1.0)
+
+
+def sample_textures_packed(stack, tex_idxs, uv, lod_uv=None):
+    """Trilinear-sample M maps at the SAME (uv, lod) with ONE texel
+    gather (row-take packing, DESIGN round-3 EnvMap trick applied to
+    the material fetch sites — VERDICT r4 item 2).
+
+    The per-map path issues 8 corner takes + 2 sizes takes per map
+    (26 gather ops per bounce for base+mr+em); here every corner
+    address of every map and both bracketing mip levels concatenate
+    into ONE take over the flattened stack (plus one packed sizes
+    take). Per-lane texel math reuses the exact `_bilinear` address and
+    lerp expressions, so results are bit-identical to M separate
+    `sample_texture` calls when compiled standalone.
+
+    NOT used by the path-tracing megakernel: inside the frame program
+    the packed (M*N) expression changed XLA-CPU's fma re-association
+    between the film-tiled and single-device compiles, breaking the
+    bit-identity-across-device-count invariant by 1-2 ULP (round-5
+    ledger; optimization barriers around the packed region did not pin
+    it). The frame keeps M separate calls, which have held bit-stable
+    across program contexts since round 1; this entry point serves
+    contexts without a cross-program bit contract.
+
+    tex_idxs: list of (N,) i32 (-1 = none -> white). Returns a list of
+    (N, 4) RGBA in the same order.
+    """
+    m = len(tex_idxs)
+    if m == 1:
+        return [sample_texture(stack, tex_idxs[0], uv, lod_uv)]
+    n = uv.shape[0]
+    ti = jnp.concatenate(tex_idxs)                  # (M*N,)
+    idx = jnp.maximum(ti, 0)
+    uv_r = jnp.tile(uv, (m, 1))                     # (M*N, 2)
+    sizes = jnp.take(stack.sizes, idx, axis=0)      # one packed take
+    flat = stack.data.reshape(-1, stack.data.shape[3])
+
+    if lod_uv is not None and stack.num_levels > 1:
+        lod_r = jnp.tile(lod_uv, m)
+        w0 = sizes[:, 1].astype(jnp.float32)
+        lod = jnp.clip(
+            lod_r + jnp.log2(jnp.maximum(w0, 1.0)),
+            0.0,
+            float(stack.num_levels - 1),
+        )
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, stack.num_levels - 1)
+        fl = (lod - l0.astype(jnp.float32))[:, None]
+        a0, fx0, fy0 = _bilinear_addrs(stack, sizes, idx, uv_r, l0)
+        a1, fx1, fy1 = _bilinear_addrs(stack, sizes, idx, uv_r, l1)
+        c = jnp.take(flat, jnp.concatenate(a0 + a1), axis=0)
+        (c000, c001, c010, c011, c100, c101, c110, c111) = jnp.split(
+            c, 8
+        )
+        texel = (
+            _lerp2(c000, c001, c010, c011, fx0, fy0) * (1.0 - fl)
+            + _lerp2(c100, c101, c110, c111, fx1, fy1) * fl
+        )
+    else:
+        a, fx, fy = _bilinear_addrs(
+            stack, sizes, idx, uv_r, jnp.zeros_like(idx)
+        )
+        c = jnp.take(flat, jnp.concatenate(a), axis=0)
+        c00, c01, c10, c11 = jnp.split(c, 4)
+        texel = _lerp2(c00, c01, c10, c11, fx, fy)
+    texel = jnp.where((ti >= 0)[:, None], texel, 1.0)
+    return [texel[i * n:(i + 1) * n] for i in range(m)]
