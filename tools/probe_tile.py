@@ -148,6 +148,15 @@ SWEEPS = {
            (512, 64, True, True, 1, False, "morton", False, 8),
            (512, 32, True, True, 1, False, "morton", False, 32)],
 }
+# round 5c (KERNEL=grouped): the MXU static-grid engine at full sponza
+# scale — the matrix kernel measured VPU-bound (~22G pair-tests/s =
+# VPU-peak class), so the only 10x lever left is MT-as-matmul. Last
+# measured at 447 clusters (round 3, lost 79 vs 62 ms); never at 1861
+# with the Pallas cull + signature sort feeding it.
+KERNEL = os.environ.get("KERNEL", "matrix")
+if KERNEL == "grouped":
+    SWEEPS["13"] = [(512, 32, True, True, 1, False, "morton", False, 1),
+                    (512, 32, True, True, 1, False, "signature", False, 1)]
 sweep = SWEEPS[os.environ.get("SWEEP", "3")]
 # SUBS=2/4 splits each 128-tri DMA chunk into finer traversal clusters
 # (tighter entry distances, half/quarter MT spans per visit, 2-4x the
@@ -171,7 +180,7 @@ for combo in sweep:
         matrix_query(
             o, dd, g, subs=SUBS, sublanes=bs, mt_group=mg, pretest=pre,
             worklist=wl, visit_batch=vb, pipeline=pip, sort_key=sk,
-            flat=fl, page=pgz,
+            flat=fl, page=pgz, kernel=KERNEL,
         ),
     )
     timed(
@@ -181,7 +190,7 @@ for combo in sweep:
         matrix_query(
             o, dd, g, t_max=far, any_hit=True, subs=SUBS, sublanes=bs,
             mt_group=mg, pretest=pre, worklist=wl, visit_batch=vb,
-            pipeline=pip, sort_key=sk, flat=fl, page=pgz,
+            pipeline=pip, sort_key=sk, flat=fl, page=pgz, kernel=KERNEL,
         ),
     )
 
