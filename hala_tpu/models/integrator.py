@@ -1002,14 +1002,16 @@ def _path_context(
             lod_uv = jnp.log2(
                 jnp.clip(path_dist * pixel_angle * rows[:, 29], 1e-6, 1e6)
             )
-            # Three separate trilinear fetches, NOT the packed
-            # multi-map gather: sample_textures_packed measured 1-2 ULP
-            # of film-tiling bit-identity drift inside the frame
-            # program (XLA fma re-association varies with the packed
-            # batch shape — ops/texture.py docstring, round-5 ledger).
-            base_t = sample_texture(scene.textures, base_map, uv, lod_uv)
-            mr_t = sample_texture(scene.textures, mr_map, uv, lod_uv)
-            em_t = sample_texture(scene.textures, em_map, uv, lod_uv)
+            # ONE packed texel gather for the three maps: only the
+            # integer corner addresses concatenate (26 gather ops -> 4
+            # per bounce); every float expression keeps the per-map
+            # shape, so output bits equal three separate calls and the
+            # film-tiling bit-identity invariant holds (ops/texture.py
+            # sample_textures_packed docstring, round-5 ledger).
+            from ..ops.texture import sample_textures_packed
+            base_t, mr_t, em_t = sample_textures_packed(
+                scene.textures, [base_map, mr_map, em_map], uv, lod_uv
+            )
             new_rough_raw = mr_t[:, 1]  # glTF: G=roughness, B=metallic
             new_metal = mp.metallic * mr_t[:, 2]
             # re-apply the Disney alpha precompute for textured roughness

@@ -146,39 +146,55 @@ def sample_textures_packed(stack, tex_idxs, uv, lod_uv=None):
     if m == 1:
         return [sample_texture(stack, tex_idxs[0], uv, lod_uv)]
     n = uv.shape[0]
-    ti = jnp.concatenate(tex_idxs)                  # (M*N,)
-    idx = jnp.maximum(ti, 0)
-    uv_r = jnp.tile(uv, (m, 1))                     # (M*N, 2)
-    sizes = jnp.take(stack.sizes, idx, axis=0)      # one packed take
     flat = stack.data.reshape(-1, stack.data.shape[3])
+    trilinear = lod_uv is not None and stack.num_levels > 1
 
-    if lod_uv is not None and stack.num_levels > 1:
-        lod_r = jnp.tile(lod_uv, m)
-        w0 = sizes[:, 1].astype(jnp.float32)
-        lod = jnp.clip(
-            lod_r + jnp.log2(jnp.maximum(w0, 1.0)),
-            0.0,
-            float(stack.num_levels - 1),
-        )
-        l0 = jnp.floor(lod).astype(jnp.int32)
-        l1 = jnp.minimum(l0 + 1, stack.num_levels - 1)
-        fl = (lod - l0.astype(jnp.float32))[:, None]
-        a0, fx0, fy0 = _bilinear_addrs(stack, sizes, idx, uv_r, l0)
-        a1, fx1, fy1 = _bilinear_addrs(stack, sizes, idx, uv_r, l1)
-        c = jnp.take(flat, jnp.concatenate(a0 + a1), axis=0)
-        (c000, c001, c010, c011, c100, c101, c110, c111) = jnp.split(
-            c, 8
-        )
-        texel = (
-            _lerp2(c000, c001, c010, c011, fx0, fy0) * (1.0 - fl)
-            + _lerp2(c100, c101, c110, c111, fx1, fy1) * fl
-        )
-    else:
-        a, fx, fy = _bilinear_addrs(
-            stack, sizes, idx, uv_r, jnp.zeros_like(idx)
-        )
-        c = jnp.take(flat, jnp.concatenate(a), axis=0)
-        c00, c01, c10, c11 = jnp.split(c, 4)
-        texel = _lerp2(c00, c01, c10, c11, fx, fy)
-    texel = jnp.where((ti >= 0)[:, None], texel, 1.0)
-    return [texel[i * n:(i + 1) * n] for i in range(m)]
+    # Per-map FLOAT math at the original (N, ...) shapes; only the
+    # integer corner ADDRESSES concatenate into the one big take.
+    # (An earlier variant also ran the lerp chain at the packed (M*N)
+    # shape and XLA re-associated its fma differently between the
+    # film-tiled and single-device frame programs — 1-2 ULP divergence
+    # even inside optimization barriers. Integer gathers are exact, so
+    # packing ONLY the takes keeps every float expression at the
+    # per-map shape the separate path compiles, preserving frame
+    # bit-identity across device counts.)
+    per_map = []
+    addr_chunks = []
+    for ti in tex_idxs:
+        idx = jnp.maximum(ti, 0)
+        sizes = jnp.take(stack.sizes, idx, axis=0)
+        if trilinear:
+            w0 = sizes[:, 1].astype(jnp.float32)
+            lod = jnp.clip(
+                lod_uv + jnp.log2(jnp.maximum(w0, 1.0)),
+                0.0,
+                float(stack.num_levels - 1),
+            )
+            l0 = jnp.floor(lod).astype(jnp.int32)
+            l1 = jnp.minimum(l0 + 1, stack.num_levels - 1)
+            fl = (lod - l0.astype(jnp.float32))[:, None]
+            a0, fx0, fy0 = _bilinear_addrs(stack, sizes, idx, uv, l0)
+            a1, fx1, fy1 = _bilinear_addrs(stack, sizes, idx, uv, l1)
+            addr_chunks.extend(a0 + a1)
+            per_map.append((ti, fl, fx0, fy0, fx1, fy1))
+        else:
+            a, fx, fy = _bilinear_addrs(
+                stack, sizes, idx, uv, jnp.zeros_like(idx)
+            )
+            addr_chunks.extend(a)
+            per_map.append((ti, None, fx, fy, None, None))
+    c_all = jnp.take(flat, jnp.concatenate(addr_chunks), axis=0)
+    k = 8 if trilinear else 4
+    corners = jnp.split(c_all, m * k)
+    out = []
+    for i, (ti, fl, fx0, fy0, fx1, fy1) in enumerate(per_map):
+        cs = corners[i * k:(i + 1) * k]
+        if trilinear:
+            texel = (
+                _lerp2(cs[0], cs[1], cs[2], cs[3], fx0, fy0) * (1.0 - fl)
+                + _lerp2(cs[4], cs[5], cs[6], cs[7], fx1, fy1) * fl
+            )
+        else:
+            texel = _lerp2(cs[0], cs[1], cs[2], cs[3], fx0, fy0)
+        out.append(jnp.where((ti >= 0)[:, None], texel, 1.0))
+    return out

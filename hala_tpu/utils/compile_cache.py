@@ -17,7 +17,15 @@ import jax
 
 logger = logging.getLogger("hala_tpu.cache")
 
-DEFAULT_CACHE_DIR = "./out/xla_cache"
+# Anchored to the REPO (two levels above this file), not the process
+# cwd: a driver invoking bench.py from elsewhere silently got a fresh
+# empty cache per cwd — one candidate for the BENCH_r04 cold-compile
+# mystery (workers paid 114-258 s with ./out/xla_cache populated).
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+    "out", "xla_cache",
+)
 
 
 def enable_compilation_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
