@@ -49,41 +49,21 @@ ENV_MAP = 1
 
 _RAY_EPS = 1e-4
 
-# The auto policy routes shadow-class queries to the wavefront any-hit
-# kernel only below this cluster count. The kernel is measured-fast
-# standalone (15.5 vs ~60 ms per 131k rays at 447 clusters, round-3
-# ledger), but a FULL-FRAME jit containing the cull + wavefront pair
-# never finished compilation on the axon TPU — >48 min at 1861
-# clusters and >22 min at 369 before being killed — while the same
-# frame with the matrix any-hit fallback compiles in ~200 s and runs
-# 6.1 s. The hang is composition-level, not cluster-count scaling, so
-# auto keeps the wavefront OFF (cap 0) until the compile wall is
-# understood; explicit intersector="wavefront" is unaffected and stays
-# covered by tests + the driver dryrun in interpret mode.
-WAVEFRONT_AUTO_CLUSTER_CAP = 0
-
-# The STAGED dispatcher is exempt from the compile wall: it dispatches
-# the cull+wavefront pair as intersect_wavefront's OWN XLA program
-# (never inlined into an enclosing jit), and the round-4 wall sweep
-# measured that exact composition compiling in 188 s at 1861 clusters
-# with K=8 (out/probe_logs/r4/wall_wfown_c1861_k8.log) while every
-# inlined variant and every K=16 variant hangs the TPU compiler.
-# COMPILING is not WINNING though: at 1861 clusters the K=8 wavefront
-# LOST at the frame level (occlude 4.72 s vs 3.64 s matrix, warm frame
-# 8.68 s vs 7.51 s — out/probe_logs/r4/breakdown_{wavefront,matrix}.log;
-# the round-3 15.5 ms/131k any-hit figure was measured on the
-# 369-cluster atrium, where per-ray K=8 candidate lists rarely
-# overflow — at 1861 clusters the matrix fallback re-dispatch eats the
-# win). Auto therefore keeps the staged shadow wavefront OFF until a
-# scale where it measures a frame-level win; explicit
-# shadow_intersector="wavefront" dispatches own-program regardless.
-WAVEFRONT_STAGED_SHADOW_CLUSTER_CAP = 0
-
-# Same own-program exemption for the EXTEND (closest-hit bounce) class:
-# 0 until the closest own-jit compile + steady-state are measured on
-# the TPU (tools/probe_wall.py PART=wfown AH=0); explicit
-# settings.extend_intersector="wavefront" is available regardless.
-WAVEFRONT_STAGED_EXTEND_CLUSTER_CAP = 0
+# EXPERIMENTAL: the rank-iteration wavefront engine (ops/cull.py +
+# ops/wavefront.py) never routes automatically. Round-5 closed the
+# question with a bench-grade measurement on its own PREDICTED home
+# turf (369-cluster atrium, K=8, own-program dispatch, coherent
+# primary/shadow/AO batches — out/probe_logs/r5/wf_home.log): it loses
+# every class to the worklist+pipeline matrix champion — closest 60.9
+# vs 25.5 ms/131k, any-hit shadow 11.1 vs 3.4, any-hit AO 7.2 vs 4.5.
+# (The round-3 "15.5 vs ~60" any-hit win was against the round-3
+# BRANCH-engine matrix; the round-4/5 worklist + pipelined visits +
+# bs=512 tiles flipped it.) It also hits a TPU compile wall inlined in
+# any enclosing jit (round-4 wall sweep: >=15 min, killed). Explicit
+# shadow_intersector/extend_intersector="wavefront" still dispatches
+# own-program (exactness-tested; staged dispatcher only), for scenes
+# where a future shape might win.
+WAVEFRONT_EXPERIMENTAL = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,9 +109,9 @@ class RenderSettings:
     # Mosaic composition wall inside full-frame jits. 0 = matrix
     # any-hit (default).
     shadow_dense_k: int = 0
-    # Shadow-class engine override: "auto" follows the cluster-cap
-    # policy (wavefront below WAVEFRONT_AUTO_CLUSTER_CAP, else matrix
-    # any-hit); "wavefront" forces the any-hit wavefront — safe inside
+    # Shadow-class engine override: "auto" = matrix any-hit (the
+    # wavefront is EXPERIMENTAL — measured loss on its home turf,
+    # round-5 ledger); "wavefront" forces the any-hit wavefront — safe inside
     # render_frame_staged where each kernel compiles standalone, which
     # is the whole point of that dispatcher; "matrix" forces matrix.
     shadow_intersector: str = "auto"
@@ -143,9 +123,8 @@ class RenderSettings:
     # (round-4 wall sweep: K=16 exceeds 880 s even as its own program).
     shadow_wavefront_k: int = 8
     # EXTEND-class (closest-hit bounce ray) engine override, mirroring
-    # shadow_intersector: "auto" follows the backend policy (matrix
-    # today; the staged dispatcher may widen it via
-    # WAVEFRONT_STAGED_EXTEND_CLUSTER_CAP once measured), "wavefront"
+    # shadow_intersector: "auto" follows the backend policy (matrix;
+    # the wavefront is EXPERIMENTAL, round-5 ledger), "wavefront"
     # forces the K-candidate wavefront for bounce rays, "matrix" pins
     # the matrix engine. Exactness is engine-independent (canonical
     # Moller-Trumbore re-eval + lexicographic ties, DESIGN.md round-3).
@@ -578,10 +557,9 @@ def _shadow_wavefront_route(
     dispatcher (which must dispatch the wavefront as its OWN XLA
     program — the cull+wavefront pair inlined into any enclosing jit
     hits the TPU compile wall, round-4 wall sweep) so the two paths
-    cannot drift. `staged=True` widens the auto policy to
-    WAVEFRONT_STAGED_SHADOW_CLUSTER_CAP: own-program dispatch is the
-    composition the wall sweep measured compiling (K=8), so only the
-    staged dispatcher may auto-enable it."""
+    cannot drift. The wavefront is EXPERIMENTAL (measured loss on its
+    home turf, round-5 ledger): only an explicit
+    shadow_intersector="wavefront" routes here, never "auto"."""
     from ..ops.cull import _ID_MASK as _CULL_ID_MASK
 
     g = scene.geometry
@@ -593,19 +571,10 @@ def _shadow_wavefront_route(
 
         if c <= DENSE_MAX_CLUSTERS:
             return False  # dense shadow engine takes precedence
-    auto_cap = (
-        WAVEFRONT_STAGED_SHADOW_CLUSTER_CAP
-        if staged
-        else WAVEFRONT_AUTO_CLUSTER_CAP
-    )
     return (
         settings.shadow_intersector == "wavefront"
-        or (
-            settings.intersector == "auto"
-            and settings.shadow_intersector == "auto"
-            and c <= auto_cap
-        )
-    ) and c < _CULL_ID_MASK  # the cull kernel owns this key width
+        and c < _CULL_ID_MASK  # the cull kernel owns this key width
+    )
 
 
 def _extend_wavefront_route(
@@ -613,22 +582,18 @@ def _extend_wavefront_route(
 ) -> bool:
     """True iff EXTEND-class (closest-hit bounce) queries route to the
     K-candidate wavefront. Same shape as _shadow_wavefront_route: only
-    the staged dispatcher may auto-enable it (own-program dispatch is
-    the composition that survives the TPU compile wall)."""
+    the staged dispatcher may route it (own-program dispatch is the
+    composition that survives the TPU compile wall); EXPERIMENTAL —
+    explicit extend_intersector="wavefront" only, never "auto"."""
     from ..ops.cull import _ID_MASK as _CULL_ID_MASK
 
     if _backend(settings, scene) not in ("wavefront", "matrix", "grouped"):
         return False
     c = scene.geometry.tri_packed.shape[0]
-    auto_cap = WAVEFRONT_STAGED_EXTEND_CLUSTER_CAP if staged else 0
     return (
         settings.extend_intersector == "wavefront"
-        or (
-            settings.intersector == "auto"
-            and settings.extend_intersector == "auto"
-            and c <= auto_cap
-        )
-    ) and c < _CULL_ID_MASK
+        and c < _CULL_ID_MASK
+    )
 
 
 def _occluded_local(scene, o, d, t_far, settings: RenderSettings):
@@ -1677,9 +1642,9 @@ _stage_occ_post = jax.jit(lambda tri: tri >= 0)
 def _dispatch_extend_staged(scene, o, d, t_max, settings: RenderSettings):
     """Closest-hit for one staged tile-bounce.
 
-    When the extend class routes to the wavefront
-    (settings.extend_intersector, or auto under
-    WAVEFRONT_STAGED_EXTEND_CLUSTER_CAP), the cull+wavefront pair is
+    When the extend class routes to the wavefront (explicit
+    settings.extend_intersector="wavefront" only — the engine is
+    EXPERIMENTAL, round-5 ledger), the cull+wavefront pair is
     dispatched as intersect_wavefront's OWN XLA program — the same
     compile-wall exemption _dispatch_occlude_staged uses. The wavefront
     sorts internally by candidate signature, so no outer coherence sort
