@@ -115,6 +115,14 @@ def _shade(scene, frag, view_pos):
     from ..ops.bsdf import bsdf_eval
     from ..ops.sampling import build_basis, to_local
 
+    # Stage-bisect probe switch (tools/probe_raster_stages.py): traced
+    # at compile time, "" in production. "attrs" returns after the
+    # attribute/material fetch, "notex" skips the base-color texture,
+    # "nolight" skips the per-light BSDF loop.
+    import os as _os
+
+    _probe = _os.environ.get("HALA_SHADE_PROBE", "")
+
     geom = scene.geometry
     tid = jnp.maximum(frag.tri, 0)
     u, v = frag.u, frag.v
@@ -145,7 +153,9 @@ def _shade(scene, frag, view_pos):
     )
     mat_idx = rows[:, 18].astype(jnp.int32)
     mp = gather_materials(scene.materials, mat_idx)
-    if scene.textures is not None:
+    if _probe == "attrs":
+        return mp.base_color, mp.base_color, ns, pos
+    if scene.textures is not None and _probe != "notex":
         mp = mp._replace(
             base_color=mp.base_color
             * sample_texture(scene.textures, mp.base_color_map, uv)[:, :3]
@@ -163,7 +173,7 @@ def _shade(scene, frag, view_pos):
 
     lights = scene.lights
     color = mp.emission
-    nl = lights.num_lights
+    nl = lights.num_lights if _probe != "nolight" else 0
     for li_i in range(nl):
         lt = lights.ltype[li_i]
         lpos = lights.position[li_i]

@@ -67,3 +67,14 @@ color = out[0]
 timed("post (tonemap)", lambda: jax.jit(tonemap_aces_simple)(color))
 timed("forward fused frame",
       lambda: raster_frame(scene, cam, fwd_settings, None))
+
+# Shade-stage bisection: _shade reads HALA_SHADE_PROBE at trace time;
+# a varied (unused-in-lighting) static field forces a fresh trace per
+# mode without reloading the module.
+for i, mode in enumerate(("attrs", "notex", "nolight")):
+    os.environ["HALA_SHADE_PROBE"] = mode
+    s_m = RasterSettings(width=1920, height=1088, binned=True,
+                         tile=64, deferred=True, bin_k_max=257 + i)
+    timed(f"lighting[{mode}]",
+          lambda s_m=s_m: lighting_pass(scene, frag, cam, s_m, None))
+os.environ.pop("HALA_SHADE_PROBE", None)
