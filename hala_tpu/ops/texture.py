@@ -75,12 +75,13 @@ def _bilinear(stack, idx, tex_idx, uv, level):
     # Single-index row gathers from the flattened stack: a 3-vector
     # advanced index lowers to a multi-dim XLA gather that is several
     # times slower on TPU than take() over the linearized index (same
-    # finding as ops/env.py _bilinear).
+    # finding as ops/env.py _bilinear). The four corner takes merge
+    # into ONE (integer addresses are exact; the lerp keeps its (N, .)
+    # shape, so output bits are unchanged — the round-5 takes-packing
+    # rule).
     flat = stack.data.reshape(-1, stack.data.shape[3])
-    c00 = jnp.take(flat, addrs[0], axis=0)
-    c01 = jnp.take(flat, addrs[1], axis=0)
-    c10 = jnp.take(flat, addrs[2], axis=0)
-    c11 = jnp.take(flat, addrs[3], axis=0)
+    c = jnp.take(flat, jnp.concatenate(addrs), axis=0)
+    c00, c01, c10, c11 = jnp.split(c, 4)
     return _lerp2(c00, c01, c10, c11, fx, fy)
 
 
