@@ -131,14 +131,15 @@ def sample_textures_packed(stack, tex_idxs, uv, lod_uv=None):
     lerp expressions, so results are bit-identical to M separate
     `sample_texture` calls when compiled standalone.
 
-    NOT used by the path-tracing megakernel: inside the frame program
-    the packed (M*N) expression changed XLA-CPU's fma re-association
-    between the film-tiled and single-device compiles, breaking the
-    bit-identity-across-device-count invariant by 1-2 ULP (round-5
-    ledger; optimization barriers around the packed region did not pin
-    it). The frame keeps M separate calls, which have held bit-stable
-    across program contexts since round 1; this entry point serves
-    contexts without a cross-program bit contract.
+    Used by the path-tracing megakernel for the base/mr/emission trio
+    (integrator._path_context). Bit-stability caveat: an earlier
+    variant also ran the LERP chain at the packed (M*N) shape and XLA
+    re-associated its fma differently between the film-tiled and
+    single-device frame programs — 1-2 ULP divergence even inside
+    optimization barriers (round-5 ledger). The shipped variant packs
+    ONLY the integer corner takes and keeps every float expression at
+    the per-map (N, .) shape, which measured 0 mismatches across
+    device counts.
 
     tex_idxs: list of (N,) i32 (-1 = none -> white). Returns a list of
     (N, 4) RGBA in the same order.
