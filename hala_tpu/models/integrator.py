@@ -900,8 +900,12 @@ def _path_context(
         # (spec order T*R*S), from the material's baseColorTexture
         # binding, applied to every map (single UV set).
         if getattr(scene.materials, "has_uv_transform", False):
-            uvt = jnp.take(
-                scene.materials.uv_transform, jnp.maximum(mat_idx, 0), axis=0
+            # take_rows -> one-hot MXU row fetch (materials tables are
+            # tiny): a jnp.take here pays the ~14 ns/row element-gather
+            # cost per ray (gatherhonest.log); the one-hot matmul picks
+            # exactly one row per ray so values stay bit-identical.
+            uvt = take_rows(
+                scene.materials.uv_transform, jnp.maximum(mat_idx, 0)
             )
             su = uv[:, 0] * uvt[:, 3]
             sv = uv[:, 1] * uvt[:, 4]

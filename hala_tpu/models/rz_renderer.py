@@ -127,20 +127,34 @@ def _shade(scene, frag, view_pos):
     tid = jnp.maximum(frag.tri, 0)
     u, v = frag.u, frag.v
     w0 = 1.0 - u - v
-    # ONE packed shade-table row gather per fragment for normals + uvs
-    # + material id (the integrator's per-hit trick, VERDICT r4 item 4
-    # texture/attribute packing: the separate normals/uvs/tri_mat takes
-    # were 16 element-gathers per fragment; shade rows carry the same
-    # upload-time values so the interpolated results are bit-identical).
-    rows = take_rows(geom.shade_table, tid)
+    # ONE fused row take for EVERY per-fragment attribute: corner
+    # normals + uvs + material id (shade-table cols) AND the triangle
+    # geometry v0/e1/e2. A TPU row take costs ~14 ns/ROW regardless of
+    # width while each separate take pays that per-row cost again
+    # (honest-timing microbench, out/probe_logs/r5/gatherhonest.log:
+    # one take 30.6 ms at any width 8-32 vs 116.4 ms for the previous
+    # 1 shade + 3 geo takes at N=2.09M fragments, 1080p atrium_big).
+    # The in-jit concat is a ~24 MB HBM round trip (~0.06 ms) and the
+    # gathered VALUES are unchanged, so shading stays bit-identical.
+    table = jnp.concatenate(
+        [
+            geom.shade_table[:, 0:15],
+            geom.shade_table[:, 18:19],
+            geom.tri_v0,
+            geom.tri_e1,
+            geom.tri_e2,
+        ],
+        axis=1,
+    )
+    rows = take_rows(table, tid)
     ns = normalize(
         w0[:, None] * rows[:, 0:3]
         + u[:, None] * rows[:, 3:6]
         + v[:, None] * rows[:, 6:9]
     )
-    v0 = jnp.take(geom.tri_v0, tid, axis=0)
-    e1 = jnp.take(geom.tri_e1, tid, axis=0)
-    e2 = jnp.take(geom.tri_e2, tid, axis=0)
+    v0 = rows[:, 16:19]
+    e1 = rows[:, 19:22]
+    e2 = rows[:, 22:25]
     pos = v0 + u[:, None] * e1 + v[:, None] * e2
     # Two-sided shading: orient the normal toward the viewer (the raster
     # pipeline draws both windings, rasterize() accepts either).
@@ -151,7 +165,7 @@ def _shade(scene, frag, view_pos):
         + u[:, None] * rows[:, 11:13]
         + v[:, None] * rows[:, 13:15]
     )
-    mat_idx = rows[:, 18].astype(jnp.int32)
+    mat_idx = rows[:, 15].astype(jnp.int32)
     mp = gather_materials(scene.materials, mat_idx)
     if _probe == "attrs":
         return mp.base_color, mp.base_color, ns, pos
