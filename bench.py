@@ -142,7 +142,8 @@ def _trace_loop(scene, env, settings, frames, name, staged=False):
     film = Film.create(settings.width, settings.height)
     t_cold = time.perf_counter()
     film, rays = frame_fn(scene, env, uniforms, film, 0, settings)
-    jax.block_until_ready(rays)
+    float(rays)  # honest completion barrier (block_until_ready can
+    # return early on axon, round-5 ledger)
     # cold = compile + first frame; across fresh processes this line is
     # the pipeline-cache verification (rt_renderer.rs:229-240 role): a
     # warm ./out/xla_cache must make it collapse toward pure frame time.
@@ -151,14 +152,19 @@ def _trace_loop(scene, env, settings, frames, name, staged=False):
         f"{time.perf_counter() - t_cold:.1f}s",
         file=sys.stderr, flush=True,
     )
+    import jax.numpy as jnp
+
+    _sum_all = jax.jit(lambda rs: jnp.sum(jnp.stack(rs)))
     rays_acc = []
     t0 = time.perf_counter()
     for f in range(1, 1 + frames):
         film, rays = frame_fn(scene, env, uniforms, film, f, settings)
         rays_acc.append(rays)
-    jax.block_until_ready(film.accum)
+    # ONE jitted sum + scalar fetch ends the window honestly: the fetch
+    # cannot return before every queued frame finished (in-order
+    # stream), unlike block_until_ready (round-5 ledger)
+    total_rays = float(_sum_all(rays_acc))
     dt = time.perf_counter() - t0
-    total_rays = float(sum(rays_acc))
     primaries = (
         settings.width * settings.height * max(1, settings.spp) * frames
     )
@@ -337,9 +343,8 @@ def bench_sponza16():
     film, rays = render_frame_staged(
         scene, None, uniforms, film, 1, settings
     )
-    jax.block_until_ready(film.accum)
+    total_rays = float(rays)  # honest barrier: scalar fetch, not block
     dt = time.perf_counter() - t0
-    total_rays = float(rays)
     primaries = settings.width * settings.height * 16
     check_invariants("sponza16", _film_mean(film), total_rays, primaries)
     _emit(
@@ -368,10 +373,16 @@ def bench_raster():
     ))
 
     def time_renderer(r, frames, name):
+        import jax.numpy as jnp
+
+        # honest completion barrier: block_until_ready on axon can
+        # return before execution finishes (round-5 ledger); only a
+        # scalar host fetch is trustworthy as the end of a timed window
+        _mean = jax.jit(lambda a: jnp.mean(a[..., :3]))
         r.commit()
         t_cold = time.perf_counter()
         r.update()  # compile + first frame
-        jax.block_until_ready(r.color)
+        mean = float(_mean(r.color))
         print(
             f"[bench] {name}: cold compile+first-frame "
             f"{time.perf_counter() - t_cold:.1f}s",
@@ -380,11 +391,8 @@ def bench_raster():
         t0 = time.perf_counter()
         for _ in range(frames):
             r.update()
-        jax.block_until_ready(r.color)
+        mean = float(_mean(r.color))
         ms = (time.perf_counter() - t0) / frames * 1e3
-        import jax.numpy as jnp
-
-        mean = float(jax.jit(lambda a: jnp.mean(a[..., :3]))(r.color))
         check_invariants(name, mean)
         return ms
 

@@ -27,6 +27,7 @@ from .scene.cpu.mesh import Mesh, Primitive
 from .scene.cpu.material import Material, Medium, MaterialType, MediumType
 from .scene.cpu.light import Light, LightType
 from .scene.cpu.camera import Camera, PerspectiveCamera, OrthographicCamera
+from .scene.cpu.prims import ProceduralSphere
 from .scene.cpu.image_data import ImageData, ImageFormat
 from .scene.loader.gltf_loader import GltfLoader
 from .scene.loader.uploader import SceneUploader
@@ -45,6 +46,7 @@ from .programs import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "ProceduralSphere",
     "HalaRendererError",
     "Bounds", "Meshlet", "MESHLET_MAX_VERTICES", "MESHLET_MAX_PRIMITIVES",
     "Scene", "Node", "Mesh", "Primitive",

@@ -388,11 +388,28 @@ def _rows_sharded(table, idx, ax):
     return jax.lax.psum_scatter(r, ax, scatter_dimension=0, tiled=True)
 
 
+def _merge_proc(scene, o, d, hit, t_max):
+    """Fold procedural sphere hits into the triangle Hit (the
+    PROCEDURAL hit-group merge, rt_renderer.rs:1016-1112 role).
+    Procedural ids live at tri >= PROC_BASE, above every triangle slot
+    id including sharded global ids, so all downstream Hit plumbing is
+    unchanged. Spheres are replicated across shards (tiny table), so
+    the per-shard merge is deterministic and identical everywhere."""
+    if scene.procedural is None:
+        return hit
+    from ..ops.prims import merge_procedural
+
+    return merge_procedural(scene.procedural, o, d, hit, t_max)
+
+
 def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
     """Closest-hit dispatch; with settings.scene_axis set, the
     geometry-sharded merge wraps the local backend query."""
     if settings.scene_axis is None:
-        return _intersect_local(scene, o, d, settings, t_max)
+        return _merge_proc(
+            scene, o, d, _intersect_local(scene, o, d, settings, t_max),
+            t_max,
+        )
     ax = settings.scene_axis
     n = o.shape[0]
     og = jax.lax.all_gather(o, ax, axis=0, tiled=True)
@@ -430,7 +447,11 @@ def _intersect(scene, o, d, settings: RenderSettings, t_max=None):
     sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i0, n, 0)
     from ..ops.intersect import Hit as _H
 
-    return _H(t=sl(t_min), tri=sl(tri_f), u=uv[:, 0], v=uv[:, 1])
+    return _merge_proc(
+        scene, o, d,
+        _H(t=sl(t_min), tri=sl(tri_f), u=uv[:, 0], v=uv[:, 1]),
+        t_max,
+    )
 
 
 def _intersect_local(scene, o, d, settings: RenderSettings, t_max=None):
@@ -531,22 +552,31 @@ def _intersect_local(scene, o, d, settings: RenderSettings, t_max=None):
 def _occluded(scene, o, d, t_far, settings: RenderSettings):
     """Any-hit dispatch; with settings.scene_axis set, per-shard
     occlusion ORs across the scene axis (a blocker on ANY shard
-    occludes)."""
+    occludes). Procedural spheres join as one more any-hit OR (the
+    PROCEDURAL hit-group's any-hit role) on the caller-shaped rays —
+    in sharded mode the table is replicated, so testing the local rays
+    once is exact."""
     if settings.scene_axis is None:
-        return _occluded_local(scene, o, d, t_far, settings)
-    ax = settings.scene_axis
-    n = o.shape[0]
-    og = jax.lax.all_gather(o, ax, axis=0, tiled=True)
-    dg = jax.lax.all_gather(d, ax, axis=0, tiled=True)
-    tfg = jax.lax.all_gather(
-        jnp.broadcast_to(t_far, (n,)).astype(jnp.float32),
-        ax, axis=0, tiled=True,
-    )
-    occ = _occluded_local(scene, og, dg, tfg, settings)
-    # OR across shards via a reduce-scatter of the int mask
-    return jax.lax.psum_scatter(
-        occ.astype(jnp.int32), ax, scatter_dimension=0, tiled=True
-    ) > 0
+        occ = _occluded_local(scene, o, d, t_far, settings)
+    else:
+        ax = settings.scene_axis
+        n = o.shape[0]
+        og = jax.lax.all_gather(o, ax, axis=0, tiled=True)
+        dg = jax.lax.all_gather(d, ax, axis=0, tiled=True)
+        tfg = jax.lax.all_gather(
+            jnp.broadcast_to(t_far, (n,)).astype(jnp.float32),
+            ax, axis=0, tiled=True,
+        )
+        occ = _occluded_local(scene, og, dg, tfg, settings)
+        # OR across shards via a reduce-scatter of the int mask
+        occ = jax.lax.psum_scatter(
+            occ.astype(jnp.int32), ax, scatter_dimension=0, tiled=True
+        ) > 0
+    if scene.procedural is not None:
+        from ..ops.prims import occluded_spheres
+
+        occ = occ | occluded_spheres(scene.procedural, o, d, t_far)
+    return occ
 
 
 def _shadow_wavefront_route(
@@ -885,6 +915,32 @@ def _path_context(
         hit_p = o + hit.t[:, None] * d
 
         mat_idx = rows[:, 18].astype(jnp.int32)
+        # Procedural sphere hits (tri >= PROC_BASE, ops/prims.py): the
+        # triangle-derived attributes above came from a clipped garbage
+        # row — override them with the analytic sphere attributes (the
+        # intersection-shader's hit-attribute write, then the standard
+        # closest-hit shading path: full material/texture/media system
+        # applies). hit.u/v already carry the spherical uv.
+        if scene.procedural is not None:
+            from ..ops.prims import PROC_BASE
+
+            proc_t = scene.procedural
+            is_proc = hit.tri >= PROC_BASE
+            pid = jnp.clip(
+                hit.tri - PROC_BASE, 0, proc_t.center.shape[0] - 1
+            )
+            prow = take_rows(proc_t.packed, pid)  # (N, 8) one-hot MXU
+            ns_p = normalize(hit_p - prow[:, 0:3])
+            ns = jnp.where(is_proc[:, None], ns_p, ns)
+            ng = jnp.where(is_proc[:, None], ns_p, ng)
+            uv = jnp.where(
+                is_proc[:, None], jnp.stack([u, v], axis=1), uv
+            )
+            mat_idx = jnp.where(
+                is_proc, prow[:, 4].astype(jnp.int32), mat_idx
+            )
+        else:
+            is_proc = None
         mp = gather_materials(scene.materials, mat_idx)
         # Vertex colors (COLOR_0): present iff the uploader widened the
         # shade row (static shape -> compiles out otherwise); glTF
@@ -895,6 +951,8 @@ def _path_context(
                 + u[:, None] * rows[:, 35:38]
                 + v[:, None] * rows[:, 38:41]
             )
+            if is_proc is not None:
+                vcol = jnp.where(is_proc[:, None], 1.0, vcol)
             mp = mp._replace(base_color=mp.base_color * vcol)
         # KHR_texture_transform: uv' = offset + R(rot) @ (scale * uv)
         # (spec order T*R*S), from the material's baseColorTexture
@@ -927,6 +985,10 @@ def _path_context(
             + u[:, None] * rows[:, 23:26]
             + v[:, None] * rows[:, 26:29]
         )
+        if is_proc is not None:
+            # spheres carry no authored tangents: zero forces the
+            # branchless fallback basis below
+            tan_raw = jnp.where(is_proc[:, None], 0.0, tan_raw)
         tan_proj = tan_raw - ns * dot(tan_raw, ns)[:, None]
         tan_len = jnp.sqrt(jnp.sum(tan_proj * tan_proj, axis=-1, keepdims=True))
         has_tan = tan_len[:, 0] > 1e-4
@@ -968,8 +1030,22 @@ def _path_context(
             mr_map = mp.metallic_roughness_map
             em_map = mp.emission_map
             # mip LOD: log2(path cone footprint x per-triangle uv density)
+            uv_dens = rows[:, 29]
+            if is_proc is not None:
+                # uv density of the spherical parameterization:
+                # ~1/(2*pi*r) texels-per-world-unit at the equator
+                uv_dens = jnp.where(
+                    is_proc,
+                    1.0 / jnp.maximum(
+                        2.0 * jnp.pi * take_rows(
+                            scene.procedural.packed, pid
+                        )[:, 3],
+                        1e-6,
+                    ),
+                    uv_dens,
+                )
             lod_uv = jnp.log2(
-                jnp.clip(path_dist * pixel_angle * rows[:, 29], 1e-6, 1e6)
+                jnp.clip(path_dist * pixel_angle * uv_dens, 1e-6, 1e6)
             )
             # ONE packed texel gather for the three maps: only the
             # integer corner addresses concatenate (26 gather ops -> 4
@@ -1324,6 +1400,21 @@ def _path_context(
                         settings.scene_axis,
                     )
                 )
+                if scene.procedural is not None:
+                    # procedural blockers resolve through their own
+                    # material row (ids >= PROC_BASE clip to a garbage
+                    # slot in the triangle take above)
+                    from ..ops.prims import PROC_BASE
+
+                    isp = tri >= PROC_BASE
+                    pidk = jnp.clip(
+                        tri - PROC_BASE, 0,
+                        scene.procedural.center.shape[0] - 1,
+                    )
+                    pmat = take_rows(scene.procedural.packed, pidk)[
+                        :, 4
+                    ].astype(jnp.int32)
+                    m = jnp.where(isp, pmat, m)
                 return jnp.take(
                     scene.materials.packed[:, 3], jnp.maximum(m, 0)
                 )
@@ -1643,6 +1734,18 @@ _stage_occ_prep = jax.jit(lambda t: t * (1.0 - 1e-4))
 _stage_occ_post = jax.jit(lambda tri: tri >= 0)
 
 
+@jax.jit
+def _stage_merge_proc(scene, o, d, hit, t_max):
+    return _merge_proc(scene, o, d, hit, t_max)
+
+
+@jax.jit
+def _stage_occ_proc(proc, o, d, t_far, occ):
+    from ..ops.prims import occluded_spheres
+
+    return occ | occluded_spheres(proc, o, d, t_far)
+
+
 def _dispatch_extend_staged(scene, o, d, t_max, settings: RenderSettings):
     """Closest-hit for one staged tile-bounce.
 
@@ -1660,12 +1763,15 @@ def _dispatch_extend_staged(scene, o, d, t_max, settings: RenderSettings):
     if _extend_wavefront_route(settings, scene, staged=True):
         from ..ops.wavefront import intersect_wavefront
 
-        return intersect_wavefront(
+        hit = intersect_wavefront(
             o, d, scene.geometry, t_max=t_max,
             interpret=settings.interpret_pallas,
             k_per_ray=settings.extend_wavefront_k,
             m_group=settings.wavefront_m,
         )
+        # procedural merge as its own tiny program (the wavefront must
+        # stay own-program — compile wall; spheres are a few ops)
+        return _stage_merge_proc(scene, o, d, hit, t_max)
     return _stage_extend(scene, o, d, t_max, settings)
 
 
@@ -1690,7 +1796,10 @@ def _dispatch_occlude_staged(scene, o, d, t_far, settings: RenderSettings):
             k_per_ray=settings.shadow_wavefront_k,
             m_group=settings.wavefront_m,
         )
-        return _stage_occ_post(hit.tri)
+        occ = _stage_occ_post(hit.tri)
+        if scene.procedural is not None:
+            occ = _stage_occ_proc(scene.procedural, o, d, t_far, occ)
+        return occ
     return _stage_occlude(scene, o, d, t_far, settings)
 
 

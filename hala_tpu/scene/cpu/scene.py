@@ -32,6 +32,10 @@ class Scene:
     image_data: list[ImageData] = dataclasses.field(default_factory=list)
     lights: list[Light] = dataclasses.field(default_factory=list)
     cameras: list[Camera] = dataclasses.field(default_factory=list)
+    # Procedural (non-triangle) primitives, registered by apps in code
+    # (the reference's AABB-geometry path, gpu_uploader.rs:818-840 —
+    # glTF itself has no procedural shapes). See cpu/prims.py.
+    procedurals: list = dataclasses.field(default_factory=list)
 
     @staticmethod
     def load(path: str) -> "Scene":

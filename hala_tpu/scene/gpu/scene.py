@@ -254,6 +254,10 @@ class DeviceScene:
     # LBVH node table (ops/bvh.py), the TLAS/BLAS replacement. None until
     # built; the brute-force intersector works without it.
     bvh: "object | None" = None
+    # Procedural sphere table (ops/prims.DeviceProcedural) — the
+    # AABB-geometry/intersection-shader analog (gpu_uploader.rs:818-840).
+    # None compiles the merge out of every visibility query.
+    procedural: "object | None" = None
     name: str = "scene"
     # flattened primitive id -> scene node index (the animation path's
     # delta-transform routing, ops/animate.py); static host metadata

@@ -93,6 +93,7 @@ class SceneUploader:
             cameras=cameras,
             textures=textures,
             prim_node=prim_node,
+            procedural=SceneUploader._upload_procedural(scene),
         )
 
         if use_mesh_shader:
@@ -108,6 +109,38 @@ class SceneUploader:
 
             device_scene.bvh = build_bvh(geometry)
         return device_scene
+
+    # -- procedural primitives -------------------------------------------
+
+    @staticmethod
+    def _upload_procedural(scene: Scene):
+        """Sphere table for Scene.procedurals (the AABB-geometry upload
+        role, gpu_uploader.rs:818-840). None when the scene declares no
+        procedural shapes, so the intersection merge compiles out."""
+        if not getattr(scene, "procedurals", None):
+            return None
+        from ...ops.prims import DeviceProcedural
+
+        centers = np.array(
+            [p.center for p in scene.procedurals], np.float32
+        ).reshape(-1, 3)
+        radii = np.array(
+            [p.radius for p in scene.procedurals], np.float32
+        )
+        mats = np.array(
+            [p.material for p in scene.procedurals], np.int32
+        )
+        packed = np.zeros((len(scene.procedurals), 8), np.float32)
+        packed[:, 0:3] = centers
+        packed[:, 3] = radii
+        packed[:, 4] = mats.astype(np.float32)
+        return DeviceProcedural(
+            center=jnp.asarray(centers),
+            radius=jnp.asarray(radii),
+            mat=jnp.asarray(mats),
+            packed=jnp.asarray(packed),
+            num_prims=len(scene.procedurals),
+        )
 
     # -- cameras ---------------------------------------------------------
 

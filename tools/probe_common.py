@@ -19,13 +19,32 @@ N = 131072
 _CACHE = "/tmp/wf_bounce_cache"
 
 
+_SUMS = {}
+
+
+def _force(out):
+    """True completion barrier: jax.block_until_ready on axon can
+    return BEFORE execution finishes (round-5 shadecum finding:
+    identical cached programs 0.07 ms vs 135 ms depending on queue
+    state) — only a scalar host fetch is trustworthy. Jitted sum of
+    the first leaf (eager ops on axon wedge); compile is cached per
+    shape and runs outside the timed region's per-iter path."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    key = (leaf.shape, str(leaf.dtype))
+    if key not in _SUMS:
+        _SUMS[key] = jax.jit(
+            lambda a: jnp.sum(a.astype(jnp.float32))
+        )
+    return float(_SUMS[key](leaf))
+
+
 def timeit(name, fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"PROBE {name}: {dt*1000:.3f} ms", flush=True)
     return out
