@@ -134,19 +134,32 @@ def _trace_loop(scene, env, settings, frames, name, staged=False):
     import jax
 
     from hala_tpu.models.integrator import (
-        Film, Uniforms, render_frame, render_frame_staged,
+        Film, Uniforms, render_frame_staged, render_frames,
     )
 
-    frame_fn = render_frame_staged if staged else render_frame
     uniforms = Uniforms.default()
     film = Film.create(settings.width, settings.height)
     t_cold = time.perf_counter()
-    film, rays = frame_fn(scene, env, uniforms, film, 0, settings)
+    if staged:
+        film, rays = render_frame_staged(
+            scene, env, uniforms, film, 0, settings
+        )
+    else:
+        # Megakernel configs fuse the whole progressive window into ONE
+        # XLA program (render_frames): bit-identical accumulation, but
+        # the host pays 1 dispatch instead of `frames` — the honest
+        # re-baseline showed small frames are dominated by a ~28 ms
+        # per-PROGRAM cost on the axon tunnel (round-5 ledger,
+        # tools/probe_dispatch.py). The warmup below runs frames
+        # 0..frames-1; the measured window runs frames..2*frames-1.
+        film, rays = render_frames(
+            scene, env, uniforms, film, 0, frames, settings
+        )
     float(rays)  # honest completion barrier (block_until_ready can
     # return early on axon, round-5 ledger)
-    # cold = compile + first frame; across fresh processes this line is
-    # the pipeline-cache verification (rt_renderer.rs:229-240 role): a
-    # warm ./out/xla_cache must make it collapse toward pure frame time.
+    # cold = compile + first frame(s); across fresh processes this line
+    # is the pipeline-cache verification (rt_renderer.rs:229-240 role):
+    # a warm ./out/xla_cache must make it collapse toward frame time.
     print(
         f"[bench] {name}: cold compile+first-frame "
         f"{time.perf_counter() - t_cold:.1f}s",
@@ -155,16 +168,26 @@ def _trace_loop(scene, env, settings, frames, name, staged=False):
     import jax.numpy as jnp
 
     _sum_all = jax.jit(lambda rs: jnp.sum(jnp.stack(rs)))
-    rays_acc = []
-    t0 = time.perf_counter()
-    for f in range(1, 1 + frames):
-        film, rays = frame_fn(scene, env, uniforms, film, f, settings)
-        rays_acc.append(rays)
-    # ONE jitted sum + scalar fetch ends the window honestly: the fetch
-    # cannot return before every queued frame finished (in-order
-    # stream), unlike block_until_ready (round-5 ledger)
-    total_rays = float(_sum_all(rays_acc))
-    dt = time.perf_counter() - t0
+    if staged:
+        rays_acc = []
+        t0 = time.perf_counter()
+        for f in range(1, 1 + frames):
+            film, rays = render_frame_staged(
+                scene, env, uniforms, film, f, settings
+            )
+            rays_acc.append(rays)
+        # ONE jitted sum + scalar fetch ends the window honestly: the
+        # fetch cannot return before every queued frame finished
+        # (in-order stream), unlike block_until_ready (round-5 ledger)
+        total_rays = float(_sum_all(rays_acc))
+        dt = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        film, rays = render_frames(
+            scene, env, uniforms, film, frames, frames, settings
+        )
+        total_rays = float(rays)
+        dt = time.perf_counter() - t0
     primaries = (
         settings.width * settings.height * max(1, settings.spp) * frames
     )

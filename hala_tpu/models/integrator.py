@@ -1550,12 +1550,7 @@ def _tile_raygen(
     return o, d, gpix, fidx_r
 
 
-@partial(
-    jax.jit,
-    static_argnames=("settings", "full_height", "hooks"),
-    donate_argnums=(3,),
-)
-def render_frame(
+def _render_frame_impl(
     scene,
     env,
     uniforms: Uniforms,
@@ -1568,7 +1563,9 @@ def render_frame(
     hooks: KernelHooks | None = None,
 ):
     """One progressive frame (settings.spp samples/pixel):
-    rt_renderer.rs update() parity.
+    rt_renderer.rs update() parity. (Traced body; the public jits are
+    `render_frame` — one frame per XLA program — and `render_frames`
+    — K frames fused into one program via a fori_loop film carry.)
 
     Returns (film, rays_traced_scalar). The film accumulates a running
     mean like the reference's accum image + frame_index uniform. With
@@ -1685,6 +1682,66 @@ def render_frame(
         normal=normal.reshape(h, w, 4),
     )
     return new_film, rays_total
+
+
+render_frame = partial(
+    jax.jit,
+    static_argnames=("settings", "full_height", "hooks"),
+    donate_argnums=(3,),
+)(_render_frame_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k_frames", "settings", "full_height", "hooks"),
+    donate_argnums=(3,),
+)
+def render_frames(
+    scene,
+    env,
+    uniforms: Uniforms,
+    film: Film,
+    frame_index,
+    k_frames: int,
+    settings: RenderSettings,
+    row_offset=0,
+    full_height: int | None = None,
+    blue_noise=None,
+    hooks: KernelHooks | None = None,
+):
+    """K progressive frames fused into ONE XLA program.
+
+    Bit-identical to K sequential `render_frame` dispatches (same
+    per-frame RNG streams keyed on the absolute frame index, same
+    1/(f+1) running-mean accumulation, same op order — the loop body IS
+    `_render_frame_impl`), but the host pays ONE dispatch + fetch
+    instead of K. Round-5 motivation: the honest bench showed small
+    frames are dominated by per-PROGRAM overhead on the axon tunnel
+    (~28 ms/frame measured at bench time vs 9.9 ms in a quiet window,
+    tools/probe_dispatch.py; cornell = 16 x 262k-ray programs), and
+    fusing the progressive loop removes that term without touching the
+    estimator. Keep k_frames modest where a single execution could
+    approach the ~2 min axon execution bound (sponza-scale frames
+    should stay on render_frame_staged).
+
+    Returns (film, total_rays) like render_frame, with total_rays
+    summed over the K frames.
+    """
+
+    def body(i, carry):
+        film, rays = carry
+        film, r = _render_frame_impl(
+            scene, env, uniforms, film,
+            jnp.asarray(frame_index, jnp.uint32) + jnp.uint32(i),
+            settings, row_offset, full_height, blue_noise, hooks,
+        )
+        return (film, rays + r)
+
+    zero = film.accum[0, 0, 0] * 0.0  # varying-typed under shard_map
+    film, rays = jax.lax.fori_loop(
+        0, k_frames, body, (film, zero)
+    )
+    return film, rays
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,41 @@ class TestSppBatch:
             rtol=2e-5, atol=2e-5,
         )
 
+    def test_render_frames_bit_equal_to_sequential(
+        self, cornell_device_scene
+    ):
+        """render_frames(k) fuses K progressive frames into ONE XLA
+        program and must be BIT-identical to K render_frame dispatches
+        (same RNG streams, same accumulation order — round-5 dispatch
+        fusing for the per-program tunnel overhead)."""
+        from hala_tpu.models.integrator import render_frames
+
+        size = 32
+        s = RenderSettings(width=size, height=size, max_depth=3,
+                           rr_depth=2, tile_size=size * size)
+        film_a = Film.create(size, size)
+        rays_a = 0.0
+        for f in range(3):
+            film_a, r = render_frame(
+                cornell_device_scene, None, Uniforms.default(), film_a,
+                f, s,
+            )
+            rays_a += float(r)
+        film_b, rays_b = render_frames(
+            cornell_device_scene, None, Uniforms.default(),
+            Film.create(size, size), 0, 3, s,
+        )
+        assert float(rays_b) == rays_a
+        np.testing.assert_array_equal(
+            np.asarray(film_a.accum), np.asarray(film_b.accum)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(film_a.albedo), np.asarray(film_b.albedo)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(film_a.normal), np.asarray(film_b.normal)
+        )
+
     def test_spp_tiling_matches_single_tile(self, cornell_device_scene):
         """spp batching must be tiling-invariant (pixel ids and virtual
         frames are global, tiles only partition the dispatch)."""
