@@ -300,18 +300,66 @@ class RayTracingRenderer(BaseRenderer):
                 pass
             self._last_rays = 0.0
 
-    def render_loop(self, frames: int, pipelined: bool = True) -> None:
+    def render_loop(
+        self, frames: int, pipelined: bool = True,
+        frames_per_dispatch: int = 1,
+    ) -> None:
         """Convenience progressive loop (the external app's winit loop).
 
         `pipelined=True` (default) dispatches every frame without host
         synchronization and blocks once at the end — per-frame readbacks
         cost a full device round trip each (measured ~6x throughput
         loss). `pipelined=False` matches the reference's per-frame
-        update/render cadence with live statistics."""
+        update/render cadence with live statistics.
+
+        `frames_per_dispatch=K` (megakernel mode only) fuses K
+        progressive frames into one XLA program via `render_frames` —
+        bit-identical accumulation, but ONE dispatch per chunk; the
+        round-5 honest bench measured ~28 ms per-PROGRAM overhead on
+        the axon tunnel, which dominated small frames (cornell 42.8 ->
+        134.3 Mrays/s at K=16). Keep K modest so one execution stays
+        well under the ~2 min axon execution bound."""
         if not pipelined:
             for _ in range(frames):
                 self.update()
                 self.render()
+            return
+        if frames_per_dispatch > 1 and not self._staged:
+            from .integrator import render_frames
+
+            if self.settings is None:
+                self.commit()
+            self.check_and_restore_device()
+            t0 = time.monotonic()
+            rays_acc = []
+            left = min(frames, self.max_frames - self._frame_index)
+            while left > 0:
+                k = min(frames_per_dispatch, left)
+                self.film, rays = render_frames(
+                    self.scene, self.env, self.uniforms, self.film,
+                    self._frame_index, k, self.settings,
+                    blue_noise=self.blue_noise,
+                    hooks=getattr(self, "hooks", None),
+                )
+                rays_acc.append(rays)
+                self._frame_index += k
+                left -= k
+            self._pending = (self.film, rays_acc[-1] if rays_acc else 0.0)
+            self.wait_idle()
+            dt = max(time.monotonic() - t0, 1e-9)
+            total = sum(float(r) for r in rays_acc)
+            self.total_rays += total
+            n = max(frames, 1)
+            for _ in range(frames):
+                self.statistics.record_frame(dt / n, dt / n, total / n)
+            self.statistics.last_metrics = {
+                "fps": n / dt,
+                "gpu_ms": 1000.0 * dt / n,
+                "cpu_ms": 1000.0 * dt / n,
+                "mrays_per_s": total / dt / 1e6,
+                "total_frames": self.statistics.total_frames,
+                "synthetic_per_frame": True,
+            }
             return
         t0 = time.monotonic()
         rays_acc = []

@@ -246,6 +246,30 @@ class TestRendererAPI:
         assert (tmp_path / "img_albedo.pfm").exists()
         assert (tmp_path / "img_normal.pfm").exists()
 
+    def test_render_loop_frames_per_dispatch(self, cornell_scene):
+        """render_loop(frames_per_dispatch=K) fuses K frames per XLA
+        program (round-5 dispatch-overhead fix) and must stay
+        bit-identical to the per-frame loop, including the max_frames
+        budget clamp."""
+        r1 = RayTracingRenderer(
+            "a", 16, 16, max_frames=8, tile_size=256, max_depth=2
+        )
+        r1.set_scene(cornell_scene)
+        r1.commit()
+        r1.render_loop(6)
+        r2 = RayTracingRenderer(
+            "b", 16, 16, max_frames=8, tile_size=256, max_depth=2
+        )
+        r2.set_scene(cornell_scene)
+        r2.commit()
+        r2.render_loop(6, frames_per_dispatch=4)
+        np.testing.assert_array_equal(
+            np.asarray(r1.film.accum), np.asarray(r2.film.accum)
+        )
+        assert r1.total_rays == r2.total_rays
+        r2.render_loop(6, frames_per_dispatch=4)  # clamps at budget
+        assert r2._frame_index == 8
+
     def test_env_knobs(self, cornell_scene):
         r = RayTracingRenderer("t", 16, 16, tile_size=256)
         r.set_scene(cornell_scene)
