@@ -1,11 +1,15 @@
 """Per-stage cost breakdown of a Sponza-scale frame on the real TPU.
 
-Replays render_frame_staged's dispatch loop with a block_until_ready
-around every stage, so each XLA program's share of the frame is
-measured directly (raygen / primary / pre / extend / occlude / post /
-accum). The staged dispatcher is bit-exact vs the megakernel on lit
-configs (tests/test_integrator.py), so the shares decompose the real
-frame cost and rank the round-4 targets.
+Replays render_frame_staged's dispatch loop with an HONEST completion
+barrier (scalar host fetch) after every stage, so each XLA program's
+share of the frame is measured directly (raygen / primary / pre /
+extend / occlude / post / accum). block_until_ready is NOT a barrier
+on axon (round-5 ledger: identical programs 0.07 vs 135 ms depending
+on queue state); the per-stage fetch costs ~4 ms each, bounded by
+comparing the sum of shares against the async warm frame. The staged
+dispatcher is bit-exact vs the megakernel on lit configs
+(tests/test_integrator.py), so the shares decompose the real frame
+cost.
 
   SHADOW=wavefront ASSET=atrium_big.glb timeout 3000 \
       python -u tools/probe_breakdown.py
@@ -57,6 +61,21 @@ settings = I.RenderSettings(
 )
 uniforms = I.Uniforms.default()
 
+_PICK = {}
+
+
+def _fetch_scalar(val):
+    """HONEST completion barrier: one-element host fetch of the first
+    leaf (block_until_ready can return early on axon, round-5 ledger).
+    Jitted picker per shape (eager ops on axon wedge)."""
+    leaf = jax.tree_util.tree_leaves(val)[0]
+    key = (leaf.shape, str(leaf.dtype))
+    if key not in _PICK:
+        _PICK[key] = jax.jit(
+            lambda a: a.ravel()[0].astype(jnp.float32)
+        )
+    return float(_PICK[key](leaf))
+
 
 def run_frame(frame_index, times=None):
     """One staged frame; with `times`, blocks after every stage and
@@ -77,7 +96,7 @@ def run_frame(frame_index, times=None):
     def tick(name, val):
         if times is None:
             return val
-        jax.block_until_ready(val)
+        _fetch_scalar(val)
         now = time.perf_counter()
         times[name] += now - tick.last
         tick.last = now
@@ -127,15 +146,15 @@ def run_frame(frame_index, times=None):
 
 t0 = time.perf_counter()
 rays = run_frame(0)
-jax.block_until_ready(rays)
+_fetch_scalar(rays)
 stamp(f"cold frame (compile+run) {time.perf_counter() - t0:.1f}s")
 
 t0 = time.perf_counter()
 rays = run_frame(1)
-jax.block_until_ready(rays)
+r_v = _fetch_scalar(rays)
 warm = time.perf_counter() - t0
-stamp(f"warm frame (async, no stage sync) {warm:.2f}s "
-      f"rays={float(rays):.3g}")
+stamp(f"warm frame (async, honest end fetch) {warm:.2f}s "
+      f"rays={r_v:.3g}")
 
 times = defaultdict(float)
 t0 = time.perf_counter()
