@@ -58,13 +58,17 @@ dd = jnp.asarray(d, jnp.float32)
 far = jnp.full((n,), 1e7)
 
 
+_HITSUM = jax.jit(lambda t: jnp.sum(t))
+
+
 def timed(tag, fn, reps=20):
     h = fn()
-    jax.block_until_ready(h.t)
+    float(_HITSUM(h.t))  # honest completion barrier (round-5 ledger:
+    # block_until_ready can return before execution finishes on axon)
     t0 = time.perf_counter()
     for _ in range(reps):
         h = fn()
-    jax.block_until_ready(h.t)
+    float(_HITSUM(h.t))
     dt = (time.perf_counter() - t0) / reps
     hits = int(np.asarray(h.tri >= 0).sum())
     stamp(f"{tag}: {dt*1e3:.2f} ms/{n} rays  (hits {hits})")
@@ -157,6 +161,10 @@ KERNEL = os.environ.get("KERNEL", "matrix")
 if KERNEL == "grouped":
     SWEEPS["13"] = [(512, 32, True, True, 1, False, "morton", False, 1),
                     (512, 32, True, True, 1, False, "signature", False, 1)]
+# honest-timing control of the shipped champion (round-5): bs=512
+# tall tiles, mg=32, pipelined worklist — the frame path's config
+SWEEPS["champ"] = [(512, 32, True, True, 1, True),
+                   (128, 32, True, True, 1, True)]
 sweep = SWEEPS[os.environ.get("SWEEP", "3")]
 # SUBS=2/4 splits each 128-tri DMA chunk into finer traversal clusters
 # (tighter entry distances, half/quarter MT spans per visit, 2-4x the
