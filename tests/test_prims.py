@@ -174,6 +174,30 @@ class TestProceduralRender:
         assert scene.procedural is None
 
 
+class TestProceduralStaged:
+    def test_staged_bit_equal_to_megakernel(self):
+        """The staged dispatcher must trace procedural prims identically
+        to the megakernel (the sphere merge rides _intersect/_occluded
+        in both paths; bit-equality is the staged contract)."""
+        scene = _cornell_with_sphere()
+        r1 = RayTracingRenderer(
+            "mk", 32, 32, max_frames=1, tile_size=512, max_depth=3
+        )
+        r1.set_scene(scene)
+        r1.commit()
+        r1.render_loop(1)
+        r2 = RayTracingRenderer(
+            "st", 32, 32, max_frames=1, tile_size=512, max_depth=3,
+            staged=True,
+        )
+        r2.set_scene(scene)
+        r2.commit()
+        r2.render_loop(1)
+        np.testing.assert_array_equal(
+            np.asarray(r1.film.accum), np.asarray(r2.film.accum)
+        )
+
+
 class TestProceduralTiling:
     def test_film_tiling_bit_identity(self):
         """Sphere hits are pure functions of (o, d): film-tiled render
