@@ -993,9 +993,54 @@ def _path_context(
         tan_len = jnp.sqrt(jnp.sum(tan_proj * tan_proj, axis=-1, keepdims=True))
         has_tan = tan_len[:, 0] > 1e-4
 
+        # ONE packed texel gather for ALL material maps of the bounce:
+        # base/mr/emission at the trilinear lod plus (when present) the
+        # normal map at level 0 — per-map lods, one big take (the
+        # per-row take law: each separate take pays the same per-row
+        # cost again; ops/texture.py sample_textures_packed). Only the
+        # integer corner addresses concatenate; every float expression
+        # keeps its per-map shape, so outputs stay bit-identical to
+        # separate calls and the film-tiling invariant holds.
+        base_t = mr_t = em_t = n_tex = None
+        if scene.textures is not None:
+            uv_dens = rows[:, 29]
+            if is_proc is not None:
+                # uv density of the spherical parameterization:
+                # ~1/(2*pi*r) texels-per-world-unit at the equator
+                uv_dens = jnp.where(
+                    is_proc,
+                    1.0 / jnp.maximum(
+                        2.0 * jnp.pi * take_rows(
+                            scene.procedural.packed, pid
+                        )[:, 3],
+                        1e-6,
+                    ),
+                    uv_dens,
+                )
+            # mip LOD: log2(path cone footprint x per-tri uv density)
+            lod_uv = jnp.log2(
+                jnp.clip(path_dist * pixel_angle * uv_dens, 1e-6, 1e6)
+            )
+            from ..ops.texture import sample_textures_packed
+
+            maps = [
+                mp.base_color_map, mp.metallic_roughness_map,
+                mp.emission_map,
+            ]
+            map_lods = [lod_uv, lod_uv, lod_uv]
+            if scene.materials.has_normal_map:
+                maps.append(mp.normal_map)
+                map_lods.append(None)  # level-0 bilinear, as before
+            fetched = sample_textures_packed(
+                scene.textures, maps, uv, lods=map_lods
+            )
+            base_t, mr_t, em_t = fetched[:3]
+            if scene.materials.has_normal_map:
+                n_tex = fetched[3]
+
         # Normal mapping (material normal_map, tangent-space +Z up).
         if scene.textures is not None and scene.materials.has_normal_map:
-            n_t = sample_texture(scene.textures, mp.normal_map, uv)[:, :3]
+            n_t = n_tex[:, :3]
             n_ts = normalize(n_t * 2.0 - 1.0)
             tb0 = jnp.where(
                 has_tan[:, None], tan_proj / jnp.maximum(tan_len, 1e-12), 0.0
@@ -1026,37 +1071,9 @@ def _path_context(
         wo_l = to_local(-d, t_b, b_b, ns_f)
         wo_l = wo_l.at[:, 2].set(jnp.maximum(wo_l[:, 2], 1e-5))
         if scene.textures is not None:
-            base_map = mp.base_color_map
             mr_map = mp.metallic_roughness_map
-            em_map = mp.emission_map
-            # mip LOD: log2(path cone footprint x per-triangle uv density)
-            uv_dens = rows[:, 29]
-            if is_proc is not None:
-                # uv density of the spherical parameterization:
-                # ~1/(2*pi*r) texels-per-world-unit at the equator
-                uv_dens = jnp.where(
-                    is_proc,
-                    1.0 / jnp.maximum(
-                        2.0 * jnp.pi * take_rows(
-                            scene.procedural.packed, pid
-                        )[:, 3],
-                        1e-6,
-                    ),
-                    uv_dens,
-                )
-            lod_uv = jnp.log2(
-                jnp.clip(path_dist * pixel_angle * uv_dens, 1e-6, 1e6)
-            )
-            # ONE packed texel gather for the three maps: only the
-            # integer corner addresses concatenate (26 gather ops -> 4
-            # per bounce); every float expression keeps the per-map
-            # shape, so output bits equal three separate calls and the
-            # film-tiling bit-identity invariant holds (ops/texture.py
-            # sample_textures_packed docstring, round-5 ledger).
-            from ..ops.texture import sample_textures_packed
-            base_t, mr_t, em_t = sample_textures_packed(
-                scene.textures, [base_map, mr_map, em_map], uv, lod_uv
-            )
+            # base_t/mr_t/em_t were fetched in the single packed take
+            # above (with the normal map when present)
             new_rough_raw = mr_t[:, 1]  # glTF: G=roughness, B=metallic
             new_metal = mp.metallic * mr_t[:, 2]
             # re-apply the Disney alpha precompute for textured roughness

@@ -118,7 +118,7 @@ def sample_texture(
     return jnp.where((tex_idx >= 0)[:, None], texel, 1.0)
 
 
-def sample_textures_packed(stack, tex_idxs, uv, lod_uv=None):
+def sample_textures_packed(stack, tex_idxs, uv, lod_uv=None, lods=None):
     """Trilinear-sample M maps at the SAME (uv, lod) with ONE texel
     gather (row-take packing, DESIGN round-3 EnvMap trick applied to
     the material fetch sites — VERDICT r4 item 2).
@@ -142,14 +142,19 @@ def sample_textures_packed(stack, tex_idxs, uv, lod_uv=None):
     device counts.
 
     tex_idxs: list of (N,) i32 (-1 = none -> white). Returns a list of
-    (N, 4) RGBA in the same order.
+    (N, 4) RGBA in the same order. `lods` optionally gives a PER-MAP
+    lod (entries None -> level-0 bilinear for that map, e.g. the
+    normal map rides the same take as the trilinear base/mr/em trio);
+    mutually exclusive with the shared `lod_uv`.
     """
     m = len(tex_idxs)
+    if lods is None:
+        lods = [lod_uv] * m
+    assert len(lods) == m
     if m == 1:
-        return [sample_texture(stack, tex_idxs[0], uv, lod_uv)]
+        return [sample_texture(stack, tex_idxs[0], uv, lods[0])]
     n = uv.shape[0]
     flat = stack.data.reshape(-1, stack.data.shape[3])
-    trilinear = lod_uv is not None and stack.num_levels > 1
 
     # Per-map FLOAT math at the original (N, ...) shapes; only the
     # integer corner ADDRESSES concatenate into the one big take.
@@ -162,13 +167,13 @@ def sample_textures_packed(stack, tex_idxs, uv, lod_uv=None):
     # bit-identity across device counts.)
     per_map = []
     addr_chunks = []
-    for ti in tex_idxs:
+    for ti, ld in zip(tex_idxs, lods):
         idx = jnp.maximum(ti, 0)
         sizes = jnp.take(stack.sizes, idx, axis=0)
-        if trilinear:
+        if ld is not None and stack.num_levels > 1:
             w0 = sizes[:, 1].astype(jnp.float32)
             lod = jnp.clip(
-                lod_uv + jnp.log2(jnp.maximum(w0, 1.0)),
+                ld + jnp.log2(jnp.maximum(w0, 1.0)),
                 0.0,
                 float(stack.num_levels - 1),
             )
@@ -178,20 +183,20 @@ def sample_textures_packed(stack, tex_idxs, uv, lod_uv=None):
             a0, fx0, fy0 = _bilinear_addrs(stack, sizes, idx, uv, l0)
             a1, fx1, fy1 = _bilinear_addrs(stack, sizes, idx, uv, l1)
             addr_chunks.extend(a0 + a1)
-            per_map.append((ti, fl, fx0, fy0, fx1, fy1))
+            per_map.append((ti, 8, fl, fx0, fy0, fx1, fy1))
         else:
             a, fx, fy = _bilinear_addrs(
                 stack, sizes, idx, uv, jnp.zeros_like(idx)
             )
             addr_chunks.extend(a)
-            per_map.append((ti, None, fx, fy, None, None))
+            per_map.append((ti, 4, None, fx, fy, None, None))
     c_all = jnp.take(flat, jnp.concatenate(addr_chunks), axis=0)
-    k = 8 if trilinear else 4
-    corners = jnp.split(c_all, m * k)
     out = []
-    for i, (ti, fl, fx0, fy0, fx1, fy1) in enumerate(per_map):
-        cs = corners[i * k:(i + 1) * k]
-        if trilinear:
+    off = 0
+    for ti, k, fl, fx0, fy0, fx1, fy1 in per_map:
+        cs = [c_all[(off + j) * n:(off + j + 1) * n] for j in range(k)]
+        off += k
+        if k == 8:
             texel = (
                 _lerp2(cs[0], cs[1], cs[2], cs[3], fx0, fy0) * (1.0 - fl)
                 + _lerp2(cs[4], cs[5], cs[6], cs[7], fx1, fy1) * fl
